@@ -1,0 +1,46 @@
+"""Deterministic engine constants.
+
+The reference derives "now" at runtime (CURRENT_DATE in stg_visits.sql:23,
+datetime.now() in scripts/etl.py:41) which makes results drift day to day.
+For testability every time-dependent expression in this engine is
+parameterized by AS_OF_DATE (SURVEY.md §7.4 item 6).
+"""
+
+from __future__ import annotations
+
+import os
+
+# Fixed "today" for age calculations and temporal-sanity filters.
+AS_OF_DATE = "2026-08-13"
+
+# Differential privacy defaults (reference: scripts/etl.py:65-72,
+# dbt fact_visits.sql:40-44 — Laplace, epsilon=0.1, sensitivity=1.0, clamp>=0).
+DP_EPSILON = 0.1
+DP_SENSITIVITY = 1.0
+DP_SEED = 42
+
+# Privacy-audit thresholds (reference: privacy_engine.py:27-39).
+K_ANONYMITY = 5
+L_DIVERSITY = 3
+T_CLOSENESS = 0.2
+PRIVACY_BUDGET_MAX_EPSILON = 1.0
+
+# Driver test data (TESTDATA.md).
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Scratch space for sinks exercised by tests (CSV roundtrip, audit log,
+# upsert rewrites). Kept inside the repo and gitignored.
+SCRATCH_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")

@@ -1,0 +1,831 @@
+"""Query catalog: every operator from SURVEY.md §2 as a named query with a
+DuckDB oracle.
+
+Each entry is a function ``(spark, sf_dir) -> DataFrame`` plus (when the
+semantics are ANSI-SQL-expressible) an oracle SQL string the driver runs in
+DuckDB over the same parquet tables. The driver compares row-count + schema
++ order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- double sums/averages go through the DECIMAL(18,4) accumulate-then-cast
+  trick (functions.expressions.dsum/davg) so the distributed result is
+  bit-identical to the single-threaded oracle;
+- time is fixed (config.AS_OF_DATE), never current_date().
+
+Healthcare → driver-table mapping (FIXTURES.md): customer=patients,
+supplier=providers, orders=visits (o_orderdate=visit_date,
+o_totalprice=cost, o_orderpriority=diagnosis-analog), lineitem=visit
+detail, events=audit/stream analog.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import AS_OF_DATE, K_ANONYMITY, L_DIVERSITY
+from ..functions.expressions import (
+    _oround,
+    age_bucket,
+    age_years,
+    anonymize,
+    balance_bucket,
+    davg,
+    dsum,
+    round2,
+    visit_cohort,
+    with_privacy_noise,
+)
+from ..operators.keys import add_dense_key
+from ..sources.loaders import load_table, register_views
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class CatalogEntry:
+    fn: QueryFn
+    oracle: str | None  # None → non-SQL-expressible, driver does rows-only check
+
+
+_REGISTRY: dict[str, CatalogEntry] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = CatalogEntry(fn=fn, oracle=oracle)
+        return fn
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: e.fn for name, e in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.oracle for name, e in _REGISTRY.items() if e.oracle is not None}
+
+
+# Oracle SQL fragments for the deterministic double aggregates -------------
+
+def _osum(x: str) -> str:
+    """Oracle-side equivalent of functions.expressions.dsum."""
+    return f"CAST(sum(CAST({x} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def _oavg(x: str) -> str:
+    """Oracle-side equivalent of functions.expressions.davg (unrounded)."""
+    return f"{_osum(x)} / count({x})"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# §2.2 Projections / filters
+# ===========================================================================
+
+
+@query(
+    "project_filter",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL AND c_acctbal > 0
+    """,
+)
+def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2+P4: explicit projection + conjunctive validity predicates
+    (stg_patients.sql:6-25)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_acctbal").isNotNull() & F.col("c_mktsegment").isNotNull() & (F.col("c_acctbal") > 0)
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@query(
+    "filter_date_range",
+    oracle=f"""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS visit_date, o_totalprice
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o_orderdate AS DATE) <= DATE '1998-12-31'
+      AND CAST(o_orderdate AS DATE) <= DATE '{AS_OF_DATE}'
+    """,
+)
+def filter_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: temporal-sanity + range predicate on the date column
+    (stg_visits.sql:23). Partition-prunable when the fact is written
+    partitioned by year."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.filter((d >= F.lit("1997-01-01").cast("date"))
+                 & (d <= F.lit("1998-12-31").cast("date"))
+                 & (d <= F.lit(AS_OF_DATE).cast("date")))
+        .select("o_orderkey", d.alias("visit_date"), "o_totalprice")
+    )
+
+
+@query(
+    "point_lookup",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey = 42",
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: equality filter on the key (api.py:318) — min-max row-group
+    skipping stands in for the reference's B-tree index."""
+    return _t(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+
+
+@query(
+    "topk_highcost",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS visit_date
+    FROM orders
+    WHERE o_totalprice > 400000
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def topk_highcost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5+O2: theta filter on the measure + top-k
+    (analytics_examples.sql:100-102). orderBy+limit compiles to
+    TakeOrderedAndProject — no global sort. Tiebreak on the key keeps the
+    result set deterministic for the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+                F.col("o_orderdate").cast("date").alias("visit_date"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# §2.3 Joins
+# ===========================================================================
+
+
+@query(
+    "join_fact_dims",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, s_name, p_brand, l_extendedprice
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_quantity > 45
+    """,
+)
+def join_fact_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact→dim key-resolution joins (fact_visits.sql:53-55). Both dims
+    are small → explicit broadcast: two BroadcastHashJoins, zero shuffle of
+    the fact."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "l_linenumber", "s_name", "p_brand", "l_extendedprice")
+    )
+
+
+@query(
+    "join_3way",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS order_line_count,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: 3-way analytic join (analytics_examples.sql:96-98) + revenue
+    aggregate. customer broadcasts; orders⋈lineitem co-shuffles on the
+    order key with map-side partial aggregation after."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("order_line_count"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "leftjoin_agg",
+    oracle=f"""
+    SELECT n_name,
+           count(c_custkey) AS customer_count,
+           {_oround(_oavg('c_acctbal'))} AS avg_balance
+    FROM nation
+    LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def leftjoin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: dim-preserving left join so empty groups still appear
+    (analytics_examples.sql:15,41)."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        n.join(c, n["n_nationkey"] == c["c_nationkey"], "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("customer_count"),
+            round2(davg("c_acctbal")).alias("avg_balance"),
+        )
+    )
+
+
+@query(
+    "crossjoin_scalar",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice, floor(s.avg_price * 100 + 0.5) / 100 AS avg_price
+    FROM orders, (SELECT {_oavg('o_totalprice')} AS avg_price FROM orders) s
+    WHERE o_totalprice > 2 * s.avg_price
+    """,
+)
+def crossjoin_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: attach a 1-row aggregate to every row via cross join
+    (fact_visits.sql:76, analytics_examples.sql:99) —
+    BroadcastNestedLoopJoin with a single-row build side."""
+    o = _t(spark, sf_dir, "orders")
+    stats = o.agg(davg("o_totalprice").alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .filter(F.col("o_totalprice") > 2 * F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice", round2(F.col("avg_price")).alias("avg_price"))
+    )
+
+
+@query(
+    "antijoin_incremental",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    )
+    """,
+)
+def antijoin_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: NOT EXISTS → left_anti join, the reference's incremental-load
+    dedup (dim_patients.sql:20-26)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+_KPI_SQL = f"""
+    SELECT (SELECT count(*) FROM orders) AS total_visits,
+           (SELECT count(DISTINCT o_custkey) FROM orders) AS total_patients,
+           (SELECT count(*) FROM supplier) AS total_providers,
+           (SELECT {_oround(_oavg('o_totalprice'))} FROM orders) AS avg_cost
+"""
+
+
+@query("scalar_subquery", oracle=_KPI_SQL)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 / Q13: the KPI card block of scalar subqueries (api.py:208-214),
+    run through Spark SQL so RewriteCorrelatedScalarSubquery handles it."""
+    register_views(spark, sf_dir)
+    return spark.sql(_KPI_SQL)
+
+
+# ===========================================================================
+# §2.4 Aggregations
+# ===========================================================================
+
+
+@query(
+    "agg_by_agegroup",
+    oracle=f"""
+    WITH cust AS (
+        SELECT c_custkey,
+               CASE WHEN c_acctbal IS NULL THEN 'Unknown'
+                    WHEN c_acctbal < 0 THEN 'Negative'
+                    WHEN c_acctbal < 2000 THEN 'Low'
+                    WHEN c_acctbal < 5000 THEN 'Medium'
+                    WHEN c_acctbal < 8000 THEN 'High'
+                    ELSE 'Top' END AS balance_group
+        FROM customer)
+    SELECT balance_group,
+           count(o_orderkey) AS visit_count,
+           count(DISTINCT c_custkey) AS patient_count,
+           floor(CAST(count(o_orderkey) AS DOUBLE) / count(DISTINCT c_custkey) * 100 + 0.5) / 100
+               AS avg_visits_per_patient,
+           {_oround(_oavg('o_totalprice'))} AS avg_cost
+    FROM cust LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY balance_group
+    """,
+)
+def agg_by_agegroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 flagship (README.md:264-275): avg visits per age-group analog.
+    A1 multi-aggregate + A3 countDistinct + J3 left join + F13 ratio."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", balance_bucket("c_acctbal").alias("balance_group")
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("balance_group")
+        .agg(
+            F.count("o_orderkey").alias("visit_count"),
+            F.countDistinct("c_custkey").alias("patient_count"),
+            round2(F.count("o_orderkey").cast("double") / F.countDistinct("c_custkey")).alias("avg_visits_per_patient"),
+            round2(davg("o_totalprice")).alias("avg_cost"),
+        )
+    )
+
+
+@query(
+    "agg_composite_key",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS cnt,
+           {_osum('o_totalprice')} AS total_cost
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def agg_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: composite-key group-by (analytics_examples.sql:134-143)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"), dsum("o_totalprice").alias("total_cost")
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS customer_count,
+           count(DISTINCT c_nationkey) AS nation_count
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: COUNT DISTINCT per group (analytics_examples.sql:10). At 100 TB
+    the approx variant is approx_distinct_segments below."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("customer_count"),
+        F.countDistinct("c_nationkey").alias("nation_count"),
+    )
+
+
+@query(
+    "agg_global_kpis",
+    oracle=f"""
+    SELECT count(*) AS total_items,
+           {_osum('l_quantity')} AS sum_qty,
+           {_oround(_oavg('l_extendedprice'))} AS avg_price,
+           CAST(min(l_shipdate) AS DATE) AS first_ship,
+           CAST(max(l_shipdate) AS DATE) AS last_ship
+    FROM lineitem
+    """,
+)
+def agg_global_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A7: global no-group KPI aggregate (dashboard_kpis.sql:6-19) —
+    partial aggregation map-side, single-row result."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("total_items"),
+        dsum("l_quantity").alias("sum_qty"),
+        round2(davg("l_extendedprice")).alias("avg_price"),
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT p_brand, count(*) AS cnt
+    FROM part
+    GROUP BY p_brand
+    HAVING count(*) >= 5
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: post-aggregation filter (analytics_examples.sql:142)."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 5)
+
+
+@query(
+    "agg_monthly_trend",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           count(*) AS visit_count,
+           {_osum('o_totalprice')} AS total_cost,
+           {_oround(_oavg('o_totalprice'))} AS avg_cost
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8+F5: month-bucketed trend (analytics_examples.sql:45-55)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.count("*").alias("visit_count"),
+            dsum("o_totalprice").alias("total_cost"),
+            round2(davg("o_totalprice")).alias("avg_cost"),
+        )
+    )
+
+
+@query(
+    "percentile_p90",
+    oracle="""
+    SELECT o_orderstatus,
+           floor(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90_cost,
+           floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS median_cost
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def percentile_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: exact interpolated percentile (PERCENTILE_CONT,
+    analytics_examples.sql:83-86). Spark's `percentile` matches DuckDB's
+    quantile_cont linear interpolation."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        round2(F.percentile("o_totalprice", F.lit(0.9))).alias("p90_cost"),
+        round2(F.percentile("o_totalprice", F.lit(0.5))).alias("median_cost"),
+    )
+
+
+# ===========================================================================
+# §2.5 Window functions
+# ===========================================================================
+
+
+@query(
+    "window_pct_of_total",
+    oracle="""
+    WITH g AS (SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, cnt,
+           floor(CAST(cnt AS DOUBLE) * 100 / sum(cnt) OVER () * 100 + 0.5) / 100 AS pct
+    FROM g
+    """,
+)
+def window_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: pct-of-total over an empty partition spec
+    (analytics_examples.sql:24). The window input is the already-aggregated
+    tiny result, so the single-partition window is safe at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy()
+    return g.select(
+        "o_orderpriority",
+        "cnt",
+        round2(F.col("cnt").cast("double") * 100 / F.sum("cnt").over(w)).alias("pct"),
+    )
+
+
+@query(
+    "window_rownumber_keys",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS customer_key,
+           c_custkey,
+           sha256(c_name) AS anonymized_name
+    FROM customer
+    """,
+)
+def window_rownumber_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: dense surrogate keys. NOT row_number over a global window (one
+    task at 100 TB) — the two-phase range-partitioned equivalent in
+    operators.keys, bit-identical to ROW_NUMBER() OVER (ORDER BY key)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", anonymize("c_name").alias("anonymized_name")
+    )
+    keyed = add_dense_key(c, ["c_custkey"], key_col="customer_key")
+    return keyed.select("customer_key", "c_custkey", "anonymized_name")
+
+
+@query(
+    "window_patient_features",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           count(*) OVER w AS visit_count,
+           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                 / count(*) OVER w * 100 + 0.5) / 100 AS avg_cost,
+           CAST(min(o_orderdate) OVER w AS DATE) AS first_visit,
+           CAST(max(o_orderdate) OVER w AS DATE) AS last_visit
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey)
+    """,
+)
+def window_patient_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: per-patient analytic aggregates on every row
+    (ml_pipeline.py:65-68). Partitioned window — parallel by key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("visit_count"),
+        round2(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("avg_cost"),
+        F.min(F.col("o_orderdate").cast("date")).over(w).alias("first_visit"),
+        F.max(F.col("o_orderdate").cast("date")).over(w).alias("last_visit"),
+    )
+
+
+@query(
+    "window_lead_nextvisit",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS visit_date,
+           CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS DATE)
+               AS next_visit_date
+    FROM orders
+    """,
+)
+def window_lead_nextvisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: next visit per patient via LEAD (ml_pipeline.py:87-88).
+    Tiebreak on the key so ordering is total."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("visit_date"),
+        F.lead("o_orderdate").over(w).cast("date").alias("next_visit_date"),
+    )
+
+
+@query(
+    "fn_readmission_label",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                    CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS DATE)) <= 30
+                 THEN 1 ELSE 0 END AS INTEGER) AS readmitted_30d
+    FROM orders
+    """,
+)
+def fn_readmission_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: 30-day readmission label — datediff to the LEAD date
+    (ml_pipeline.py:88-89)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w).cast("date")
+    cur = F.col("o_orderdate").cast("date")
+    label = F.when(F.datediff(nxt, cur) <= 30, 1).otherwise(0).cast("int")
+    return o.select("o_custkey", "o_orderkey", label.alias("readmitted_30d"))
+
+
+# ===========================================================================
+# §2.6 Sorts / top-k   §2.7 Set ops
+# ===========================================================================
+
+
+@query(
+    "topk_diagnoses",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_linestatus)
+    SELECT l_returnflag, l_linestatus, cnt,
+           floor(CAST(cnt AS DOUBLE) * 100 / sum(cnt) OVER () * 100 + 0.5) / 100 AS pct
+    FROM g
+    ORDER BY cnt DESC, l_returnflag, l_linestatus
+    LIMIT 3
+    """,
+)
+def topk_diagnoses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/O2: top-k categories with pct-of-total
+    (analytics_examples.sql:19-30)."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy()
+    return (
+        g.select(
+            "l_returnflag", "l_linestatus", "cnt",
+            round2(F.col("cnt").cast("double") * 100 / F.sum("cnt").over(w)).alias("pct"),
+        )
+        .orderBy(F.desc("cnt"), "l_returnflag", "l_linestatus")
+        .limit(3)
+    )
+
+
+_DQ_SQL = """
+    SELECT 'total_customers' AS metric, count(*) AS cnt FROM customer
+    UNION ALL
+    SELECT 'customers_without_p_orders', count(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    UNION ALL
+    SELECT 'open_orders', count(*) FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT 'returned_lineitems', count(*) FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT 'error_events', count(*) FROM events WHERE event_type = 'error'
+"""
+
+
+@query("union_dq_report", oracle=_DQ_SQL)
+def union_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/Q12: heterogeneous data-quality metrics stacked with UNION ALL
+    (analytics_examples.sql:169-199), built with unionByName."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+
+    def metric(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("cnt")).select(F.lit(name).alias("metric"), "cnt")
+
+    no_p = c.join(o.filter(F.col("o_orderstatus") == "P"),
+                  c["c_custkey"] == o["o_custkey"], "left_anti")
+    return (
+        metric("total_customers", c)
+        .unionByName(metric("customers_without_p_orders", no_p))
+        .unionByName(metric("open_orders", o.filter(F.col("o_orderstatus") == "O")))
+        .unionByName(metric("returned_lineitems", li.filter(F.col("l_returnflag") == "R")))
+        .unionByName(metric("error_events", ev.filter(F.col("event_type") == "error")))
+    )
+
+
+# ===========================================================================
+# §2.8 Scalar functions
+# ===========================================================================
+
+
+@query(
+    "fn_sha2_anonymize",
+    oracle="SELECT c_custkey, sha256(c_name) AS anonymized_name FROM customer",
+)
+def fn_sha2_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: SHA-256 PII anonymization (scripts/etl.py:35-37)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_custkey", anonymize("c_name").alias("anonymized_name"))
+
+
+@query(
+    "fn_age_calc",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(date_part('year', DATE '{AS_OF_DATE}') - date_part('year', CAST(o_orderdate AS DATE))
+                - CASE WHEN date_part('month', CAST(o_orderdate AS DATE)) > 8
+                        OR (date_part('month', CAST(o_orderdate AS DATE)) = 8
+                            AND date_part('day', CAST(o_orderdate AS DATE)) > 13)
+                       THEN 1 ELSE 0 END AS INTEGER) AS age_years
+    FROM orders
+    """,
+)
+def fn_age_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: completed-years age from a date (scripts/etl.py:40-46), with
+    o_orderdate standing in for date_of_birth and a fixed as-of date."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", age_years("o_orderdate").alias("age_years"))
+
+
+@query(
+    "fn_age_bucket",
+    oracle="""
+    WITH a AS (SELECT CAST(floor(c_acctbal / 100) AS INTEGER) AS age FROM customer)
+    SELECT CASE WHEN age IS NULL THEN 'Unknown'
+                WHEN age < 18 THEN 'Child (0-17)'
+                WHEN age < 35 THEN 'Young Adult (18-34)'
+                WHEN age < 50 THEN 'Adult (35-49)'
+                WHEN age < 65 THEN 'Middle-Aged (50-64)'
+                ELSE 'Senior (65+)' END AS age_group,
+           count(*) AS cnt
+    FROM a GROUP BY 1
+    """,
+)
+def fn_age_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: age→bucket CASE chain (scripts/etl.py:49-62); ages synthesized
+    from the balance so all buckets are populated."""
+    c = _t(spark, sf_dir, "customer")
+    age = F.floor(F.col("c_acctbal") / 100).cast("int")
+    return (
+        c.select(age_bucket(age).alias("age_group"))
+        .groupBy("age_group")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "case_visit_cohorts",
+    oracle="""
+    WITH per AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey),
+         coh AS (SELECT CASE WHEN n = 1 THEN '1 visit'
+                             WHEN n <= 3 THEN '2-3 visits'
+                             WHEN n <= 5 THEN '4-5 visits'
+                             ELSE '6+ visits' END AS cohort FROM per)
+    SELECT cohort, count(*) AS patient_count,
+           floor(CAST(count(*) AS DOUBLE) * 100 / sum(count(*)) OVER () * 100 + 0.5) / 100 AS pct
+    FROM coh GROUP BY cohort
+    """,
+)
+def case_visit_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8/F10: visit-frequency cohorts — two-level aggregation + CASE
+    bucketing + pct-of-total (analytics_examples.sql:104-130)."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    coh = per.select(visit_cohort("n").alias("cohort"))
+    g = coh.groupBy("cohort").agg(F.count("*").alias("patient_count"))
+    w = Window.partitionBy()
+    return g.select(
+        "cohort",
+        "patient_count",
+        round2(F.col("patient_count").cast("double") * 100 / F.sum("patient_count").over(w)).alias("pct"),
+    )
+
+
+@query("fn_laplace_noise")  # non-deterministic → rows-only check (SURVEY §7.4)
+def fn_laplace_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: differential-privacy Laplace noise on the measure
+    (fact_visits.sql:40-51). Statistical properties are pytest-checked;
+    the oracle cannot replay Spark's RNG, so the driver does a rows-only
+    check here."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        round2(with_privacy_noise("o_totalprice")).alias("cost_with_privacy"),
+    )
+
+
+# ===========================================================================
+# §2.4 A9/A10 Privacy audits
+# ===========================================================================
+
+
+@query(
+    "privacy_k_anon",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_band,
+           count(*) AS group_size,
+           count(*) < {K_ANONYMITY} AS is_violation
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)
+def privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: k-anonymity group sizes over quasi-identifiers
+    (privacy_engine.py:47-75)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_band"),
+        )
+        .agg(F.count("*").alias("group_size"))
+        .withColumn("is_violation", F.col("group_size") < K_ANONYMITY)
+    )
+
+
+@query(
+    "privacy_l_div",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey,
+           count(DISTINCT o_orderpriority) AS l_distinct,
+           count(DISTINCT o_orderpriority) < {L_DIVERSITY} AS is_violation
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def privacy_l_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: l-diversity — distinct sensitive values per QI group
+    (privacy_engine.py:125-160)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.countDistinct("o_orderpriority").alias("l_distinct"))
+        .withColumn("is_violation", F.col("l_distinct") < L_DIVERSITY)
+    )

@@ -1,0 +1,75 @@
+"""SparkSession factory.
+
+Single place where scale-oriented physical knobs live:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting,
+  runtime broadcast conversion) — healthcare-ish data skews on categorical
+  keys (diagnosis/state analogs), so AQE skew handling is load-bearing at
+  100 TB, not a nicety.
+- ``spark.sql.shuffle.partitions`` sized from the local CPU budget; on a
+  real cluster this would be ~2-3x total cores and AQE coalesces down.
+- Session timezone pinned to UTC so date_trunc/year/month agree with the
+  DuckDB oracle (naive timestamps) and results don't depend on host TZ.
+- ``parquet.nanosAsLong`` because the driver's events table carries
+  nanosecond INT64 timestamps which Spark's vectorized reader otherwise
+  rejects; the events loader converts the long back to a timestamp.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "healthcare-dw-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Idempotent: if a session already exists (e.g. the driver passes one in),
+    the configs that can be set at runtime are applied to it.
+    """
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if "spark.master" not in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]"))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine configs to an externally provided session.
+
+    The driver harness constructs its own SparkSession and hands it to
+    ``entry(spark)``; static configs (master, memory) are out of our hands,
+    but session timezone and AQE are runtime-settable and required for
+    correctness parity with the oracle.
+    """
+    for key, val in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass  # immutable in this session; loaders have fallbacks
+    return spark

@@ -1,0 +1,137 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every catalog query in Spark AND its oracle SQL in DuckDB over the
+same parquet tables, then compares row count, column names, and an
+order-insensitive canonical form of every value. Used by the pytest suite
+and runnable standalone:
+
+    python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from healthcare_data_warehouse_spark.config import TABLES  # noqa: E402
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _canon_cell(v) -> str:
+    """Canonical string for a cell — doubles keep full bit precision."""
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<null>"
+        return repr(v)
+    if isinstance(v, pd.Timestamp):
+        if pd.isna(v):
+            return "<null>"
+        return v.isoformat()
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    try:
+        if pd.isna(v):
+            return "<null>"
+    except (TypeError, ValueError):
+        pass
+    return repr(v)
+
+
+def canonical_rows(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_canon_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows)
+
+
+def arrow_to_frame(table) -> pd.DataFrame:
+    """Arrow table → DataFrame of Python objects (logical types preserved —
+    date32 stays datetime.date instead of pandas promoting it to
+    datetime64)."""
+    return pd.DataFrame({name: table.column(name).to_pylist() for name in table.column_names})
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty = match)."""
+    problems: list[str] = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if sc != oc:
+        problems.append(f"columns: spark={sc} oracle={oc}")
+        return problems
+    s_rows, o_rows = canonical_rows(spark_pdf), canonical_rows(oracle_pdf)
+    if s_rows != o_rows:
+        diffs = [
+            (a, b) for a, b in zip(s_rows, o_rows) if a != b
+        ][:3]
+        extra = abs(len(s_rows) - len(o_rows))
+        problems.append(f"values differ; first diffs={diffs} (+{extra} length delta)")
+    return problems
+
+
+def check_query(spark, name: str, sf_dir: str) -> list[str]:
+    import __spark_entry__ as e
+
+    q = e.queries()[name]
+    sql = e.oracle_sql().get(name)
+    sdf = q(spark, sf_dir)
+    spark_pdf = arrow_to_frame(sdf.toArrow())
+    if sql is None:
+        return [] if len(spark_pdf) >= 0 else ["spark query failed"]
+    con = duck_connection(sf_dir)
+    oracle_pdf = arrow_to_frame(con.execute(sql).arrow())
+    con.close()
+    return compare_frames(spark_pdf, oracle_pdf)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    os.chdir(REPO)
+    import __spark_entry__ as e
+    from healthcare_data_warehouse_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    names = sys.argv[2:] or list(e.queries())
+    failed = []
+    for name in names:
+        try:
+            problems = check_query(spark, name, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            problems = [f"EXCEPTION: {type(exc).__name__}: {exc}"]
+        status = "OK" if not problems else "FAIL"
+        has_oracle = name in e.oracle_sql()
+        tag = "" if has_oracle else " (rows-only)"
+        print(f"[{status}] {name}{tag}")
+        for p in problems:
+            print(f"       {p}")
+        if problems:
+            failed.append(name)
+    print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
