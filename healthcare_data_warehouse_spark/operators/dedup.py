@@ -1,0 +1,179 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Core LLM-corpus operators (north_star scope). The scale shape matters more
+than the hash choice:
+
+- exact: one hash-groupBy shuffle, O(n).
+- MinHash+LSH: signatures are computed scan-side with native array
+  expressions (no Python), then ONE explode+groupBy shuffle on
+  (band, band_hash) buckets — candidate pairs come from bucket-mates
+  only, never an O(n²) cross join.
+- SimHash: 64-bit signature per doc via bit-vote aggregation, bucketed by
+  16-bit chunks for candidate generation.
+- n-gram Jaccard: the verify step on candidate pairs (set intersection /
+  union on shingle arrays).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# ---------------------------------------------------------------------------
+# Shingles
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Oracle (DuckDB):
+    ``list_distinct(list_transform(generate_series(1, len(toks)-n+1),
+    i -> toks[i] || ' ' || ... ))`` — 1-based element_at on both sides."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(t) - (n - 1)))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])  # noqa: E731
+    return F.array_distinct(F.transform(idx, gram))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content hash: representative id + dup count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def drop_exact_dups(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of every exact-duplicate group."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text: Column | str, num_hashes: int = 16, n: int = 3) -> Column:
+    """MinHash signature: for seed j, min over shingles of
+    xxhash64(shingle, j). Pure array expressions — computed scan-side."""
+    sh = shingles(text, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    Docs sharing any band hash land in one bucket; a self-join *within
+    buckets* yields pairs. The only shuffle is the groupBy on
+    (band, band_hash) — bucket sizes are small by construction, so the
+    within-bucket join never explodes (skew guard: huge buckets mean the
+    band hash is degenerate; cap with a count filter)."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(F.col(id_col), minhash_signature(text_col, num_hashes).alias("sig"))
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: Column | str, bits: int = 48) -> Column:
+    """SimHash signature: per-token xxhash64, bit-position votes, sign of
+    the vote sum per bit. Native array aggregation — no UDF. 48 bits keeps
+    every power of two exactly representable through the double-based
+    bit mask (F.shiftleft requires a Python int, so inside SQL lambdas the
+    mask is pow(2, i) — exact for powers of two up to 2^53)."""
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, lambda w: F.xxhash64(w))
+
+    def pow2(i: Column) -> Column:
+        return F.pow(F.lit(2.0), i.cast("double")).cast("long")
+
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda i: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(pow2(i)) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(F.element_at(bit_votes, i + 1) > 0, pow2(i)).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def simhash_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing a full 64-bit SimHash (strong near-dup signal)."""
+    return (
+        df.select(F.col(id_col), simhash64(text_col).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("doc_count"), F.min(id_col).alias("keep_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verify
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(df: DataFrame, pair_filter: Column, text_col: str = "text",
+                  id_col: str = "doc_id", group_col: str = "lang", n: int = 3) -> DataFrame:
+    """Pairwise n-gram Jaccard similarity within groups, for pairs passing
+    ``pair_filter`` (a sampling predicate on the id — keeps the self-join
+    bounded; in production the input is LSH candidates, not a sample)."""
+    t = df.filter(pair_filter).select(
+        F.col(id_col), F.col(group_col), shingles(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,52 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+north_star scope. Images/audio/video ride through the engine as ``binary``
+columns with metadata; decode/resize/frame-sample run as Arrow-batched
+``mapInPandas`` stages. The decode libraries are not in this container, so
+the decode step is STUBBED (NotImplementedError / deterministic fake) while
+the Spark-side plumbing — schema, batch iteration, partitioning — is real
+and oracle-tested via byte-level features.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = "doc_id long, byte_len long, first_byte int"
+
+
+def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stand-in ingest: utf-8 bytes of the text as the opaque media payload
+    (in production: spark.read.format('binaryFile') or a blob-store URI
+    column resolved inside mapInPandas)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+def decode_media(payload: bytes) -> object:
+    """Real decoder hook (PIL/av/librosa). Not available in this container."""
+    raise NotImplementedError(
+        "media decode requires image/audio libs not present in this environment; "
+        "extract_features uses deterministic byte-level fakes instead"
+    )
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction. Each batch is a pandas frame of
+    whole rows; output schema is FEATURE_SCHEMA. Vectorized over the batch
+    — this is the shape a real decode/resize/embed stage takes."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "byte_len": payloads.map(len).astype("int64"),
+            "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+        })
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature stage over the binary payload column."""
+    return df.select("doc_id", "payload").mapInPandas(_feature_batches, FEATURE_SCHEMA)

@@ -1,0 +1,123 @@
+"""Privacy-audit operators: k-anonymity, l-diversity, t-closeness,
+suppression/generalization, and epsilon-budget accounting.
+
+Reference: the pandas privacy engine (privacy_engine.py) — groupby.size
+for k-anonymity (:47-75), nunique for l-diversity (:125-160), a simplified
+EMD/total-variation distance for t-closeness (:168-220), suppression and
+generalization transforms (:77-122), and a session epsilon budget
+(:291-318).
+
+All audits are pure DataFrame aggregations: one shuffle on the
+quasi-identifier columns each; the t-closeness grid is built with a
+cross join of two *aggregated* (tiny) relations, never the raw data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import K_ANONYMITY, L_DIVERSITY, PRIVACY_BUDGET_MAX_EPSILON, T_CLOSENESS
+
+
+def k_anonymity_report(df: DataFrame, qi_cols: list[str | Column],
+                       k: int = K_ANONYMITY) -> DataFrame:
+    """Group sizes over the quasi-identifiers + violation flag
+    (privacy_engine.py:47-75)."""
+    return (
+        df.groupBy(*qi_cols)
+        .agg(F.count("*").alias("group_size"))
+        .withColumn("is_violation", F.col("group_size") < k)
+    )
+
+
+def l_diversity_report(df: DataFrame, qi_cols: list[str], sensitive: str,
+                       l: int = L_DIVERSITY) -> DataFrame:  # noqa: E741
+    """Distinct sensitive values per QI group + violation flag
+    (privacy_engine.py:125-160)."""
+    return (
+        df.groupBy(*qi_cols)
+        .agg(F.countDistinct(sensitive).alias("l_distinct"))
+        .withColumn("is_violation", F.col("l_distinct") < l)
+    )
+
+
+def t_closeness_report(df: DataFrame, qi_col: str, sensitive: str,
+                       t: float = T_CLOSENESS) -> DataFrame:
+    """Total-variation distance between each group's sensitive-value
+    distribution and the global one (privacy_engine.py:168-220).
+
+    TVD = ½ Σ|p - q| over the full category grid (missing categories
+    count as p=0, hence the aggregated cross join). The per-category
+    |p-q| terms are accumulated in DECIMAL so the distributed sum is
+    bit-reproducible (see functions.expressions.dsum).
+    """
+    total = df.count()
+    global_dist = (
+        df.groupBy(sensitive)
+        .agg((F.count("*").cast("double") / F.lit(total)).alias("q"))
+    )
+    group_sizes = df.groupBy(qi_col).agg(F.count("*").alias("seg_n"))
+    pair_counts = df.groupBy(qi_col, sensitive).agg(F.count("*").alias("c"))
+    grid = (
+        group_sizes.crossJoin(F.broadcast(global_dist))
+        .join(pair_counts, [qi_col, sensitive], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .withColumn("p", F.col("c").cast("double") / F.col("seg_n"))
+    )
+    term = F.abs(F.col("p") - F.col("q")).cast("decimal(18,12)")
+    return (
+        grid.groupBy(qi_col)
+        .agg((F.sum(term).cast("double") / 2).alias("tvd"))
+        .withColumn("is_violation", F.col("tvd") > t)
+    )
+
+
+def suppress_small_groups(df: DataFrame, qi_cols: list[str],
+                          k: int = K_ANONYMITY) -> DataFrame:
+    """Suppression transform (privacy_engine.py:77-99): mask the QI values
+    of rows whose QI group has fewer than k members — string QIs become
+    '*', numeric QIs become NULL. One shuffle to size the groups, then a
+    broadcast-able join of the (small) violating-group list back onto the
+    data."""
+    sizes = df.groupBy(*qi_cols).agg(F.count("*").alias("__grp_cnt"))
+    joined = df.join(sizes, qi_cols, "left")
+    out = joined
+    for c in qi_cols:
+        dtype = dict(df.dtypes)[c]
+        masked = F.lit("*") if dtype == "string" else F.lit(None).cast(dtype)
+        out = out.withColumn(c, F.when(F.col("__grp_cnt") < k, masked).otherwise(F.col(c)))
+    return out.drop("__grp_cnt")
+
+
+def generalize_numeric(col: Column | str, width: float) -> Column:
+    """Generalization transform (privacy_engine.py:101-122): coarsen a
+    numeric to its band lower-bound."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.floor(c / width) * F.lit(width)).cast("double")
+
+
+@dataclass
+class PrivacyBudget:
+    """Session-level epsilon accounting (privacy_engine.py:291-318).
+
+    Plain Python, not a Catalyst rule (SURVEY.md §4): charge before
+    running a noise query; refuse when the budget is exhausted.
+    """
+
+    max_epsilon: float = PRIVACY_BUDGET_MAX_EPSILON
+    spent: float = 0.0
+    ledger: list[tuple[str, float]] = field(default_factory=list)
+
+    def charge(self, query_name: str, epsilon: float) -> bool:
+        if self.spent + epsilon > self.max_epsilon + 1e-12:
+            return False
+        self.spent += epsilon
+        self.ledger.append((query_name, epsilon))
+        return True
+
+    @property
+    def remaining(self) -> float:
+        return self.max_epsilon - self.spent

@@ -1,0 +1,90 @@
+"""Similarity search over embedding columns (array<float>).
+
+north_star scope: brute-force cosine top-k as the exact baseline, plus a
+random-hyperplane LSH-bucketed variant as the 100 TB path (candidates from
+one bucket join instead of scoring every vector).
+
+Dot products use native array expressions (``zip_with`` + ``aggregate``):
+elementwise float→double cast then sequential double accumulation, which
+matches DuckDB's double-precision ``list_cosine_similarity`` bit-for-bit
+for oracle checking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two float arrays."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(df: DataFrame, query_vec_id: int, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k against one stored vector.
+
+    The 1-row query side broadcasts; scoring is a single scan with no
+    shuffle; orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    top-k, then a k-row merge on the driver) — the exact-search plan you
+    want even at 100 TB."""
+    q = df.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("__qv"))
+    scored = (
+        df.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            "label",
+            cosine(F.col(vec_col), F.col("__qv")).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def random_hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def srp_bucket(vec_col: Column, planes: np.ndarray) -> Column:
+    """Signed-random-projection bucket id: one sign bit per hyperplane.
+    Planes are literal arrays baked into the plan (deterministic, tiny)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+        d = F.aggregate(
+            F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        )
+        bucket = bucket + F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+    return bucket
+
+
+def lsh_topk(df: DataFrame, query_vec_id: int, k: int = 10, n_planes: int = 8,
+             vec_col: str = "embedding", id_col: str = "vec_id", dim: int = 64) -> DataFrame:
+    """Approximate top-k: only vectors in the query's SRP bucket are
+    scored. At scale the bucket column is precomputed at ingest and the
+    scan is partition/bucket-pruned instead of filtered."""
+    planes = random_hyperplanes(dim, n_planes)
+    with_bucket = df.withColumn("__bucket", srp_bucket(F.col(vec_col), planes))
+    qrow = with_bucket.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qv"), F.col("__bucket").alias("__qbucket")
+    )
+    scored = (
+        with_bucket.crossJoin(F.broadcast(qrow))
+        .filter((F.col("__bucket") == F.col("__qbucket")) & (F.col(id_col) != query_vec_id))
+        .select(id_col, "label", cosine(F.col(vec_col), F.col("__qv")).alias("cosine_sim"))
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)

@@ -1,0 +1,111 @@
+"""Text-analysis operators for LLM-training-data pipelines.
+
+Beyond-reference scope sanctioned by BASELINE.json "north_star": language
+ID, quality scoring, token counting, and document fingerprinting over the
+``documents`` table. Everything is native Column expressions (JVM-side,
+whole-stage codegen) — no Python row loop anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language identifier. Real pipelines use fastText/CLD3; the heuristic is
+# the deterministic, dependency-free stand-in with identical plumbing.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(t), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count. Oracle:
+    ``CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)``."""
+    return F.size(tokens(text)).cast("int")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-flavored token estimate: split on word boundaries AND digit
+    groups AND punctuation (a cheap proxy for subword tokenizers used to
+    budget LLM training tokens at corpus scale)."""
+    t = F.col(text) if isinstance(text, str) else text
+    pieces = F.split(F.trim(t), r"(?=[^\w])|(?<=[^\w])|(?<=\d)(?=\D)|(?<=\D)(?=\d)")
+    return F.size(F.filter(pieces, lambda p: F.trim(p) != "")).cast("int")
+
+
+def stopword_hits(text: Column | str, stopwords: tuple[str, ...] = ("the", "a")) -> Column:
+    """Count of tokens that are stopwords."""
+    conds = None
+    def is_stop(w: Column) -> Column:
+        c = F.lit(False)
+        for s in stopwords:
+            c = c | (w == s)
+        return c
+    return F.size(F.filter(tokens(text), is_stop)).cast("int")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features (length / word stats / stopword
+    ratio) — the classic pre-training quality filters (C4/Gopher rules)."""
+    wc = token_count(text_col)
+    nospace = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    stop = stopword_hits(text_col)
+    return df.select(
+        "doc_id",
+        F.length(text_col).cast("int").alias("char_len"),
+        wc.alias("word_count"),
+        (nospace.cast("double") / wc).alias("avg_word_len"),
+        (stop.cast("double") / wc).alias("stopword_ratio"),
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lower-cased text. Oracle:
+    ``md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))``."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(F.regexp_replace(F.trim(t), r"\s+", " ")))
+
+
+def _contains_any(words: tuple[str, ...]):
+    """Single-parameter lambda factory (a two-parameter lambda would make
+    pyspark pass the array index as the second argument)."""
+    def _f(w: Column) -> Column:
+        c = F.lit(False)
+        for s in words:
+            c = c | (w == s)
+        return c
+    return _f
+
+
+def lang_scores(text: Column | str) -> Column:
+    """Map of language → stopword-hit count (the langid evidence)."""
+    toks = tokens(text)
+    pairs = []
+    for lang, words in sorted(_LANG_PROFILES.items()):
+        pairs.extend([F.lit(lang), F.size(F.filter(toks, _contains_any(words)))])
+    return F.create_map(*pairs)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax stopword-profile hits, deterministic
+    alphabetical tiebreak, 'und' (undetermined) when no profile hits."""
+    scores = lang_scores(text)
+    entries = F.map_entries(scores)  # array<struct<key,value>> in key order
+    best = F.aggregate(
+        entries,
+        F.struct(F.lit("und").alias("key"), F.lit(0).alias("value")),
+        lambda acc, e: F.when(e["value"] > acc["value"], e).otherwise(acc),
+    )
+    return best["key"]

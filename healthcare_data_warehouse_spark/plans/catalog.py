@@ -829,3 +829,411 @@ def privacy_l_div(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("o_orderpriority").alias("l_distinct"))
         .withColumn("is_violation", F.col("l_distinct") < L_DIVERSITY)
     )
+
+
+# ===========================================================================
+# §2.1 Scans / sinks / audited reads   (S1-S7)
+# ===========================================================================
+
+
+@query(
+    "scan_csv",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2: CSV sink + schema'd CSV source roundtrip
+    (scripts/etl.py:98, generate_data.py:71). Explicit schema — no
+    inference pass over 100 TB."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from ..config import SCRATCH_DIR
+    from ..sources.loaders import read_csv, write_csv
+
+    path = _os.path.join(SCRATCH_DIR, f"region_csv_{_os.path.basename(sf_dir.rstrip('/'))}")
+    write_csv(_t(spark, sf_dir, "region").select("r_regionkey", "r_name"), path)
+    schema = T.StructType([
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ])
+    return read_csv(spark, path, schema)
+
+
+_SCAN_TABLE_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F'
+"""
+
+
+@query("scan_table", oracle=_SCAN_TABLE_SQL)
+def scan_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: SQL-over-registered-tables source (pd.read_sql analog,
+    dashboard.py:88)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCAN_TABLE_SQL)
+
+
+@query(
+    "upsert_dedup",
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 100 = 7
+    )
+    SELECT * FROM upd
+    UNION ALL
+    SELECT o.* FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+    """,
+)
+def upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: the reference's per-row INSERT..ON CONFLICT upsert loop
+    (scripts/etl.py:116-132) as ONE distributed anti-join + union
+    (sources.sinks.upsert). Updates modify every key % 100 == 0 and append
+    shifted new keys."""
+    from ..sources.sinks import upsert
+
+    o = _t(spark, sf_dir, "orders")
+    upd_mod = o.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    upd_new = o.filter(F.col("o_orderkey") % 100 == 7).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10000000
+    )
+    return upsert(o, upd_mod.unionByName(upd_new), ["o_orderkey"])
+
+
+@query(
+    "audited_read",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def audited_read_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: audited table read — appends a READ event to the audit sink,
+    then returns the table (init.sql:170-192 analog)."""
+    from ..sources.audit import audited_read
+
+    return audited_read(spark, sf_dir, "nation")
+
+
+@query(
+    "audit_access_report",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS cnt,
+           {_osum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def audit_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10/A2: access-pattern report over the append-only event table
+    (analytics_examples.sql:145-156), day x action grain."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(F.count("*").alias("cnt"), dsum("value").alias("total_value"))
+    )
+
+
+# ===========================================================================
+# §2.4 A10 t-closeness + privacy transforms
+# ===========================================================================
+
+
+@query(
+    "privacy_t_close",
+    oracle="""
+    WITH j AS (SELECT c_mktsegment AS seg, o_orderpriority AS pr
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+         g AS (SELECT pr, CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM j) AS q
+               FROM j GROUP BY pr),
+         sc AS (SELECT seg, count(*) AS seg_n FROM j GROUP BY seg),
+         pc AS (SELECT seg, pr, count(*) AS c FROM j GROUP BY seg, pr),
+         grid AS (SELECT sc.seg, g.pr, g.q, sc.seg_n, COALESCE(pc.c, 0) AS c
+                  FROM sc CROSS JOIN g
+                  LEFT JOIN pc ON pc.seg = sc.seg AND pc.pr = g.pr)
+    SELECT seg,
+           CAST(sum(CAST(abs(CAST(c AS DOUBLE) / seg_n - q) AS DECIMAL(18,12)))
+                AS DOUBLE) / 2 AS tvd,
+           CAST(sum(CAST(abs(CAST(c AS DOUBLE) / seg_n - q) AS DECIMAL(18,12)))
+                AS DOUBLE) / 2 > 0.2 AS is_violation
+    FROM grid GROUP BY seg
+    """,
+)
+def privacy_t_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: t-closeness — total-variation distance between each segment's
+    sensitive-value distribution and the global one
+    (privacy_engine.py:168-220)."""
+    from ..operators.privacy import t_closeness_report
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pr"))
+    )
+    return t_closeness_report(j, "seg", "pr")
+
+
+@query(
+    "privacy_suppression",
+    oracle=f"""
+    WITH base AS (SELECT c_custkey, c_mktsegment, c_nationkey FROM customer),
+         g AS (SELECT c_mktsegment, c_nationkey, count(*) AS cnt
+               FROM base GROUP BY 1, 2)
+    SELECT c_custkey,
+           CASE WHEN cnt < {K_ANONYMITY} THEN '*' ELSE b.c_mktsegment END AS c_mktsegment,
+           CASE WHEN cnt < {K_ANONYMITY} THEN NULL ELSE b.c_nationkey END AS c_nationkey
+    FROM base b JOIN g ON b.c_mktsegment = g.c_mktsegment
+                      AND b.c_nationkey = g.c_nationkey
+    """,
+)
+def privacy_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppression transform (privacy_engine.py:77-99): mask QI values in
+    under-k groups — '*' for strings, NULL for numerics."""
+    from ..operators.privacy import suppress_small_groups
+
+    base = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_nationkey")
+    return suppress_small_groups(base, ["c_mktsegment", "c_nationkey"])
+
+
+@query("privacy_noise_impact")  # non-deterministic noise → rows-only
+def privacy_noise_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: noise magnitude report (analytics_examples.sql:158-165) —
+    statistical contract (|mean noise| bounded) is pytest-checked."""
+    o = _t(spark, sf_dir, "orders")
+    noised = o.withColumn("noisy", with_privacy_noise("o_totalprice"))
+    return noised.agg(
+        round2(davg("o_totalprice")).alias("avg_cost"),
+        round2(davg("noisy")).alias("avg_cost_with_privacy"),
+        round2(davg(F.abs(F.col("noisy") - F.col("o_totalprice")))).alias("avg_abs_noise"),
+    )
+
+
+# ===========================================================================
+# 100 TB-mode approximate variants (north_star scale-out toggles)
+# ===========================================================================
+
+
+@query("approx_count_distinct_segments")  # HLL++ sketch ≠ oracle exact → rows-only
+def approx_count_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 at scale: approx_count_distinct (HLL++, 2% rsd) — the 100 TB
+    replacement for exact COUNT DISTINCT's full shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_patients"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query("percentile_approx_p90")  # sketch-based ≠ oracle exact → rows-only
+def percentile_approx_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 at scale: percentile_approx (KLL-style sketch, mergeable across
+    partitions) — the 100 TB replacement for exact PERCENTILE_CONT."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        round2(F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000))).alias("p90_approx"),
+    )
+
+
+# ===========================================================================
+# LLM-data-pipeline operators (north_star): text analysis, dedup,
+# similarity search, multimodal plumbing — over documents / embeddings.
+# ===========================================================================
+
+
+@query(
+    "text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS token_count
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting over the corpus (token budgeting)."""
+    from ..operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count("text").alias("token_count"))
+
+
+@query(
+    "text_quality",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, text,
+                      string_split_regex(trim(text), '\s+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS char_len,
+           CAST(len(toks) AS INTEGER) AS word_count,
+           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(toks)
+               AS avg_word_len,
+           CAST(len(list_filter(toks, w -> w IN ('the', 'a'))) AS DOUBLE) / len(toks)
+               AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (C4/Gopher-style filters): lengths,
+    word stats, stopword ratio — all JVM-side expressions."""
+    from ..operators.text import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint for cross-corpus identity."""
+    from ..operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@query(
+    "text_lang_profile",
+    oracle=f"""
+    SELECT lang, count(*) AS doc_count,
+           {_oround(_oavg('n_chars'))} AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by language tag."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("doc_count"),
+        round2(davg("n_chars")).alias("avg_chars"),
+    )
+
+
+@query("text_langid")  # heuristic classifier — rows-only (pytest-verified)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-profile language ID per document."""
+    from ..operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id("text").alias("predicted_lang"))
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy — one shuffle, O(n)."""
+    from ..operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents)
+        WHERE doc_id % 7 = 0 AND len(toks) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard similarity on a deterministic id-sample of pairs —
+    the verify stage of near-dup detection (production input: LSH
+    candidates, not a sample)."""
+    from ..operators.dedup import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(d, F.col("doc_id") % 7 == 0)
+
+
+@query("dedup_minhash_lsh")  # Spark-specific xxhash64 → rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 4-band LSH candidate pairs — the scale path for
+    near-dup mining (single bucket-join shuffle, no O(n²))."""
+    from ..operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query("dedup_simhash")  # Spark-specific xxhash64 → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures grouped by exact signature match."""
+    from ..operators.dedup import simhash_groups
+
+    return simhash_groups(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    SELECT vec_id, label,
+           list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+               AS cosine_sim
+    FROM embeddings WHERE vec_id <> 0
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (brute force) — the ANN baseline. Broadcast
+    1-row query side + TakeOrderedAndProject, no shuffle."""
+    from ..operators.similarity import brute_force_topk
+
+    return brute_force_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@query("ann_lsh_topk")  # approximate candidates — rows-only
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed approximate top-k — the 100 TB path (score one
+    bucket, not the corpus)."""
+    from ..operators.similarity import lsh_topk
+
+    return lsh_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: attach opaque bytes + Arrow-batched
+    mapInPandas feature extraction (decode stage stubbed — byte-level
+    features keep the oracle exact)."""
+    from ..operators.multimodal import attach_binary, extract_features
+
+    d = attach_binary(_t(spark, sf_dir, "documents"))
+    return extract_features(d)

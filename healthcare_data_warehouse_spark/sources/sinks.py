@@ -1,0 +1,66 @@
+"""Sinks: distributed upsert and partitioned writes.
+
+Reference S4 (scripts/etl.py:116-132, ml_pipeline.py:350-361): a per-row
+``INSERT ... ON CONFLICT (pk) DO UPDATE`` loop — every row a client/server
+round trip. Vanilla Spark has no row upsert, and at 100 TB you wouldn't
+want one: the equivalent set operation is one distributed anti-join +
+union, then an atomic-enough rewrite (write temp, swap) — SURVEY.md §7.4
+item 5. With a transactional table format (Delta/Iceberg) this becomes
+MERGE INTO; the logical semantics below are identical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """Return target with ``updates`` applied (replace matching keys, append new).
+
+    Logical MERGE: updated/new rows win; target rows whose key appears in
+    ``updates`` are dropped via a left_anti join (broadcast when updates
+    are small — Catalyst/AQE decides).
+    """
+    cols = target.columns
+    return updates.select(*cols).unionByName(
+        target.join(updates.select(*keys).distinct(), keys, "left_anti")
+    )
+
+
+def overwrite_atomic(df: DataFrame, path: str) -> None:
+    """Write-to-temp-then-swap so a failed rerun never leaves a half table."""
+    tmp = path + "__tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def upsert_to_path(spark, path: str, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """Idempotent upsert against a parquet table on disk (rerun-safe).
+
+    The merged plan reads the old path while writing the temp path, so no
+    driver-side materialization is needed at any scale; the swap is a
+    single rename.
+    """
+    if os.path.exists(path):
+        merged = upsert(spark.read.parquet(path), updates, keys)
+    else:
+        merged = updates
+    tmp = path + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return spark.read.parquet(path)
+
+
+def partitioned_write(df: DataFrame, path: str, partition_cols: list[str],
+                      mode: str = "overwrite") -> None:
+    """Parquet write partitioned by low-cardinality derived columns
+    (init.sql:96-109 analog) → partition pruning on read."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -1,0 +1,104 @@
+"""Tests for dedup (exact / MinHash-LSH / SimHash / Jaccard) and
+similarity search (brute-force + SRP-LSH) operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from healthcare_data_warehouse_spark.operators.dedup import (
+    drop_exact_dups,
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash_groups,
+    simhash64,
+)
+from healthcare_data_warehouse_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    lsh_topk,
+)
+
+from conftest import SF_SMOKE
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight with friends")
+
+
+def _docs(spark):
+    near_dup = BASE.replace("tonight", "today")  # one-token change
+    distinct = "completely different words about spark query engines and shuffles everywhere"
+    rows = [(1, BASE, "en"), (2, BASE, "en"), (3, near_dup, "en"), (4, distinct, "en")]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark)
+    groups = {r["keep_id"]: r["dup_count"] for r in exact_dedup_groups(df).collect()}
+    assert groups[1] == 2  # docs 1,2 identical
+    kept = sorted(r["doc_id"] for r in drop_exact_dups(df).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(_docs(spark)).collect()}
+    assert (1, 2) in pairs          # identical docs always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup shares most shingles
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_identical_and_near(spark):
+    df = _docs(spark)
+    sigs = {r["doc_id"]: r["sh"] for r in
+            df.select("doc_id", simhash64("text").alias("sh")).collect()}
+    assert sigs[1] == sigs[2]
+    # near-dup hamming distance small, distinct doc far
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(sigs[1], sigs[3]) <= 8
+    assert ham(sigs[1], sigs[4]) > 8
+    groups = {r["simhash"]: r["doc_count"] for r in simhash_groups(df).collect()}
+    assert 2 in groups.values()
+
+
+def test_jaccard_pairs_values(spark):
+    df = _docs(spark)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in jaccard_pairs(df, F.lit(True)).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 < pairs[(1, 3)] < 1.0
+    assert pairs[(1, 4)] == 0.0
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = brute_force_topk(emb, query_vec_id=0, k=5).collect()
+
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+    sims = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in vecs.items() if vid != 0
+    }
+    want = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [r["vec_id"] for r in got] == [vid for vid, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert abs(r["cosine_sim"] - s) < 1e-9
+
+
+def test_lsh_topk_scores_are_exact_cosines(spark):
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    approx = lsh_topk(emb, query_vec_id=0, k=5)
+    rows = approx.collect()
+    assert 0 < len(rows) <= 5
+    # every returned similarity must equal the exact cosine for that id
+    exact = {r["vec_id"]: r["cosine_sim"] for r in
+             brute_force_topk(emb, query_vec_id=0, k=10**6).collect()}
+    for r in rows:
+        assert abs(r["cosine_sim"] - exact[r["vec_id"]]) < 1e-12

@@ -1,0 +1,63 @@
+"""Tests for sinks (upsert, atomic overwrite) and audited reads."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+
+from healthcare_data_warehouse_spark.config import SCRATCH_DIR
+from healthcare_data_warehouse_spark.sources.audit import (
+    audit_log_path,
+    audited_read,
+    read_audit_log,
+)
+from healthcare_data_warehouse_spark.sources.sinks import upsert, upsert_to_path
+
+from conftest import SF_SMOKE
+
+
+def test_upsert_semantics(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    updates = spark.createDataFrame([(2, "B"), (4, "d")], ["k", "v"])
+    got = {r["k"]: r["v"] for r in upsert(target, updates, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_upsert_to_path_idempotent(spark):
+    path = os.path.join(SCRATCH_DIR, "upsert_test")
+    shutil.rmtree(path, ignore_errors=True)
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    upsert_to_path(spark, path, base, ["k"])
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    upsert_to_path(spark, path, upd, ["k"])
+    # rerun the same update — idempotent (SURVEY §7.4 item 5)
+    result = upsert_to_path(spark, path, upd, ["k"])
+    got = {r["k"]: r["v"] for r in result.collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_audited_read_logs_event(spark):
+    shutil.rmtree(audit_log_path(), ignore_errors=True)
+    df = audited_read(spark, SF_SMOKE, "nation", user_name="tester")
+    assert df.count() > 0
+    log = read_audit_log(spark)
+    rows = log.filter(
+        (F.col("table_name") == "nation") & (F.col("user_name") == "tester")
+    ).collect()
+    assert len(rows) == 1 and rows[0]["action_type"] == "READ"
+    # second read appends, never overwrites
+    audited_read(spark, SF_SMOKE, "nation", user_name="tester")
+    assert read_audit_log(spark).count() == 2
+    shutil.rmtree(audit_log_path(), ignore_errors=True)
+
+
+def test_multimodal_decode_stub_raises():
+    import pytest
+
+    from healthcare_data_warehouse_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG")
