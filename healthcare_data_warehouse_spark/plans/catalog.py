@@ -1237,3 +1237,158 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_binary(_t(spark, sf_dir, "documents"))
     return extract_features(d)
+
+
+# ===========================================================================
+# Streaming (batch-parity queries; the live pipelines are in
+# streaming.pipelines and stream/batch parity is pytest-enforced)
+# ===========================================================================
+
+
+@query(
+    "stream_hourly_agg",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+           count(*) AS cnt,
+           {_osum('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h x event_type aggregation — the batch twin of the
+    watermarked streaming pipeline (streaming.pipelines.tumbling_hourly);
+    F.window start is epoch-aligned = date_trunc('hour')."""
+    from ..sources.loaders import load_table
+    from ..streaming.pipelines import tumbling_hourly
+
+    return tumbling_hourly(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_sliding_agg",
+    oracle="""
+    WITH shifted AS (
+        SELECT make_timestamp(CAST(floor((epoch(ts) - 0) / 3600) * 3600 + 0 AS BIGINT)
+                              * 1000000) AS window_start, event_type
+        FROM events
+        UNION ALL
+        SELECT make_timestamp(CAST(floor((epoch(ts) - 1800) / 3600) * 3600 + 1800 AS BIGINT)
+                              * 1000000), event_type
+        FROM events
+    )
+    SELECT window_start, event_type, count(*) AS cnt
+    FROM shifted GROUP BY 1, 2
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windows: each event contributes to two epoch-aligned
+    windows (F.window(ts, '1 hour', '30 minutes'))."""
+    from ..sources.loaders import load_table
+    from ..streaming.pipelines import sliding_hourly
+
+    return sliding_hourly(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_session_count",
+    oracle="""
+    WITH x AS (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM x GROUP BY user_id
+    """,
+)
+def stream_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session counts via native session windows (gap 30m) —
+    gap-merge semantics equal the lag/cumsum formulation the oracle uses."""
+    from ..sources.loaders import load_table
+    from ..streaming.pipelines import session_counts
+
+    return session_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_dedup_first",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_type, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id, event_type, event_id FROM r WHERE rn = 1
+    """,
+)
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per (user, event_type) — deterministic batch twin
+    of streaming dropDuplicates under a watermark."""
+    from ..sources.loaders import load_table
+    from ..streaming.pipelines import dedup_keep_first
+
+    return dedup_keep_first(load_table(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# ML pipeline (features + anomaly are oracle-checked; model scoring is
+# rows-only — MLlib RNG can't be replayed in SQL)
+# ===========================================================================
+
+
+@query(
+    "ml_features",
+    oracle=f"""
+    SELECT o_custkey AS customer_id, o_orderkey AS visit_id,
+           o_totalprice AS cost,
+           count(*) OVER w AS visit_count,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               / count(*) OVER w AS avg_cost,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '{AS_OF_DATE}')
+                AS INTEGER) AS days_since_visit,
+           CAST(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(lead(o_orderdate) OVER wo AS DATE)) <= 30
+                     THEN 1 ELSE 0 END AS INTEGER) AS readmitted_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey),
+           wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def ml_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: the ML feature query, fully in-engine (ml_pipeline.py:52-73
+    pulled to pandas; here it stays a window-function plan)."""
+    from ..ml.pipeline import build_features
+
+    return build_features(spark, sf_dir)
+
+
+@query(
+    "anomaly_quantile",
+    oracle="""
+    WITH th AS (SELECT o_orderstatus, quantile_cont(o_totalprice, 0.99) AS threshold
+                FROM orders GROUP BY 1)
+    SELECT o_orderkey, o.o_orderstatus, o_totalprice,
+           floor(threshold * 100 + 0.5) / 100 AS p99_cost
+    FROM orders o JOIN th ON o.o_orderstatus = th.o_orderstatus
+    WHERE o_totalprice > threshold
+    """,
+)
+def anomaly_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 analog: IsolationForest's distributed stand-in — per-group
+    exact-quantile threshold outliers (SURVEY.md §7.4 item 4)."""
+    from ..ml.pipeline import anomaly_scores
+
+    return anomaly_scores(spark, sf_dir)
+
+
+@query("ml_predict_readmission")  # MLlib model scoring — rows-only
+def ml_predict_readmission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed RF readmission risk scoring (train + score in-engine,
+    seeded). Model quality is pytest-asserted; SQL can't replay MLlib."""
+    from ..ml.pipeline import predict_readmission
+
+    return predict_readmission(spark, sf_dir)

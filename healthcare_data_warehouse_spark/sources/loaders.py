@@ -26,9 +26,18 @@ from ..config import DEFAULT_SF_DIR, TABLES
 
 
 def _events_ts_fixup(df: DataFrame) -> DataFrame:
-    """Convert a nanosecond-epoch long ``ts`` back to a timestamp."""
+    """Convert a nanosecond-epoch long ``ts`` back to a timestamp.
+
+    Cast to TIMESTAMP_NTZ: the driver parquet stores naive timestamps
+    (isAdjustedToUTC=false) and Spark 4 reads them as NTZ elsewhere —
+    keeping events NTZ too means window starts / truncations compare
+    naive-to-naive with the DuckDB oracle.
+    """
     if isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz"),
+        )
     return df
 
 

@@ -1,0 +1,144 @@
+"""Structured Streaming pipelines over the events table.
+
+The reference is strictly batch (SURVEY.md §2.9) — its "incremental" story
+is Airflow-scheduled idempotent upserts. This module is the Spark-native
+streaming slice sanctioned by BASELINE.json north_star: file-source
+streams with watermarks, tumbling/sliding/session windows, and
+watermark-bounded dedup, all runnable as ``Trigger.AvailableNow``
+micro-batch jobs (the modern replacement for the reference's hourly cron
+ETL, airflow_dags.py:58-78).
+
+Every streaming aggregation has a batch-equivalent builder used both by
+the query catalog (DuckDB-oracle-checked) and by tests that assert the
+stream output equals the batch output on the same data — the
+batch/stream parity contract Structured Streaming is designed around.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.expressions import dsum
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # nanos-as-long; converted below
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned — a
+    streaming source can't infer). At scale this is the same code over a
+    cloud-storage path with maxFilesPerTrigger tuned."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # File-source streams take a directory; the glob narrows it to the
+    # events table (a single-file "table" in the driver layout).
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # LTZ (not NTZ): watermarks require tz-aware event time
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). Outputs convert
+    # window bounds back to NTZ for parity with the batch/oracle side.
+    return stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+# ---------------------------------------------------------------------------
+# Window aggregations — batch builders (shared by catalog + stream parity)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1h window x event_type: count + exact-decimal value sum."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "total_value")
+    )
+
+
+def sliding_hourly(events: DataFrame) -> DataFrame:
+    """Sliding 1h window, 30m slide: every event lands in two windows."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session count + event count using native session windows
+    (gap-merge semantics: a new session starts when the inter-event gap
+    is >= the gap duration)."""
+    sessions = (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count("*").alias("events_in_session"))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("events_in_session").alias("n_events"),
+    )
+
+
+def dedup_keep_first(events: DataFrame) -> DataFrame:
+    """First event per (user_id, event_type) — the deterministic batch
+    equivalent of streaming dropDuplicates (which keeps the first arrival;
+    batch needs an explicit total order to mean anything)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming runners (Trigger.AvailableNow + memory sink)
+# ---------------------------------------------------------------------------
+
+
+def run_stream_to_memory(stream_df: DataFrame, query_name: str,
+                         output_mode: str = "complete", timeout_s: int = 120) -> DataFrame:
+    """Execute a streaming plan with AvailableNow and return the result
+    as a DataFrame from the in-memory sink (test/dev harness; production
+    sinks are parquet/Kafka via the same writeStream)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return stream_df.sparkSession.table(query_name)
+
+
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str,
+                              watermark: str = "2 hours") -> DataFrame:
+    """The real streaming pipeline: watermarked tumbling aggregation.
+    The watermark bounds state: windows older than max(event time) -
+    watermark are finalized and evicted — the knob that makes unbounded
+    streams run in bounded memory at scale."""
+    ev = read_event_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return tumbling_hourly(ev).withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz")
+    )
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str,
+                    watermark: str = "1 hour") -> DataFrame:
+    """Watermark-bounded streaming dedup on event_id: state for ids older
+    than the watermark is dropped (the late-duplicate horizon)."""
+    ev = read_event_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return ev.dropDuplicates(["event_id"]).select("event_id", "user_id", "event_type")
