@@ -1392,3 +1392,110 @@ def ml_predict_readmission(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.pipeline import predict_readmission
 
     return predict_readmission(spark, sf_dir)
+
+
+# ===========================================================================
+# Remaining reference query-catalog shapes (Q3 / Q5 / Q14) + fact keys
+# ===========================================================================
+
+
+@query(
+    "provider_utilization",
+    oracle=f"""
+    SELECT s_nationkey,
+           count(*) AS visit_count,
+           count(DISTINCT l_suppkey) AS provider_count,
+           {_oround(_oavg('l_extendedprice'))} AS avg_cost
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def provider_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: provider utilization by specialty analog
+    (analytics_examples.sql:32-43) — fact x broadcast dim, grouped on a
+    dim attribute."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("visit_count"),
+            F.countDistinct("l_suppkey").alias("provider_count"),
+            round2(davg("l_extendedprice")).alias("avg_cost"),
+        )
+    )
+
+
+@query(
+    "visittype_distribution",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderstatus, count(*) AS cnt,
+               CAST(min(o_totalprice) AS DOUBLE) AS min_cost,
+               CAST(max(o_totalprice) AS DOUBLE) AS max_cost
+        FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus, cnt,
+           floor(CAST(cnt AS DOUBLE) * 100 / sum(cnt) OVER () * 100 + 0.5) / 100 AS pct,
+           min_cost, max_cost
+    FROM g
+    """,
+)
+def visittype_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: visit-type distribution with pct-of-total and min/max measures
+    (analytics_examples.sql:57-68)."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.min("o_totalprice").alias("min_cost"),
+        F.max("o_totalprice").alias("max_cost"),
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "o_orderstatus", "cnt",
+        round2(F.col("cnt").cast("double") * 100 / F.sum("cnt").over(w)).alias("pct"),
+        "min_cost", "max_cost",
+    )
+
+
+@query(
+    "patient_history",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS visit_date,
+           o_totalprice, o_orderpriority, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey = 42
+    """,
+)
+def patient_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: one patient's visit history (api.py:307-320) — point predicate
+    + broadcast dim join; the key filter prunes row groups on the fact."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") == 42)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("visit_date"),
+            "o_totalprice", "o_orderpriority", "c_name",
+        )
+    )
+
+
+@query(
+    "fact_surrogate_keys",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS order_key,
+           o_orderkey, CAST(o_orderdate AS DATE) AS visit_date
+    FROM orders
+    """,
+)
+def fact_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 on the fact: dense keys ordered by (date, id) — the reference's
+    ORDER BY visit_date, visit_id (fact_visits.sql:64) — via the two-phase
+    range-partitioned generator (multi-column ordering path)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    keyed = add_dense_key(o, ["o_orderdate", "o_orderkey"], key_col="order_key")
+    return keyed.select(
+        "order_key", "o_orderkey", F.col("o_orderdate").cast("date").alias("visit_date")
+    )

@@ -1,0 +1,56 @@
+"""Tests for warehouse DDL (S6) and driver-edge exports (S2/S5)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from healthcare_data_warehouse_spark.config import SCRATCH_DIR
+from healthcare_data_warehouse_spark.sources.ddl import create_star_schema, save_as_table
+from healthcare_data_warehouse_spark.sources.export import export_csv, export_excel
+
+from conftest import SF_SMOKE
+
+
+def test_create_star_schema_tables(spark):
+    create_star_schema(spark, db="hdw_test")
+    tables = {t.name for t in spark.catalog.listTables("hdw_test")}
+    assert {"dim_customer", "dim_supplier", "fact_orders"} <= tables
+    # idempotent
+    create_star_schema(spark, db="hdw_test")
+    spark.sql("DROP DATABASE hdw_test CASCADE")
+
+
+def test_save_as_table_partitioned_roundtrip(spark):
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    save_as_table(o, "orders_part_test", partition_by=["order_year"])
+    back = spark.table("orders_part_test")
+    assert back.count() == o.count()
+    pruned = back.filter(F.col("order_year") == 1997)
+    assert pruned.count() > 0
+    spark.sql("DROP TABLE orders_part_test")
+
+
+def test_export_csv(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    path = os.path.join(SCRATCH_DIR, "export_test.csv")
+    export_csv(df, path)
+    with open(path) as fh:
+        lines = fh.read().strip().splitlines()
+    assert lines[0] == "k,v" and len(lines) == 3
+    os.remove(path)
+
+
+def test_export_excel_gated(spark):
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    path = os.path.join(SCRATCH_DIR, "export_test.xlsx")
+    ok = export_excel({"sheet1": df}, path)
+    if ok:
+        assert os.path.exists(path)
+        os.remove(path)
+    # when openpyxl is missing the export degrades to a clean False
