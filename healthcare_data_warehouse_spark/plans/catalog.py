@@ -1499,3 +1499,265 @@ def fact_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(
         "order_key", "o_orderkey", F.col("o_orderdate").cast("date").alias("visit_date")
     )
+
+
+# ===========================================================================
+# Beyond-reference extensions (SURVEY §2 "not present" gaps that Spark
+# provides nearly free): as-of / interval joins, rollup/cube, ranking
+# windows, frame windows, set ops, regex/JSON scalar functions.
+# ===========================================================================
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id, 0 AS tag FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, event_id, 1 FROM events WHERE event_type = 'purchase'
+    ), x AS (
+        SELECT user_id, ts, event_id, tag,
+               last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+        FROM u)
+    SELECT event_id, user_id,
+           CAST(date_trunc('second', last_click) AS TIMESTAMP) AS last_click_at
+    FROM x WHERE tag = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF join: each purchase matched to the user's latest prior click —
+    union+window formulation, ONE shuffle on the key (operators.temporal),
+    never a range self-join."""
+    from ..operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(purchases, clicks, on="user_id", right_ts_alias="last_click")
+    return out.select(
+        "event_id", "user_id",
+        F.date_trunc("second", "last_click").cast("timestamp_ntz").alias("last_click_at"),
+    )
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+    SELECT p.event_id, p.user_id, count(c.ts) AS clicks_10min_before
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks in the 10 minutes before each purchase."""
+    from ..operators.temporal import range_join_count
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = range_join_count(purchases, clicks, on="user_id", ts_col="ts",
+                           lookback="10 MINUTES", count_alias="clicks_10min_before")
+    return out.select("event_id", "user_id", "clicks_10min_before")
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS cnt,
+           {_osum('o_totalprice')} AS total_cost
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals (status → status+priority → grand)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"), dsum("o_totalprice").alias("total_cost"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "cnt", "total_cost",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(l_returnflag, 'ALL') AS returnflag,
+           count(*) AS cnt
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY CUBE(o_orderstatus, l_returnflag)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations over a join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .cube("o_orderstatus", "l_returnflag")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            "cnt",
+        )
+    )
+
+
+@query(
+    "window_rank_ntile",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK / NTILE over a keyed ordering (total order via
+    the key tiebreak keeps ntile deterministic)."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_suppkey", "s_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle=f"""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      {_osum('o_totalprice')} AS daily
+               FROM orders GROUP BY 1)
+    SELECT day,
+           CAST(sum(CAST(daily AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               / count(*) OVER w AS ma7
+    FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily revenue — explicit rowsBetween frame.
+    The global window runs over the (small) pre-aggregated daily series,
+    so the single-partition sort is safe at any raw-data scale."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        dsum("o_totalprice").alias("daily")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return d.select(
+        "day",
+        (F.sum(F.col("daily").cast("decimal(18,4)")).over(w).cast("double")
+         / F.count("*").over(w)).alias("ma7"),
+    )
+
+
+@query(
+    "window_range_30d",
+    oracle="""
+    WITH o2 AS (SELECT o_custkey, o_orderkey,
+                       date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+                       o_totalprice
+                FROM orders)
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY day_num
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS trailing_30d_cost
+    FROM o2
+    """,
+)
+def window_range_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per-customer trailing-30-day spend at every visit
+    (value-based frame over the day number, peers included)."""
+    o = _t(spark, sf_dir, "orders")
+    day_num = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    o2 = o.select("o_custkey", "o_orderkey", day_num.alias("day_num"), "o_totalprice")
+    w = (
+        Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-30, Window.currentRow)
+    )
+    return o2.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double")
+        .alias("trailing_30d_cost"),
+    )
+
+
+@query(
+    "setops_nations",
+    oracle="""
+    SELECT 'intersect' AS op, nk FROM (
+        SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+    UNION ALL
+    SELECT 'except', nk FROM (
+        SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+    UNION ALL
+    SELECT 'union_distinct', nk FROM (
+        SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+    """,
+)
+def setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION DISTINCT (reference only uses UNION ALL)."""
+    c = _t(spark, sf_dir, "customer")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_nationkey").alias("nk"))
+    a = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(F.col("c_nationkey").alias("nk"))
+
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(F.lit(op).alias("op"), "nk")
+
+    return (
+        tag(b.intersect(a), "intersect")
+        .unionByName(tag(b.subtract(a), "except"))
+        .unionByName(tag(b.union(a).distinct(), "union_distinct"))
+    )
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_id, CAST(props->>'k' AS INTEGER) AS k_val FROM events
+    """,
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the event props payload."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k_val")
+    )
+
+
+@query(
+    "fn_regex_extract",
+    oracle=r"""
+    SELECT c_custkey, CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT) AS name_num
+    FROM customer
+    """,
+)
+def fn_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex capture-group extraction (numeric id embedded in the name)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", F.regexp_extract("c_name", r"(\d+)", 1).cast("long").alias("name_num")
+    )
