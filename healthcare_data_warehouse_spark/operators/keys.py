@@ -56,6 +56,8 @@ def add_dense_key(
     part.persist(StorageLevel.MEMORY_AND_DISK)
 
     counts = part.groupBy(_PID).count().collect()  # numPartitions rows — tiny
+    if not counts:  # empty input: keep the schema, no rows to number
+        return df.withColumn(key_col, F.lit(None).cast("long"))
     offsets: dict[int, int] = {}
     acc = offset
     for row in sorted(counts, key=lambda r: r[_PID]):

@@ -1761,3 +1761,119 @@ def fn_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey", F.regexp_extract("c_name", r"(\d+)", 1).cast("long").alias("name_num")
     )
+
+
+# ===========================================================================
+# Incremental loads, skew handling, embedding near-dup
+# ===========================================================================
+
+
+@query(
+    "dim_incremental",
+    oracle="""
+    WITH existing AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS customer_key, c_custkey
+        FROM customer WHERE c_custkey % 10 <> 7),
+    newrows AS (
+        SELECT (SELECT coalesce(max(customer_key), 0) FROM existing)
+                   + ROW_NUMBER() OVER (ORDER BY c_custkey) AS customer_key,
+               c_custkey
+        FROM customer WHERE c_custkey % 10 = 7)
+    SELECT customer_key, c_custkey FROM existing
+    UNION ALL
+    SELECT customer_key, c_custkey FROM newrows
+    """,
+)
+def dim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5+W2+F11 composed: the reference's incremental dimension load
+    (dim_patients.sql:20-35) — anti-join away already-loaded keys, then
+    continue the surrogate sequence from COALESCE(MAX(key),0)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    existing = add_dense_key(
+        c.filter(F.col("c_custkey") % 10 != 7), ["c_custkey"], key_col="customer_key"
+    )
+    max_key = existing.agg(
+        F.coalesce(F.max("customer_key"), F.lit(0)).alias("m")
+    ).collect()[0]["m"]
+    incoming = c  # the "new batch" re-delivers everything (idempotent load)
+    new_rows = incoming.join(existing.select("c_custkey"), "c_custkey", "left_anti")
+    new_keyed = add_dense_key(new_rows, ["c_custkey"], key_col="customer_key",
+                              offset=max_key)
+    return existing.select("customer_key", "c_custkey").unionByName(
+        new_keyed.select("customer_key", "c_custkey")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.3). Exact
+    all-pairs here for oracle parity; the 100 TB path prefilters with the
+    SRP-LSH buckets (operators.similarity.srp_bucket) so only bucket-mates
+    are scored — same scoring expression, one bucket-join shuffle."""
+    from ..operators.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.3)
+    )
+
+
+@query(
+    "skew_salted_agg",
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS cnt,
+           {_osum('l_extendedprice')} AS total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: partial agg on (key, salt) spreads
+    one hot reduce key over 16 tasks; decimal partials make the re-merged
+    sums exactly equal the direct aggregation (the oracle)."""
+    from ..operators.skew import explode_salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    return explode_salted_agg(li, "l_returnflag", "l_extendedprice", salt_buckets=16)
+
+
+@query(
+    "skew_salted_join",
+    oracle=f"""
+    SELECT s_nationkey, count(*) AS cnt,
+           {_osum('l_extendedprice')} AS total
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join: big side salted, dim replicated saltx — semantically
+    identical to the plain join (the oracle proves it) while spreading a
+    hot supplier key over 8 tasks."""
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_suppkey", "s_suppkey")
+    s = _t(spark, sf_dir, "supplier")
+    joined = salted_join(li, s.select("s_suppkey", "s_nationkey"), on="s_suppkey",
+                         salt_buckets=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("cnt"), dsum("l_extendedprice").alias("total")
+    )

@@ -1,0 +1,104 @@
+"""Tests for SCD2 dimension versioning and skew-salting operators."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from healthcare_data_warehouse_spark.operators.scd2 import scd2_apply
+from healthcare_data_warehouse_spark.operators.skew import explode_salted_agg, salted_join
+
+
+def _dim(spark):
+    rows = [
+        (1, 10, "NYC", "2020-01-01", None, True),
+        (2, 20, "LA", "2020-01-01", None, True),
+        (3, 30, "SF", "2020-01-01", None, True),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "customer_key long, c_custkey long, city string, "
+        "valid_from string, valid_to string, is_current boolean",
+    )
+    return df.withColumn("valid_from", F.col("valid_from").cast("timestamp")).withColumn(
+        "valid_to", F.col("valid_to").cast("timestamp")
+    )
+
+
+def test_scd2_apply_versions(spark):
+    dim = _dim(spark)
+    updates = spark.createDataFrame(
+        [(20, "CHI"), (30, "SF"), (40, "SEA")], ["c_custkey", "city"]
+    )
+    out = scd2_apply(dim, updates, nk="c_custkey", tracked=["city"],
+                     key_col="customer_key", as_of="2021-06-01")
+    rows = out.collect()
+    by_nk = {}
+    for r in rows:
+        by_nk.setdefault(r["c_custkey"], []).append(r)
+
+    # changed key 20: old version closed, new current version with new city
+    v20 = sorted(by_nk[20], key=lambda r: r["is_current"])
+    assert len(v20) == 2
+    assert v20[0]["city"] == "LA" and not v20[0]["is_current"] and v20[0]["valid_to"] is not None
+    assert v20[1]["city"] == "CHI" and v20[1]["is_current"] and v20[1]["valid_to"] is None
+
+    # unchanged key 30: single current row, untouched
+    assert len(by_nk[30]) == 1 and by_nk[30][0]["is_current"] and by_nk[30][0]["city"] == "SF"
+    # untouched key 10 passes through
+    assert len(by_nk[10]) == 1 and by_nk[10][0]["is_current"]
+    # new key 40 inserted with a key beyond the previous max
+    assert len(by_nk[40]) == 1
+    assert by_nk[40][0]["customer_key"] > 3 and by_nk[40][0]["is_current"]
+    # surrogate keys stay unique
+    keys = [r["customer_key"] for r in rows if r["is_current"]]
+    assert len(keys) == len(set(keys))
+
+
+def test_scd2_apply_idempotent(spark):
+    dim = _dim(spark)
+    updates = spark.createDataFrame([(20, "CHI")], ["c_custkey", "city"])
+    once = scd2_apply(dim, updates, nk="c_custkey", tracked=["city"],
+                      key_col="customer_key", as_of="2021-06-01")
+    twice = scd2_apply(once, updates, nk="c_custkey", tracked=["city"],
+                       key_col="customer_key", as_of="2021-07-01")
+    # second application of the same attributes changes nothing
+    assert twice.count() == once.count()
+
+
+def test_scd2_carries_untracked_attributes(spark):
+    # the dimension has attributes the update batch doesn't carry — the
+    # new version must inherit them from the closed version
+    from healthcare_data_warehouse_spark.plans.star import dim_customer
+
+    from conftest import SF_SMOKE
+
+    dim = dim_customer(spark, SF_SMOKE)
+    upd = dim.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit("CHANGED").alias("c_mktsegment")
+    )
+    out = scd2_apply(dim, upd, nk="c_custkey", tracked=["c_mktsegment"],
+                     key_col="customer_key", as_of="2026-09-01")
+    new_versions = out.filter(F.col("is_current") & (F.col("c_mktsegment") == "CHANGED"))
+    assert new_versions.count() > 0
+    assert new_versions.filter(F.col("anonymized_name").isNull()).count() == 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = spark.range(0, 5000).select((F.col("id") % 7).alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(7)], ["k", "name"])
+    plain = big.join(small, "k").groupBy("name").count()
+    salted = salted_join(big, small, on="k", salt_buckets=4).groupBy("name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_explode_salted_agg_equals_plain(spark):
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") % 100 / 7.0).alias("m"),
+    )
+    plain = df.groupBy("k").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("m").cast("decimal(18,4)")).cast("double").alias("total"),
+    )
+    salted = explode_salted_agg(df, "k", "m", salt_buckets=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
