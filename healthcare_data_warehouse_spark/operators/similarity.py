@@ -72,6 +72,43 @@ def srp_bucket(vec_col: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def ivf_topk(df: DataFrame, query_vec_id: int, k: int = 10, n_lists: int = 16,
+             n_probe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
+             seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    assigns every vector to a list; queries score only the ``n_probe``
+    lists whose centroids are closest to the query vector.
+
+    At 100 TB the assignment happens once at ingest (the list id is a
+    partition column → probing is partition pruning, not a filter); here
+    the quantizer trains on the fly with a fixed seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    spark = df.sparkSession
+    vecs = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__v", predictionCol="__list")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).drop("__v")
+
+    import numpy as np
+
+    centers = model.clusterCenters()
+    qrow = df.filter(F.col(id_col) == query_vec_id).select(vec_col).first()
+    q = np.array(qrow[0], dtype=np.float64)
+    dists = [float(np.linalg.norm(q - np.asarray(c))) for c in centers]
+    probe_lists = sorted(range(len(centers)), key=lambda i: dists[i])[:n_probe]
+
+    qdf = df.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("__qv"))
+    scored = (
+        assigned.filter(F.col("__list").isin(probe_lists) & (F.col(id_col) != query_vec_id))
+        .crossJoin(F.broadcast(qdf))
+        .select(id_col, "label", cosine(F.col(vec_col), F.col("__qv")).alias("cosine_sim"))
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
 def lsh_topk(df: DataFrame, query_vec_id: int, k: int = 10, n_planes: int = 8,
              vec_col: str = "embedding", id_col: str = "vec_id", dim: int = 64) -> DataFrame:
     """Approximate top-k: only vectors in the query's SRP bucket are

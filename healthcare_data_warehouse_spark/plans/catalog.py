@@ -1877,3 +1877,141 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("s_nationkey").agg(
         F.count("*").alias("cnt"), dsum("l_extendedprice").alias("total")
     )
+
+
+# ===========================================================================
+# Remaining composed reference queries: Q6, Q7, Q9
+# ===========================================================================
+
+
+@query(
+    "geo_distribution",
+    oracle="""
+    WITH g AS (
+        SELECT n_name, count(*) AS patient_count,
+               count(DISTINCT c_mktsegment) AS segment_count
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name)
+    SELECT n_name, patient_count, segment_count,
+           floor(CAST(patient_count AS DOUBLE) * 100 / sum(patient_count) OVER ()
+                 * 100 + 0.5) / 100 AS pct
+    FROM g
+    ORDER BY patient_count DESC, n_name
+    LIMIT 20
+    """,
+)
+def geo_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: geographic distribution — top-20 regions by patient count with
+    pct-of-total (analytics_examples.sql:70-79)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    g = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("patient_count"),
+            F.countDistinct("c_mktsegment").alias("segment_count"),
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        g.select(
+            "n_name", "patient_count", "segment_count",
+            round2(
+                F.col("patient_count").cast("double") * 100 / F.sum("patient_count").over(w)
+            ).alias("pct"),
+        )
+        .orderBy(F.desc("patient_count"), "n_name")
+        .limit(20)
+    )
+
+
+@query(
+    "highcost_above_p90",
+    oracle="""
+    WITH p90 AS (SELECT quantile_cont(o_totalprice, 0.9) AS p90_cost FROM orders)
+    SELECT o_orderkey, c_name, o_totalprice,
+           floor(p90.p90_cost * 100 + 0.5) / 100 AS p90_cost
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    CROSS JOIN p90
+    WHERE o_totalprice > p90.p90_cost
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def highcost_above_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 composed: percentile CTE (A6) + dim join (J2) + scalar cross
+    join (J4) + theta filter (P5) + top-k (O2)
+    (analytics_examples.sql:81-102)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p90 = o.agg(F.percentile("o_totalprice", F.lit(0.9)).alias("p90_raw"))
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .crossJoin(F.broadcast(p90))
+        .filter(F.col("o_totalprice") > F.col("p90_raw"))
+        .select(
+            "o_orderkey", "c_name", "o_totalprice",
+            round2(F.col("p90_raw")).alias("p90_cost"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "diag_proc_matrix",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+           {_oround(_oavg('o_totalprice'))} AS avg_cost
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    HAVING count(*) >= 5
+    """,
+)
+def diag_proc_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: diagnosis x procedure co-occurrence matrix — composite group-by
+    + HAVING (analytics_examples.sql:132-143)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            round2(davg("o_totalprice")).alias("avg_cost"),
+        )
+        .filter(F.col("cnt") >= 5)
+    )
+
+
+@query("ann_ivf_topk")  # approximate (KMeans lists) — rows-only
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: KMeans coarse quantizer + n_probe list scan —
+    the partition-pruned ANN path at scale (lists = partition column)."""
+    from ..operators.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@query("stream_user_profiles")  # stateful streaming op — rows-only
+def stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): final
+    per-user profiles after draining the stream. Batch-invariant columns
+    (totals) are pytest-checked against the batch twin."""
+    from ..streaming.pipelines import run_stream_to_memory
+    from ..streaming.stateful import streaming_user_profiles
+
+    out = run_stream_to_memory(
+        streaming_user_profiles(spark, sf_dir),
+        f"user_profiles_{abs(hash(sf_dir)) % 10000}",
+        output_mode="update",
+    )
+    # update-mode sink may hold multiple versions per user; keep the latest
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("total_events"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
