@@ -1810,16 +1810,19 @@ def dim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                   CAST(b.embedding AS DOUBLE[])) AS cosine_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id AND a.label = b.label
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.3
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.3). Exact
-    all-pairs here for oracle parity; the 100 TB path prefilters with the
-    SRP-LSH buckets (operators.similarity.srp_bucket) so only bucket-mates
-    are scored — same scoring expression, one bucket-join shuffle."""
+    """Embedding-cosine near-duplicate pairs (threshold 0.3), blocked on
+    the label (the standard near-dup blocking key: only candidates within
+    a block are scored — label here; SRP-LSH bucket at 100 TB, same
+    scoring expression, one bucket-join shuffle). The block join shuffles
+    both sides on the key, so the quadratic term is per-block, not
+    corpus-wide."""
     from ..operators.similarity import cosine
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1827,7 +1830,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.alias("b")
     sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(b, (F.col("a.vec_id") < F.col("b.vec_id"))
+               & (F.col("a.label") == F.col("b.label")))
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
