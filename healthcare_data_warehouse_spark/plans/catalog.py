@@ -2019,3 +2019,57 @@ def stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+               FROM documents)
+    SELECT token, count(*) AS term_freq,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM w GROUP BY token
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: term frequency + document frequency
+    via explode → single hash aggregate (the TF-IDF substrate; one
+    shuffle on the token at any corpus size)."""
+    from ..operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    return w.groupBy("token").agg(
+        F.count("*").alias("term_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+
+
+@query("text_tfidf")  # ln() last-ulp differs across libms → rows-only
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF term per document: tf = in-doc count / doc length,
+    idf = ln(N/df) — broadcast the (tiny) vocabulary df map onto the
+    exploded tokens, one window to pick the max."""
+    from ..operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    w = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = w.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    doclen = w.groupBy("doc_id").agg(F.count("*").alias("len"))
+    df_map = w.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_map), "token")
+        .join(F.broadcast(doclen), "doc_id")
+        .withColumn(
+            "tfidf",
+            (F.col("tf").cast("double") / F.col("len"))
+            * F.log(F.lit(float(n_docs)) / F.col("df")),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "tfidf")
+    )
