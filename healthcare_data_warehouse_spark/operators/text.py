@@ -46,7 +46,6 @@ def bpe_ish_token_count(text: Column | str) -> Column:
 
 def stopword_hits(text: Column | str, stopwords: tuple[str, ...] = ("the", "a")) -> Column:
     """Count of tokens that are stopwords."""
-    conds = None
     def is_stop(w: Column) -> Column:
         c = F.lit(False)
         for s in stopwords:

@@ -2073,3 +2073,37 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("doc_id", F.col("token").alias("top_term"), "tfidf")
     )
+
+
+@query(
+    "trend_slope_per_customer",
+    oracle="""
+    WITH g AS (
+        SELECT o_custkey AS customer_id, count(*) AS n,
+               sum(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS sx,
+               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sy,
+               sum(CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                        * o_totalprice AS DECIMAL(28,2))) AS sxy,
+               sum(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   * date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS sxx
+        FROM orders GROUP BY o_custkey)
+    SELECT customer_id, n AS visit_count,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                END AS cost_trend_slope
+    FROM g
+    """,
+)
+def trend_slope_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer OLS cost-trend slope via the closed form with exact
+    decimal sums (operators.grouped.trend_slope_native) - the native twin
+    of the applyInPandas grouped-map fit, cross-validated in tests."""
+    from ..operators.grouped import trend_slope_native
+
+    o = _t(spark, sf_dir, "orders")
+    out = trend_slope_native(o, "o_custkey", "o_orderdate", "o_totalprice")
+    return out.withColumnRenamed("o_custkey", "customer_id")
