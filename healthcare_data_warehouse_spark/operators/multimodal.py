@@ -50,3 +50,54 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature stage over the binary payload column."""
     return df.select("doc_id", "payload").mapInPandas(_feature_batches, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize / frame-sample plumbing (decode layer stubbed; the Spark-side
+# shapes — schema, batch iteration, explode of per-frame rows — are real)
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = "doc_id long, payload binary, out_w int, out_h int"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_payload binary"
+
+
+def resize_batches(target_w: int, target_h: int):
+    """mapInPandas stage shape for image resize. The pixel transform is a
+    deterministic fake (payload truncation proportional to target area) —
+    a real deployment swaps ONE line for PIL/opencv inside the batch loop;
+    partitioning, Arrow transfer, and schema are production-real."""
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scale = max(1, (256 * 256) // max(1, target_w * target_h))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pdf["payload"].map(lambda b: bytes(b[: max(1, len(b) // scale)])),
+                "out_w": target_w,
+                "out_h": target_h,
+            })
+    return _fn
+
+
+def resize(df: DataFrame, w: int, h: int) -> DataFrame:
+    return df.select("doc_id", "payload").mapInPandas(resize_batches(w, h), RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
+    """Frame sampling for video-like payloads: one output row per sampled
+    'frame' (fixed-stride chunks of the payload as the deterministic
+    stand-in for keyframe extraction). Output cardinality > input — the
+    explode-shaped mapInPandas pattern."""
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    frames.append(bytes(payload[off:off + every_n_bytes]))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_payload": frames if frames else pd.Series([], dtype=object),
+            })
+    return df.select("doc_id", "payload").mapInPandas(_fn, FRAME_SCHEMA)
