@@ -98,13 +98,23 @@ def check_query(spark, name: str, sf_dir: str) -> list[str]:
     q = e.queries()[name]
     sql = e.oracle_sql().get(name)
     sdf = q(spark, sf_dir)
-    spark_pdf = arrow_to_frame(sdf.toArrow())
+    s_arrow = sdf.toArrow()
+    spark_pdf = arrow_to_frame(s_arrow)
     if sql is None:
         return [] if len(spark_pdf) >= 0 else ["spark query failed"]
     con = duck_connection(sf_dir)
-    oracle_pdf = arrow_to_frame(con.execute(sql).arrow())
+    o_arrow = con.execute(sql).arrow()
+    oracle_pdf = arrow_to_frame(o_arrow)
     con.close()
-    return compare_frames(spark_pdf, oracle_pdf)
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    s_types = {f.name: str(f.type) for f in s_arrow.schema}
+    o_types = {f.name: str(f.type) for f in o_arrow.schema}
+    for c in sorted(set(s_types) | set(o_types)):
+        if s_types.get(c) != o_types.get(c):
+            problems.append(
+                f"dtype {c}: spark={s_types.get(c)} oracle={o_types.get(c)}"
+            )
+    return problems
 
 
 def main() -> int:
