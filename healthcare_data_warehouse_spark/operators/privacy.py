@@ -99,6 +99,47 @@ def generalize_numeric(col: Column | str, width: float) -> Column:
     return (F.floor(c / width) * F.lit(width)).cast("double")
 
 
+def privacy_audit_report(df: DataFrame, qi_cols: list[str], sensitive: str,
+                         k: int = K_ANONYMITY, l: int = L_DIVERSITY,  # noqa: E741
+                         t: float = T_CLOSENESS) -> dict:
+    """Full privacy audit as a JSON-able dict (privacy_engine.py:321-400's
+    report shape): k-anonymity, l-diversity, and t-closeness summaries
+    with violation counts and worst offenders."""
+    k_rep = k_anonymity_report(df, qi_cols, k)
+    l_rep = l_diversity_report(df, qi_cols, sensitive, l)
+    t_rep = t_closeness_report(df, qi_cols[0], sensitive, t)
+
+    k_stats = k_rep.agg(
+        F.count("*").alias("groups"),
+        F.sum(F.col("is_violation").cast("int")).alias("violations"),
+        F.min("group_size").alias("min_group_size"),
+    ).collect()[0]
+    l_stats = l_rep.agg(
+        F.count("*").alias("groups"),
+        F.sum(F.col("is_violation").cast("int")).alias("violations"),
+        F.min("l_distinct").alias("min_l"),
+    ).collect()[0]
+    t_stats = t_rep.agg(
+        F.count("*").alias("groups"),
+        F.sum(F.col("is_violation").cast("int")).alias("violations"),
+        F.max("tvd").alias("max_tvd"),
+    ).collect()[0]
+    return {
+        "k_anonymity": {"k": k, "groups": k_stats["groups"],
+                        "violations": int(k_stats["violations"] or 0),
+                        "min_group_size": k_stats["min_group_size"],
+                        "passed": int(k_stats["violations"] or 0) == 0},
+        "l_diversity": {"l": l, "groups": l_stats["groups"],
+                        "violations": int(l_stats["violations"] or 0),
+                        "min_l": l_stats["min_l"],
+                        "passed": int(l_stats["violations"] or 0) == 0},
+        "t_closeness": {"t": t, "groups": t_stats["groups"],
+                        "violations": int(t_stats["violations"] or 0),
+                        "max_tvd": float(t_stats["max_tvd"] or 0.0),
+                        "passed": int(t_stats["violations"] or 0) == 0},
+    }
+
+
 @dataclass
 class PrivacyBudget:
     """Session-level epsilon accounting (privacy_engine.py:291-318).
