@@ -44,3 +44,25 @@ def test_unknown_query_rejected(spark):
     with pytest.raises(KeyError):
         svc.run("no_such_query")
     assert "agg_by_agegroup" in svc.available_queries()
+
+
+def test_gold_materialization_roundtrip(spark):
+    import os
+
+    from healthcare_data_warehouse_spark.config import SCRATCH_DIR
+    from healthcare_data_warehouse_spark.plans.catalog import queries
+    from healthcare_data_warehouse_spark.plans.gold import materialize_gold, read_gold
+
+    gold_dir = os.path.join(SCRATCH_DIR, "gold_test")
+    shutil.rmtree(gold_dir, ignore_errors=True)
+    manifest = materialize_gold(spark, SF_SMOKE, gold_dir,
+                                queries=("agg_by_agegroup", "topk_diagnoses"))
+    assert set(manifest["tables"]) == {"agg_by_agegroup", "topk_diagnoses"}
+    # gold read equals a fresh computation
+    live = {tuple(r) for r in queries()["agg_by_agegroup"](spark, SF_SMOKE).collect()}
+    gold = {tuple(r) for r in read_gold(spark, gold_dir, "agg_by_agegroup").collect()}
+    assert live == gold
+    # dashboard read never scans the fact tables
+    plan = read_gold(spark, gold_dir, "agg_by_agegroup")._jdf.queryExecution().executedPlan().toString()
+    assert "orders.parquet" not in plan and "customer.parquet" not in plan
+    shutil.rmtree(gold_dir, ignore_errors=True)
