@@ -8,8 +8,13 @@ than the hash choice:
   expressions (no Python), then ONE explode+groupBy shuffle on
   (band, band_hash) buckets — candidate pairs come from bucket-mates
   only, never an O(n²) cross join.
-- SimHash: 64-bit signature per doc via bit-vote aggregation, bucketed by
-  16-bit chunks for candidate generation.
+- SimHash: 48-bit signature per doc via bit-vote aggregation; near-match
+  candidates (hamming ≤ h) come from pigeonhole chunk buckets — the
+  signature splits into h+1 equal chunks and any qualifying pair matches
+  at least one chunk exactly, so recall is perfect without an n² join.
+- Degenerate-bucket guard (both LSH and SimHash): buckets larger than
+  ``max_bucket_size`` are dropped before the within-bucket join, bounding
+  the candidate count under skew; identical docs are exact-dedup's job.
 - n-gram Jaccard: the verify step on candidate pairs (set intersection /
   union on shingle arrays).
 """
@@ -88,14 +93,24 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text", id_col: str = "
 
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        num_hashes: int = 16, bands: int = 4) -> DataFrame:
+                        num_hashes: int = 16, bands: int = 4,
+                        max_bucket_size: int = 64) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
     Docs sharing any band hash land in one bucket; a self-join *within
     buckets* yields pairs. The only shuffles are the signature groupBy and
-    the bucket join — bucket sizes are small by construction, so the
-    within-bucket join never explodes (skew guard: huge buckets mean the
-    band hash is degenerate; cap with a count filter)."""
+    the bucket join — bucket sizes are small by construction EXCEPT when a
+    band hash is degenerate (e.g. every empty doc hashes identically), which
+    would make the within-bucket join quadratic. The skew guard drops
+    buckets larger than ``max_bucket_size`` BEFORE the join: a bucket of
+    size s contributes s·(s-1)/2 pairs, so the cap bounds the join output at
+    ``buckets × max_bucket_size²/2`` regardless of input skew. Degenerate
+    buckets are near-exact duplicates anyway — the exact-dedup pass
+    (``drop_exact_dups``) owns those. The bucket-size window reuses the
+    (band, band_hash) hash-partitioning the self-join needs, so the guard
+    costs no extra shuffle."""
+    from pyspark.sql import Window
+
     rows_per_band = num_hashes // bands
     sig = minhash_signatures_df(df, text_col, id_col, num_hashes)
     band_structs = [
@@ -111,6 +126,12 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     banded = sig.select(
         id_col, F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "bb.band", "bb.band_hash")
+    bucket_w = Window.partitionBy("band", "band_hash")
+    banded = (
+        banded.withColumn("__bucket_n", F.count("*").over(bucket_w))
+        .filter(F.col("__bucket_n") <= max_bucket_size)
+        .drop("__bucket_n")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -181,6 +202,58 @@ def simhash_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         simhash_signatures_df(df, text_col, id_col)
         .groupBy("simhash")
         .agg(F.count("*").alias("doc_count"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       bits: int = 48, max_hamming: int = 3,
+                       max_bucket_size: int = 64) -> DataFrame:
+    """Near-duplicate pairs by SimHash: hamming(sig_a, sig_b) ≤ max_hamming.
+
+    Chunk-banded candidate generation, never an all-pairs join: the
+    signature is split into ``max_hamming + 1`` equal-width chunks, and by
+    pigeonhole any pair within hamming ≤ max_hamming matches EXACTLY on at
+    least one chunk — so grouping on (chunk_index, chunk_value) buckets has
+    perfect recall. (For the default 48-bit/h≤3 case that is 4 chunks of
+    12 bits.) Within-bucket self-join → exact hamming via
+    bit_count(a XOR b) → filter. The same degenerate-bucket cap as LSH
+    bounds the join output under skew (identical docs belong to exact
+    dedup, not here)."""
+    from pyspark.sql import Window
+
+    chunks = max_hamming + 1
+    width = bits // chunks
+    mask = (1 << width) - 1
+    sig = simhash_signatures_df(df, text_col, id_col, bits)
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright("simhash", c * width).bitwiseAND(F.lit(mask)).alias("chunk_val"),
+        )
+        for c in range(chunks)
+    ]
+    banded = sig.select(
+        id_col, "simhash", F.explode(F.array(*chunk_structs)).alias("cc")
+    ).select(id_col, "simhash", "cc.chunk", "cc.chunk_val")
+    bucket_w = Window.partitionBy("chunk", "chunk_val")
+    banded = (
+        banded.withColumn("__bucket_n", F.count("*").over(bucket_w))
+        .filter(F.col("__bucket_n") <= max_bucket_size)
+        .drop("__bucket_n")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

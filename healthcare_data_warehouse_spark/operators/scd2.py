@@ -9,8 +9,10 @@ close out changed rows. This operator completes the semantics:
   is_current = false) and a new current version is appended;
 - brand-new keys get new surrogate keys continuing the sequence.
 
-One anti-join + one inner join + a union — all broadcastable when the
-change batch is small relative to the dimension (the normal case).
+One anti-join + one inner join + a union. The change-key set scales with
+the update batch, so no forced broadcast hints: AQE converts the semi/anti
+joins to broadcast at runtime while the batch is small (the normal case)
+and falls back to shuffle joins for bulk backfills.
 """
 
 from __future__ import annotations
@@ -47,15 +49,15 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, nk: str, tracked: list[str],
     changed_keys = joined.filter(change_pred).select(F.col(key_col))
 
     closed = (
-        cur.join(F.broadcast(changed_keys), key_col, "left_semi")
+        cur.join(changed_keys, key_col, "left_semi")
         .withColumn("valid_to", F.lit(as_of).cast("timestamp"))
         .withColumn("is_current", F.lit(False))
     )
-    unchanged = cur.join(F.broadcast(changed_keys), key_col, "left_anti")
+    unchanged = cur.join(changed_keys, key_col, "left_anti")
 
     # new versions for changed keys + brand-new natural keys
     changed_nk = (
-        cur.join(F.broadcast(changed_keys), key_col, "left_semi")
+        cur.join(changed_keys, key_col, "left_semi")
         .select(F.col(nk).alias("__u_nk"))
     )
     new_nk = upd.join(cur.select(F.col(nk).alias("__u_nk")), "__u_nk", "left_anti").select("__u_nk")
@@ -64,7 +66,7 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, nk: str, tracked: list[str],
     scd_cols = {key_col, nk, "valid_from", "valid_to", "is_current"}
     carried = [c for c in dim.columns if c not in scd_cols and c not in tracked]
     to_insert = (
-        upd.join(F.broadcast(changed_nk.union(new_nk).distinct()), "__u_nk", "left_semi")
+        upd.join(changed_nk.union(new_nk).distinct(), "__u_nk", "left_semi")
         .join(cur.select(F.col(nk).alias("__u_nk"), *carried), "__u_nk", "left")
         .select(
             F.col("__u_nk").alias(nk),

@@ -182,15 +182,16 @@ def topk_highcost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_fact_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1: fact→dim key-resolution joins (fact_visits.sql:53-55). Both dims
-    are small → explicit broadcast: two BroadcastHashJoins, zero shuffle of
-    the fact."""
+    """J1: fact→dim key-resolution joins (fact_visits.sql:53-55). No forced
+    broadcast: supplier/part grow with scale factor, so Catalyst/AQE picks
+    BroadcastHashJoin while they fit the threshold and falls back to a
+    shuffle join at 100× — the stats-driven behavior Postgres has."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
     s = _t(spark, sf_dir, "supplier")
     p = _t(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
         .select("l_orderkey", "l_linenumber", "s_name", "p_brand", "l_extendedprice")
     )
 
@@ -209,14 +210,15 @@ def join_fact_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: 3-way analytic join (analytics_examples.sql:96-98) + revenue
-    aggregate. customer broadcasts; orders⋈lineitem co-shuffles on the
-    order key with map-side partial aggregation after."""
+    aggregate. orders⋈lineitem co-shuffles on the order key with map-side
+    partial aggregation after; customer (a scaling relation) carries no
+    broadcast hint — AQE converts to broadcast only while it fits."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("order_line_count"),
@@ -978,7 +980,7 @@ def privacy_t_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     j = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .select(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pr"))
     )
     return t_closeness_report(j, "seg", "pr")
@@ -1189,6 +1191,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_groups
 
     return simhash_groups(_t(spark, sf_dir, "documents"))
+
+
+@query("dedup_simhash_near")  # Spark-specific xxhash64 → rows-only
+def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (hamming ≤ 3) via pigeonhole chunk
+    buckets — 4×12-bit chunks of the 48-bit signature guarantee any
+    qualifying pair shares a bucket; never an n² join."""
+    from ..operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"))
 
 
 @query(
@@ -1417,7 +1429,7 @@ def provider_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     return (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_nationkey")
         .agg(
             F.count("*").alias("visit_count"),
@@ -1473,7 +1485,7 @@ def patient_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") == 42)
     c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("visit_date"),
@@ -1952,7 +1964,7 @@ def highcost_above_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     p90 = o.agg(F.percentile("o_totalprice", F.lit(0.9)).alias("p90_raw"))
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .crossJoin(F.broadcast(p90))
         .filter(F.col("o_totalprice") > F.col("p90_raw"))
         .select(
@@ -2048,8 +2060,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("text_tfidf")  # ln() last-ulp differs across libms → rows-only
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top TF-IDF term per document: tf = in-doc count / doc length,
-    idf = ln(N/df) — broadcast the (tiny) vocabulary df map onto the
-    exploded tokens, one window to pick the max."""
+    idf = ln(N/df). df_map (vocabulary-sized) and doclen (one row per
+    document) both grow with the corpus, so neither carries a broadcast
+    hint: tf⋈doclen co-shuffles on doc_id, tf⋈df_map shuffles on token,
+    and AQE still broadcasts either while it fits the threshold."""
     from ..operators.text import tokens
 
     d = _t(spark, sf_dir, "documents")
@@ -2059,8 +2073,8 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doclen = w.groupBy("doc_id").agg(F.count("*").alias("len"))
     df_map = w.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
-        tf.join(F.broadcast(df_map), "token")
-        .join(F.broadcast(doclen), "doc_id")
+        tf.join(df_map, "token")
+        .join(doclen, "doc_id")
         .withColumn(
             "tfidf",
             (F.col("tf").cast("double") / F.col("len"))

@@ -124,7 +124,10 @@ def fact_orders(spark: SparkSession, sf_dir: str | None = None,
     """Order fact with resolved surrogate keys and DP-noised measure.
 
     Analog of fact_visits.sql:29-66: join the staging fact to the dims on
-    natural keys (broadcast — dims are tiny relative to the fact), attach
+    natural keys (no forced broadcast — the customer dim grows with the
+    data, so the join strategy is left to Catalyst/AQE: broadcast while it
+    fits ``autoBroadcastJoinThreshold``, shuffle join beyond — mirroring
+    Postgres picking the strategy from stats), attach
     ``cost_with_privacy`` (Laplace, fact_visits.sql:40-51), derive the
     partition column, and mint dense fact keys ordered by
     (o_orderdate, o_orderkey) — the reference's ORDER BY visit_date,
@@ -134,7 +137,7 @@ def fact_orders(spark: SparkSession, sf_dir: str | None = None,
     c = dim_c if dim_c is not None else dim_customer(spark, sf_dir)
     ckeys = c.select("customer_key", "c_custkey")
     fact = (
-        o.join(F.broadcast(ckeys), o["o_custkey"] == ckeys["c_custkey"], "inner")
+        o.join(ckeys, o["o_custkey"] == ckeys["c_custkey"], "inner")
         .drop("c_custkey")
         .withColumn("cost_with_privacy", with_privacy_noise("o_totalprice"))
         .withColumn("order_year", F.year("o_orderdate"))

@@ -66,7 +66,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
 
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    joined = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]).select(
+    joined = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
         "c_mktsegment", "c_nationkey", "o_orderpriority"
     )
     summary["stages"]["privacy_audit"] = privacy_audit_report(

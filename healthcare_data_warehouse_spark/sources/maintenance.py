@@ -22,7 +22,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .sinks import overwrite_atomic
+from .sinks import overwrite_atomic, swap_into_place
 
 
 def forget_patients(spark: SparkSession, warehouse_dir: str, patient_ids: list[int],
@@ -46,10 +46,7 @@ def forget_patients(spark: SparkSession, warehouse_dir: str, patient_ids: list[i
     # preserve the partitioning on rewrite
     tmp = fact_path + "__tmp"
     kept_fact.write.mode("overwrite").partitionBy("order_year").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(fact_path)
-    os.rename(tmp, fact_path)
+    swap_into_place(tmp, fact_path)
     return removed
 
 
@@ -66,10 +63,7 @@ def compact_table(spark: SparkSession, path: str, partition_col: str | None = No
            .write.mode("overwrite").partitionBy(partition_col).parquet(tmp))
     else:
         df.coalesce(target_files_per_partition).write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    swap_into_place(tmp, path)
     n = 0
     for _root, _dirs, files in os.walk(path):
         n += sum(1 for f in files if f.endswith(".parquet"))

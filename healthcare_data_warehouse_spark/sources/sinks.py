@@ -31,13 +31,31 @@ def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def swap_into_place(tmp: str, path: str) -> None:
+    """Promote a fully-written temp table to ``path`` with rename-first
+    ordering: at every instant a complete copy of the table exists on disk.
+
+    rename(path, path__old) → rename(tmp, path) → rmtree(path__old).
+    A crash between steps leaves either the old table (recoverable by
+    renaming back) or both; never zero copies — unlike rmtree-then-rename,
+    which has a window where the table is simply gone. On HDFS/S3 the
+    analog is the same two metadata renames.
+    """
+    old = path + "__old"
+    if os.path.exists(old):  # debris from a prior crash after step 2
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def overwrite_atomic(df: DataFrame, path: str) -> None:
     """Write-to-temp-then-swap so a failed rerun never leaves a half table."""
     tmp = path + "__tmp"
     df.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    swap_into_place(tmp, path)
 
 
 def upsert_to_path(spark, path: str, updates: DataFrame, keys: list[str]) -> DataFrame:
@@ -53,9 +71,7 @@ def upsert_to_path(spark, path: str, updates: DataFrame, keys: list[str]) -> Dat
         merged = updates
     tmp = path + "__tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    swap_into_place(tmp, path)
     return spark.read.parquet(path)
 
 
