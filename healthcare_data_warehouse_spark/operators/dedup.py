@@ -34,9 +34,15 @@ from .text import tokens
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles. Oracle (DuckDB):
     ``list_distinct(list_transform(generate_series(1, len(toks)-n+1),
-    i -> toks[i] || ' ' || ... ))`` — 1-based element_at on both sides."""
+    i -> toks[i] || ' ' || ... ))`` — 1-based element_at on both sides.
+
+    Docs with fewer than n tokens yield an EMPTY array: Spark's
+    ``sequence(1, 0)`` counts DOWN to [1, 0] (unlike DuckDB's empty
+    generate_series), so the index list is sliced to the shingle count —
+    slice(_, 1, 0) is [] — before element_at ever runs."""
     t = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(t) - (n - 1)))
+    n_sh = F.greatest(F.lit(0), F.size(t) - (n - 1))
+    idx = F.slice(F.sequence(F.lit(1), F.greatest(F.lit(1), n_sh)), F.lit(1), n_sh)
     gram = lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])  # noqa: E731
     return F.array_distinct(F.transform(idx, gram))
 

@@ -12,6 +12,7 @@ from healthcare_data_warehouse_spark.operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     simhash_groups,
+    simhash_near_pairs,
     simhash64,
 )
 from healthcare_data_warehouse_spark.operators.similarity import (
@@ -60,6 +61,50 @@ def test_simhash_identical_and_near(spark):
     assert ham(sigs[1], sigs[4]) > 8
     groups = {r["simhash"]: r["doc_count"] for r in simhash_groups(df).collect()}
     assert 2 in groups.values()
+
+
+def test_lsh_degenerate_bucket_capped(spark):
+    # 1000 identical docs → every band hash collides into one bucket of
+    # 1000; uncapped that is ~500k pairs per band. The skew guard must drop
+    # the degenerate buckets entirely (identical docs are exact-dedup's
+    # job), while normal-sized buckets keep producing pairs.
+    degenerate = [(i, "", "en") for i in range(1000)]
+    normal = [(2001, BASE, "en"), (2002, BASE, "en")]
+    df = spark.createDataFrame(degenerate + normal, ["doc_id", "text", "lang"])
+    pairs = {(r["id_a"], r["id_b"])
+             for r in lsh_candidate_pairs(df, max_bucket_size=64).collect()}
+    assert (2001, 2002) in pairs
+    degenerate_pairs = [p for p in pairs if p[0] < 2000 and p[1] < 2000]
+    assert degenerate_pairs == []  # bounded: the 1000-doc bucket was dropped
+
+
+def test_simhash_near_pairs_hamming(spark):
+    df = _docs(spark)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_pairs(df, max_hamming=8).collect()}
+    assert got[(1, 2)] == 0          # identical docs
+    assert 0 < got[(1, 3)] <= 8      # one-token change: small hamming
+    assert (1, 4) not in got         # distinct doc beyond the threshold
+
+
+def test_simhash_near_pairs_pigeonhole_recall(spark):
+    # Plant signature-level near-dups by perturbing tokens until we get a
+    # pair within hamming<=3, then assert the chunk-banded path finds every
+    # such pair that a brute-force comparison of signatures finds.
+    from healthcare_data_warehouse_spark.operators.dedup import simhash_signatures_df
+
+    rows = [(i, BASE + (" extra" * (i % 3)), "en") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash_signatures_df(df).collect()}
+    want = {
+        (a, b)
+        for a in sigs for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {(r["id_a"], r["id_b"])
+           for r in simhash_near_pairs(df, max_hamming=3, max_bucket_size=1000).collect()}
+    assert got == want  # pigeonhole chunks: perfect recall, exact filter
 
 
 def test_jaccard_pairs_values(spark):
