@@ -159,6 +159,13 @@ class PrivacyBudget:
         self.ledger.append((query_name, epsilon))
         return True
 
+    def refund(self, query_name: str, epsilon: float) -> None:
+        """Roll back a charge whose query failed before releasing any data
+        (the noisy result was never materialized, so no privacy was
+        spent)."""
+        self.spent = max(0.0, self.spent - epsilon)
+        self.ledger.append((query_name, -epsilon))
+
     @property
     def remaining(self) -> float:
         return self.max_epsilon - self.spent

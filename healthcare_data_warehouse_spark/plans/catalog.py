@@ -117,15 +117,19 @@ def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND CAST(o_orderdate AS DATE) <= DATE '{AS_OF_DATE}'
     """,
 )
-def filter_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+def filter_date_range(spark: SparkSession, sf_dir: str, *,
+                      date_from: str = "1997-01-01",
+                      date_to: str = "1998-12-31") -> DataFrame:
     """P3: temporal-sanity + range predicate on the date column
     (stg_visits.sql:23). Partition-prunable when the fact is written
-    partitioned by year."""
+    partitioned by year. The range endpoints are typed parameters
+    (serving.PARAM_SPECS) — bound as date literals, never string-spliced
+    SQL (unlike query_builder.py:68's str.format)."""
     o = _t(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
     return (
-        o.filter((d >= F.lit("1997-01-01").cast("date"))
-                 & (d <= F.lit("1998-12-31").cast("date"))
+        o.filter((d >= F.lit(date_from).cast("date"))
+                 & (d <= F.lit(date_to).cast("date"))
                  & (d <= F.lit(AS_OF_DATE).cast("date")))
         .select("o_orderkey", d.alias("visit_date"), "o_totalprice")
     )
@@ -135,10 +139,12 @@ def filter_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "point_lookup",
     oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey = 42",
 )
-def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def point_lookup(spark: SparkSession, sf_dir: str, *,
+                 patient_key: int = 42) -> DataFrame:
     """P6: equality filter on the key (api.py:318) — min-max row-group
-    skipping stands in for the reference's B-tree index."""
-    return _t(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+    skipping stands in for the reference's B-tree index. ``patient_key``
+    is a typed parameter (int-validated by the serving layer)."""
+    return _t(spark, sf_dir, "customer").filter(F.col("c_custkey") == int(patient_key))
 
 
 @query(
@@ -151,18 +157,21 @@ def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
 )
-def topk_highcost(spark: SparkSession, sf_dir: str) -> DataFrame:
+def topk_highcost(spark: SparkSession, sf_dir: str, *,
+                  cost_threshold: float = 400000.0, k: int = 20) -> DataFrame:
     """P5+O2: theta filter on the measure + top-k
-    (analytics_examples.sql:100-102). orderBy+limit compiles to
-    TakeOrderedAndProject — no global sort. Tiebreak on the key keeps the
-    result set deterministic for the oracle."""
+    (analytics_examples.sql:100-102, query_builder.py:133's
+    {cost_threshold} — here a typed float parameter, not str.format).
+    orderBy+limit compiles to TakeOrderedAndProject — no global sort.
+    Tiebreak on the key keeps the result set deterministic for the
+    oracle."""
     o = _t(spark, sf_dir, "orders")
     return (
-        o.filter(F.col("o_totalprice") > 400000)
+        o.filter(F.col("o_totalprice") > float(cost_threshold))
         .select("o_orderkey", "o_custkey", "o_totalprice",
                 F.col("o_orderdate").cast("date").alias("visit_date"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(20)
+        .limit(int(k))
     )
 
 
@@ -623,9 +632,10 @@ def fn_readmission_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 3
     """,
 )
-def topk_diagnoses(spark: SparkSession, sf_dir: str) -> DataFrame:
+def topk_diagnoses(spark: SparkSession, sf_dir: str, *, k: int = 3) -> DataFrame:
     """Q2/O2: top-k categories with pct-of-total
-    (analytics_examples.sql:19-30)."""
+    (analytics_examples.sql:19-30; query_builder.py:68's {limit} is the
+    typed ``k`` parameter here)."""
     li = _t(spark, sf_dir, "lineitem")
     g = li.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy()
@@ -635,7 +645,7 @@ def topk_diagnoses(spark: SparkSession, sf_dir: str) -> DataFrame:
             round2(F.col("cnt").cast("double") * 100 / F.sum("cnt").over(w)).alias("pct"),
         )
         .orderBy(F.desc("cnt"), "l_returnflag", "l_linestatus")
-        .limit(3)
+        .limit(int(k))
     )
 
 
@@ -1479,11 +1489,15 @@ def visittype_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_custkey = 42
     """,
 )
-def patient_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q14: one patient's visit history (api.py:307-320) — point predicate
-    + broadcast dim join; the key filter prunes row groups on the fact."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") == 42)
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+def patient_history(spark: SparkSession, sf_dir: str, *,
+                    patient_key: int = 42) -> DataFrame:
+    """Q14: one patient's visit history (api.py:307-320,
+    query_builder.py:100's {patient_id} — here a typed int parameter) —
+    point predicate + dim join; the key filter prunes row groups on the
+    fact and shrinks the dim side to one row (auto-broadcast)."""
+    key = int(patient_key)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") == key)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") == key)
     return (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .select(
