@@ -1416,6 +1416,73 @@ def ml_predict_readmission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predict_readmission(spark, sf_dir)
 
 
+@query(
+    "anomaly_listing",
+    oracle="""
+    WITH th AS (SELECT o_orderstatus, quantile_cont(o_totalprice, 0.99) AS threshold
+                FROM orders GROUP BY 1)
+    SELECT o_orderkey, o.o_orderstatus, o_totalprice,
+           floor(threshold * 100 + 0.5) / 100 AS p99_cost
+    FROM orders o JOIN th ON o.o_orderstatus = th.o_orderstatus
+    WHERE o_totalprice > threshold
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def anomaly_listing(spark: SparkSession, sf_dir: str, *, k: int = 20) -> DataFrame:
+    """ML predictions round-trip (ml_pipeline.py:350-361 upsert →
+    api.py:388-400 anomaly endpoint): score anomalies on the deterministic
+    quantile path, UPSERT them into the ml_predictions parquet store, then
+    serve the top-k from the STORED table — the full score→persist→requery
+    loop, oracle-checked because the quantile scorer is deterministic."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..ml.pipeline import anomaly_scores
+    from ..sources.sinks import upsert_to_path
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"hdw_mlpred_{tag}")
+    stored = upsert_to_path(spark, path, anomaly_scores(spark, sf_dir), ["o_orderkey"])
+    return (
+        stored.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(int(k))
+    )
+
+
+@query(
+    "kpi_block",
+    oracle=f"""
+    SELECT (SELECT count(DISTINCT c_custkey) FROM customer) AS total_patients,
+           (SELECT count(DISTINCT s_suppkey) FROM supplier) AS total_providers,
+           v.total_visits, v.avg_cost
+    FROM (SELECT count(*) AS total_visits,
+                 {_oround(_oavg('o_totalprice'))} AS avg_cost
+          FROM orders) v
+    """,
+)
+def kpi_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard's 4-KPI card payload in ONE pass (api.py:208-214,
+    dashboard_kpis.sql:6-12): the reference issues four scalar subqueries
+    (two of them full fact scans); here the fact contributes count+avg
+    from a single scan, and the two dim counts are separate tiny scans —
+    three 1-row aggregates cross-joined (bounded → broadcast is safe)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    fact_kpis = o.agg(
+        F.count("*").alias("total_visits"),
+        round2(davg("o_totalprice")).alias("avg_cost"),
+    )
+    patients = c.agg(F.countDistinct("c_custkey").alias("total_patients"))
+    providers = s.agg(F.countDistinct("s_suppkey").alias("total_providers"))
+    return (
+        patients.crossJoin(F.broadcast(providers))
+        .crossJoin(F.broadcast(fact_kpis))
+        .select("total_patients", "total_providers", "total_visits", "avg_cost")
+    )
+
+
 # ===========================================================================
 # Remaining reference query-catalog shapes (Q3 / Q5 / Q14) + fact keys
 # ===========================================================================

@@ -47,6 +47,7 @@ def forget_patients(spark: SparkSession, warehouse_dir: str, patient_ids: list[i
     tmp = fact_path + "__tmp"
     kept_fact.write.mode("overwrite").partitionBy("order_year").parquet(tmp)
     swap_into_place(tmp, fact_path)
+    spark.catalog.refreshByPath(fact_path)
     return removed
 
 
@@ -64,6 +65,7 @@ def compact_table(spark: SparkSession, path: str, partition_col: str | None = No
     else:
         df.coalesce(target_files_per_partition).write.mode("overwrite").parquet(tmp)
     swap_into_place(tmp, path)
+    spark.catalog.refreshByPath(path)
     n = 0
     for _root, _dirs, files in os.walk(path):
         n += sum(1 for f in files if f.endswith(".parquet"))

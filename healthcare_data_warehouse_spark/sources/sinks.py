@@ -56,6 +56,7 @@ def overwrite_atomic(df: DataFrame, path: str) -> None:
     tmp = path + "__tmp"
     df.write.mode("overwrite").parquet(tmp)
     swap_into_place(tmp, path)
+    df.sparkSession.catalog.refreshByPath(path)
 
 
 def upsert_to_path(spark, path: str, updates: DataFrame, keys: list[str]) -> DataFrame:
@@ -64,6 +65,11 @@ def upsert_to_path(spark, path: str, updates: DataFrame, keys: list[str]) -> Dat
     The merged plan reads the old path while writing the temp path, so no
     driver-side materialization is needed at any scale; the swap is a
     single rename.
+
+    Plain parquet has no snapshot isolation: DataFrames returned by
+    PREVIOUS upserts to the same path go stale once the swap replaces the
+    files — use the frame this call returns (with Delta/Iceberg the old
+    handles would instead keep reading their snapshot).
     """
     if os.path.exists(path):
         merged = upsert(spark.read.parquet(path), updates, keys)
@@ -72,6 +78,10 @@ def upsert_to_path(spark, path: str, updates: DataFrame, keys: list[str]) -> Dat
     tmp = path + "__tmp"
     merged.write.mode("overwrite").parquet(tmp)
     swap_into_place(tmp, path)
+    # Drop the session's cached file listing for the path: the swap changed
+    # the files underneath it, and a stale FileIndex would serve deleted
+    # part files to the next reader.
+    spark.catalog.refreshByPath(path)
     return spark.read.parquet(path)
 
 

@@ -64,3 +64,58 @@ def test_anomaly_rate_about_one_percent(spark):
     total = load_table(spark, SF_SMOKE, "orders").count()
     flagged = anomaly_scores(spark, SF_SMOKE, q=0.99).count()
     assert 0 < flagged <= total * 0.02
+
+
+def test_ml_predictions_upsert_roundtrip(spark, tmp_path):
+    """The reference's score -> upsert ml_predictions -> requery loop
+    (ml_pipeline.py:350-361, api.py:388-400), pinned end to end."""
+    from healthcare_data_warehouse_spark.sources.sinks import upsert_to_path
+
+    path = str(tmp_path / "ml_predictions")
+    preds = predict_readmission(spark, SF_SMOKE)
+    stored = upsert_to_path(spark, path, preds, ["visit_id"])
+    n = stored.count()
+    assert n == preds.count()
+
+    # Idempotent re-upsert: same keys, same count
+    again = upsert_to_path(spark, path, preds, ["visit_id"])
+    assert again.count() == n
+
+    # Updated scores win on conflict: bump one visit's risk to 1.0.
+    # NOTE: handles from before a rewrite are stale (plain parquet has no
+    # snapshot isolation) — always use the frame the last upsert returned.
+    one = again.orderBy("visit_id").limit(1)
+    vid = one.collect()[0]["visit_id"]
+    update = one.withColumn("readmission_risk", F.lit(1.0))
+    merged = upsert_to_path(spark, path, update, ["visit_id"])
+    assert merged.count() == n
+    got = merged.filter(F.col("visit_id") == vid).collect()[0]
+    assert got["readmission_risk"] == 1.0
+
+    # Requery path: top-risk listing reads the stored table only
+    top = spark.read.parquet(path).orderBy(
+        F.desc("readmission_risk"), F.asc("visit_id")).limit(5).collect()
+    assert top[0]["visit_id"] == vid
+
+
+def test_anomaly_listing_roundtrip_matches_quantile(spark):
+    from healthcare_data_warehouse_spark.plans.catalog import queries
+
+    listing = queries()["anomaly_listing"](spark, SF_SMOKE).collect()
+    direct = (
+        anomaly_scores(spark, SF_SMOKE)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(20).collect()
+    )
+    assert [r["o_orderkey"] for r in listing] == [r["o_orderkey"] for r in direct]
+
+
+def test_kpi_block_single_fact_scan(spark):
+    from healthcare_data_warehouse_spark.plans.catalog import queries
+
+    df = queries()["kpi_block"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one pass over the fact: exactly one orders scan (the reference's
+    # 4-subquery KPI card scans fact_visits twice)
+    assert plan.count("orders.parquet") == 1
+    row = df.collect()[0]
+    assert row["total_visits"] > 0 and row["total_patients"] > 0
