@@ -44,32 +44,41 @@ def l_diversity_report(df: DataFrame, qi_cols: list[str], sensitive: str,
     )
 
 
-def t_closeness_report(df: DataFrame, qi_col: str, sensitive: str,
+def t_closeness_report(df: DataFrame, qi_cols: str | list[str], sensitive: str,
                        t: float = T_CLOSENESS) -> DataFrame:
-    """Total-variation distance between each group's sensitive-value
-    distribution and the global one (privacy_engine.py:168-220).
+    """Total-variation distance between each equivalence class's
+    sensitive-value distribution and the global one
+    (privacy_engine.py:168-220).
+
+    ``qi_cols`` may be one column or the FULL quasi-identifier list — the
+    reference computes EMD per equivalence class over all QIs, and
+    single-column groups are coarser (their distributions sit closer to
+    the global one), which under-reports violations.
 
     TVD = ½ Σ|p - q| over the full category grid (missing categories
-    count as p=0, hence the aggregated cross join). The per-category
-    |p-q| terms are accumulated in DECIMAL so the distributed sum is
-    bit-reproducible (see functions.expressions.dsum).
+    count as p=0, hence the aggregated cross join — global_dist is bounded
+    by the sensitive attribute's cardinality, so its broadcast is safe at
+    any data scale). The per-category |p-q| terms are accumulated in
+    DECIMAL so the distributed sum is bit-reproducible (see
+    functions.expressions.dsum).
     """
+    qi = [qi_cols] if isinstance(qi_cols, str) else list(qi_cols)
     total = df.count()
     global_dist = (
         df.groupBy(sensitive)
         .agg((F.count("*").cast("double") / F.lit(total)).alias("q"))
     )
-    group_sizes = df.groupBy(qi_col).agg(F.count("*").alias("seg_n"))
-    pair_counts = df.groupBy(qi_col, sensitive).agg(F.count("*").alias("c"))
+    group_sizes = df.groupBy(*qi).agg(F.count("*").alias("seg_n"))
+    pair_counts = df.groupBy(*qi, sensitive).agg(F.count("*").alias("c"))
     grid = (
         group_sizes.crossJoin(F.broadcast(global_dist))
-        .join(pair_counts, [qi_col, sensitive], "left")
+        .join(pair_counts, [*qi, sensitive], "left")
         .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
         .withColumn("p", F.col("c").cast("double") / F.col("seg_n"))
     )
     term = F.abs(F.col("p") - F.col("q")).cast("decimal(18,12)")
     return (
-        grid.groupBy(qi_col)
+        grid.groupBy(*qi)
         .agg((F.sum(term).cast("double") / 2).alias("tvd"))
         .withColumn("is_violation", F.col("tvd") > t)
     )
@@ -107,7 +116,10 @@ def privacy_audit_report(df: DataFrame, qi_cols: list[str], sensitive: str,
     with violation counts and worst offenders."""
     k_rep = k_anonymity_report(df, qi_cols, k)
     l_rep = l_diversity_report(df, qi_cols, sensitive, l)
-    t_rep = t_closeness_report(df, qi_cols[0], sensitive, t)
+    # Full QI tuple, matching the reference's per-equivalence-class EMD
+    # (privacy_engine.py:168-220) — single-column groups are coarser and
+    # would under-report violations.
+    t_rep = t_closeness_report(df, qi_cols, sensitive, t)
 
     k_stats = k_rep.agg(
         F.count("*").alias("groups"),

@@ -23,9 +23,24 @@ def salted_join(big: DataFrame, small: DataFrame, on: str, salt_buckets: int = 8
                 how: str = "inner") -> DataFrame:
     """Join ``big`` ⋈ ``small`` on ``on`` with the big side salted.
 
-    Semantically identical to ``big.join(small, on, how)`` — the salt is
-    an internal fan-out column, dropped on return. ``small`` is replicated
-    ``salt_buckets``× (keep it the dimension side)."""
+    Semantically identical to ``big.join(small, on, how)`` for ``how`` in
+    {'inner', 'left', 'left_semi', 'left_anti'} — the salt is an internal
+    fan-out column, dropped on return; each big-side row meets exactly one
+    replica of its small-side match, so big-side multiplicity is
+    preserved. ``small`` is replicated ``salt_buckets``× (keep it the
+    dimension side).
+
+    'right'/'full' are REJECTED: an unmatched small-side row exists once
+    per salt replica, so those modes would emit salt_buckets null-padded
+    duplicates instead of one."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — the replicated small "
+            f"side duplicates unmatched rows under right/full outer joins; "
+            f"use one of {sorted(allowed)}"
+        )
     big_s = big.withColumn(_SALT, (F.rand(seed=7) * salt_buckets).cast("int"))
     salts = big.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias(_SALT))
     small_s = small.crossJoin(F.broadcast(salts))

@@ -71,3 +71,35 @@ def test_privacy_budget_ledger():
     assert not b.charge("q3", 0.1)
     assert b.remaining < 1e-12
     assert [name for name, _ in b.ledger] == ["q1", "q2"]
+
+
+def test_t_closeness_multi_qi_catches_finer_violations(spark):
+    # Each single QI column splits the data into groups matching the
+    # global distribution, but the (qi1, qi2) equivalence classes are
+    # perfectly skewed — the reference's full-QI EMD flags them, a
+    # single-column audit would not (ADVICE r01).
+    rows = (
+        [("A", "u", "x")] * 10 + [("A", "v", "y")] * 10
+        + [("B", "u", "y")] * 10 + [("B", "v", "x")] * 10
+    )
+    df = spark.createDataFrame(rows, ["q1", "q2", "dx"])
+    single_q1 = t_closeness_report(df, "q1", "dx", t=0.2).collect()
+    assert all(not r["is_violation"] for r in single_q1)
+    single_q2 = t_closeness_report(df, "q2", "dx", t=0.2).collect()
+    assert all(not r["is_violation"] for r in single_q2)
+    multi = t_closeness_report(df, ["q1", "q2"], "dx", t=0.2).collect()
+    assert len(multi) == 4
+    assert all(r["is_violation"] and abs(r["tvd"] - 0.5) < 1e-9 for r in multi)
+
+
+def test_privacy_audit_report_uses_full_qi_tuple(spark):
+    from healthcare_data_warehouse_spark.operators.privacy import privacy_audit_report
+
+    rows = (
+        [("A", "u", "x")] * 10 + [("A", "v", "y")] * 10
+        + [("B", "u", "y")] * 10 + [("B", "v", "x")] * 10
+    )
+    df = spark.createDataFrame(rows, ["q1", "q2", "dx"])
+    rep = privacy_audit_report(df, ["q1", "q2"], "dx")
+    assert rep["t_closeness"]["violations"] == 4  # all 4 equivalence classes
+    assert not rep["t_closeness"]["passed"]

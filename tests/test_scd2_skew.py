@@ -102,3 +102,22 @@ def test_explode_salted_agg_equals_plain(spark):
     )
     salted = explode_salted_agg(df, "k", "m", salt_buckets=8)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest
+
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(3).select(F.col("id").alias("k"), F.lit("n").alias("name"))
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, on="k", how=how)
+
+
+def test_salted_join_left_preserves_unmatched_big_rows(spark):
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(3).select(F.col("id").alias("k"), F.lit("n").alias("name"))
+    got = salted_join(big, small, on="k", how="left")
+    want = big.join(small, "k", "left")
+    assert got.count() == want.count() == 10
+    assert got.filter(F.col("name").isNull()).count() == 7
