@@ -29,6 +29,12 @@ HEADLINE = [
     "window_rownumber_keys",
     "case_visit_cohorts",
     "union_dq_report",
+    # Heaviest beyond-§2 ops (LLM-pipeline + streaming batch-twin), so
+    # round-over-round perf on them is tracked (VERDICT r01 item 8):
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "stream_hourly_agg",
+    "trend_slope_per_customer",
 ]
 
 

@@ -41,12 +41,19 @@ def materialize_gold(spark: SparkSession, sf_dir: str, gold_dir: str,
     Returns the manifest (also written to gold_dir/_manifest.json)."""
     qs = catalog.queries()
     manifest: dict = {"sf_dir": sf_dir, "tables": {}}
+    small_file_rows = 100_000
     for name in queries:
         df = qs[name](spark, sf_dir)
         path = os.path.join(gold_dir, name)
-        df.coalesce(1).write.mode("overwrite").parquet(path)
+        # Single-file output is a dashboard nicety, not a requirement: only
+        # coalesce when the result is actually report-sized, so a gold
+        # query that unexpectedly returns a large result keeps a parallel
+        # final stage instead of silently single-threading the write.
+        n = df.count()
+        out = df.coalesce(1) if n <= small_file_rows else df
+        out.write.mode("overwrite").parquet(path)
         manifest["tables"][name] = {
-            "rows": spark.read.parquet(path).count(),
+            "rows": n,
             "refreshed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
     os.makedirs(gold_dir, exist_ok=True)
