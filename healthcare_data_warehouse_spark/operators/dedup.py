@@ -114,12 +114,13 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text", id_col: str = "
     versus shuffling the ~50×-larger exploded shingle stream). Measured at
     sf0.1/local[32]: 8.9s → <1s for the full LSH pipeline.
 
-    The partition count is pinned to the cluster's defaultParallelism:
-    without it AQE coalesces the byte-wise-tiny docs shuffle back to one
-    partition (AQE sizes by bytes and cannot see that the downstream
-    explode multiplies CPU ~50×)."""
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.repartition(n_part, F.col(id_col)).select(
+    The partition count is pinned to the cluster's defaultParallelism
+    (``skew.spread``): without it AQE coalesces the byte-wise-tiny docs
+    shuffle back to one partition (AQE sizes by bytes and cannot see that
+    the downstream explode multiplies CPU ~50×)."""
+    from .skew import spread
+
+    sh = spread(df, id_col).select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("__s")
     ).select(
         id_col,
@@ -231,8 +232,9 @@ def simhash_signatures_df(df: DataFrame, text_col: str = "text", id_col: str = "
     vote groupBy then reuses the partitioning shuffle-free. Partition count
     pinned so AQE's byte-based coalescing can't undo the spread (see
     ``minhash_signatures_df``)."""
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    toks = df.repartition(n_part, F.col(id_col)).select(
+    from .skew import spread
+
+    toks = spread(df, id_col).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("__w")
     )
     h = F.xxhash64("__w")
@@ -317,19 +319,37 @@ def jaccard_pairs(df: DataFrame, pair_filter: Column, text_col: str = "text",
                   id_col: str = "doc_id", group_col: str = "lang", n: int = 3) -> DataFrame:
     """Pairwise n-gram Jaccard similarity within groups, for pairs passing
     ``pair_filter`` (a sampling predicate on the id — keeps the self-join
-    bounded; in production the input is LSH candidates, not a sample)."""
-    t = df.filter(pair_filter).select(
-        F.col(id_col), F.col(group_col), shingles(text_col, n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    return (
-        a.join(b, (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            (inter.cast("double") / union).alias("jaccard"),
-        )
+    bounded; in production the input is LSH candidates, not a sample).
+
+    Two parallelism guards: shingle construction runs after a pinned
+    keyed repartition (``skew.spread`` — the CPU-heavy stage must not sit
+    in a one-file scan partition), and the self-join goes through
+    ``skew.blocked_pair_join`` — ``group_col`` typically has only a
+    handful of distinct values, so a plain equi-join would score each
+    group's quadratic pair set in a single task."""
+    from .skew import blocked_pair_join, spread
+
+    # Empty-shingle docs are excluded via the equivalent token-count
+    # predicate (size(shingles) > 0 ⟺ #tokens ≥ n): Catalyst pushes this
+    # filter below the repartition into the scan, and a filter phrased on
+    # the shingle array would drag the whole shingle construction into
+    # the (often single-partition) scan stage — the cheap form keeps the
+    # pushdown and leaves shingle building in the spread 32-way stage.
+    # Shingles are xxhash64'd to longs before pairing: only SET SIZES feed
+    # the Jaccard ratio, and intersect/union over fixed-width longs is far
+    # cheaper than over shingle strings (and shrinks the pair-join shuffle
+    # payload ~10×). 64-bit collisions within a ~10²-element doc set are
+    # ~1e-15 — size-identical to the string sets in practice.
+    t = spread(
+        df.filter(pair_filter & (F.size(tokens(text_col)) >= n)), id_col
+    ).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias("sh"),
+    )
+    pairs = blocked_pair_join(t, group_col, id_col, payload=["sh"])
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return pairs.select(
+        "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
     )

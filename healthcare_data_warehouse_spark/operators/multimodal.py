@@ -48,8 +48,15 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def extract_features(df: DataFrame) -> DataFrame:
-    """mapInPandas feature stage over the binary payload column."""
-    return df.select("doc_id", "payload").mapInPandas(_feature_batches, FEATURE_SCHEMA)
+    """mapInPandas feature stage over the binary payload column. The input
+    is spread (pinned keyed repartition) first: a decode/feature stage is
+    pure CPU, and a one-file ingest otherwise runs the whole Python stage
+    in a single Arrow worker."""
+    from .skew import spread
+
+    return spread(df.select("doc_id", "payload"), "doc_id").mapInPandas(
+        _feature_batches, FEATURE_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,71 @@ def salted_join(big: DataFrame, small: DataFrame, on: str, salt_buckets: int = 8
     return big_s.join(small_s, [on, _SALT], how).drop(_SALT)
 
 
+def spread(df: DataFrame, key_col: str, n_partitions: int | None = None) -> DataFrame:
+    """Repartition by ``key_col`` with the partition count PINNED to the
+    cluster's defaultParallelism, ahead of a CPU-amplifying stage
+    (explode/tokenize/pairwise scoring/Pandas UDF).
+
+    Why pinning matters: AQE sizes shuffle partitions by BYTES, so a
+    byte-wise-tiny-but-CPU-heavy input (a few MB of documents about to be
+    exploded into 50× the rows through tokenize+hash) gets coalesced back
+    onto one core. An explicit count opts that one exchange out of AQE
+    coalescing. Keying (rather than round-robin) lets a downstream
+    groupBy/join on the same key reuse the partitioning shuffle-free.
+
+    Use ONLY before work whose CPU is much larger than its bytes — for
+    ordinary scans/joins, AQE's sizing is correct."""
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key_col))
+
+
+def blocked_pair_join(df: DataFrame, block_col: str, id_col: str,
+                      payload: list[str], buckets: int = 16) -> DataFrame:
+    """All unordered within-block pairs — ``a.block = b.block AND
+    a.id < b.id`` — with the join key widened from ``block_col`` (often
+    5-10 distinct values: a language, a near-dup blocking label) to
+    (block, bucket) so one block's quadratic scoring work spreads over
+    ``buckets`` tasks instead of one.
+
+    Shape: the b side gets ``bucket = hash(id) % buckets``; the a side is
+    replicated once per bucket value; joining on (block, a.probe =
+    b.bucket, a.id < b.id) yields every qualifying pair exactly once —
+    identical output to the naive self-join, never an extra or missing
+    pair. The a-side replication multiplies its shuffle bytes by
+    ``buckets`` — cheap for id+payload rows, and it also feeds AQE enough
+    bytes to keep the post-shuffle stage parallel.
+
+    Returns columns id_a, id_b, and ``{c}_a``/``{c}_b`` per payload col;
+    compute the pair score (cosine, Jaccard, ...) on those.
+
+    The join is pinned to SHUFFLE_HASH: both sides are corpus-sized (they
+    ARE the corpus), so at scale neither may broadcast — and if Catalyst
+    broadcasts one side at small SF, the pair scoring (which runs inside
+    this join's stage) inherits the other side's scan partitioning, i.e.
+    one task for a one-file input. The shuffle join hash-partitions both
+    sides on (block, bucket) — the very key the bucketing exists to
+    spread — and sidesteps sorting the (often array-heavy) payloads that
+    a merge join would require. The b side carries the hint: it is the
+    smaller (un-replicated) build side."""
+    bkt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)).cast("int")
+    b_side = df.withColumn("__bkt", bkt).hint("shuffle_hash")
+    a_side = df.withColumn(
+        "__probe", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    a, b = a_side.alias("a"), b_side.alias("b")
+    return (
+        a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+               & (F.col("a.__probe") == F.col("b.__bkt"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload],
+        )
+    )
+
+
 def explode_salted_agg(df: DataFrame, key: str, measure: str, salt_buckets: int = 16) -> DataFrame:
     """Two-phase aggregation for a skewed groupBy key: partial aggregate on
     (key, salt), then final aggregate on key. Spark's hash aggregate

@@ -1138,10 +1138,13 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("text_langid")  # heuristic classifier — rows-only (pytest-verified)
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic stopword-profile language ID per document."""
+    """Heuristic stopword-profile language ID per document. The scoring
+    expressions are interpreted higher-order functions (CPU ≫ bytes), so
+    the scan is spread across the cluster first (``skew.spread``)."""
+    from ..operators.skew import spread
     from ..operators.text import lang_id
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     return d.select("doc_id", "lang", lang_id("text").alias("predicted_lang"))
 
 
@@ -1913,23 +1916,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.3), blocked on
     the label (the standard near-dup blocking key: only candidates within
     a block are scored — label here; SRP-LSH bucket at 100 TB, same
-    scoring expression, one bucket-join shuffle). The block join shuffles
-    both sides on the key, so the quadratic term is per-block, not
-    corpus-wide."""
-    from ..operators.similarity import cosine
+    scoring expression, one bucket-join shuffle).
 
-    e = _t(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    Two per-pair-cost levers, both result-identical to the naive form:
+    the L2 norm is computed ONCE per row before the pairing (the naive
+    ``cosine(a, b)`` re-derives both norms per PAIR — 3 array aggregates
+    where 1 suffices; ``sqrt(dot(v,v))`` here is the same expression on
+    the same rows, and dot/(norm_a*norm_b) keeps the same fp order, so
+    values match bit-for-bit), and the pairing goes through
+    ``skew.blocked_pair_join`` — label has ~10 distinct values, so a
+    plain label equi-join would score each label's quadratic pair set in
+    one task."""
+    from ..operators.similarity import dot, norm
+    from ..operators.skew import blocked_pair_join
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("__norm")
+    )
+    pairs = blocked_pair_join(e, "label", "vec_id", payload=["embedding", "__norm"])
+    sim = dot(F.col("embedding_a"), F.col("embedding_b")) / (
+        F.col("__norm_a") * F.col("__norm_b")
+    )
     return (
-        a.join(b, (F.col("a.vec_id") < F.col("b.vec_id"))
-               & (F.col("a.label") == F.col("b.label")))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            sim.alias("cosine_sim"),
-        )
+        pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= 0.3)
     )
 
@@ -2140,9 +2149,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics: term frequency + document frequency
     via explode → single hash aggregate (the TF-IDF substrate; one
     shuffle on the token at any corpus size)."""
+    from ..operators.skew import spread
     from ..operators.text import tokens
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     w = d.select("doc_id", F.explode(tokens("text")).alias("token"))
     return w.groupBy("token").agg(
         F.count("*").alias("term_freq"),
@@ -2157,17 +2167,30 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     document) both grow with the corpus, so neither carries a broadcast
     hint: tf⋈doclen co-shuffles on doc_id, tf⋈df_map shuffles on token,
     and AQE still broadcasts either while it fits the threshold."""
+    from ..operators.skew import spread
     from ..operators.text import tokens
 
     d = _t(spark, sf_dir, "documents")
     n_docs = d.count()
-    w = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    # Tokenize ONCE, in ONE linear pipeline: doc length and document
+    # frequency come from WINDOWS over the (doc_id, token) aggregate —
+    # sum(tf) per doc is the doc length, and a token's row count in tf IS
+    # its distinct-doc frequency — not from self-join branches. Branching
+    # re-executes everything past the last shared exchange, so the
+    # tf/doclen/df_map three-way join formulation tokenizes the corpus
+    # three times; windows keep one tokenize pass. The explode runs after
+    # a pinned keyed repartition (skew.spread) so a one-file corpus
+    # doesn't tokenize on a single core; the tf aggregation, the doc-len
+    # window, and the final per-doc top-1 window all reuse that doc_id
+    # partitioning — the only other shuffle is tf-sized, on the token,
+    # for the df window.
+    w = spread(d, "doc_id").select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = w.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    doclen = w.groupBy("doc_id").agg(F.count("*").alias("len"))
-    df_map = w.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    len_w = Window.partitionBy("doc_id")
+    df_w = Window.partitionBy("token")
     scored = (
-        tf.join(df_map, "token")
-        .join(doclen, "doc_id")
+        tf.withColumn("len", F.sum("tf").over(len_w))
+        .withColumn("df", F.count("*").over(df_w))
         .withColumn(
             "tfidf",
             (F.col("tf").cast("double") / F.col("len"))

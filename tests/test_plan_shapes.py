@@ -128,3 +128,32 @@ def test_scaling_joins_still_broadcast_when_small(spark):
     # broadcast for these joins on their own (no hint needed).
     plan = _plan(spark, "join_3way")
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Pair-scoring parallelism: blocked_pair_join must be a shuffle-hash join
+# (both sides are corpus-sized, so neither may broadcast — and a broadcast
+# would leave the pair scoring on the probe side's scan partitioning, i.e.
+# ONE task for a one-file corpus), and the CPU-heavy signature pipelines
+# must keep their pinned spread exchange so a one-file scan can't
+# single-thread the tokenize/shingle stage.
+# ---------------------------------------------------------------------------
+
+
+def test_blocked_pair_join_is_shuffle_hash(spark):
+    for name in ("dedup_embedding_cosine", "dedup_ngram_jaccard"):
+        plan = _plan(spark, name)
+        assert "ShuffledHashJoin" in plan, f"{name}: pair join not shuffle-hash"
+        assert "BroadcastHashJoin" not in plan, (
+            f"{name}: corpus-sized pair-join side got broadcast"
+        )
+
+
+def test_signature_pipelines_keep_pinned_spread(spark):
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "text_tfidf",
+                 "text_token_stats", "multimodal_features"):
+        plan = _plan(spark, name)
+        assert "REPARTITION_BY_NUM" in plan, (
+            f"{name}: pinned spread repartition missing — CPU-heavy stage "
+            f"would run on the scan's (possibly single) partitions"
+        )
