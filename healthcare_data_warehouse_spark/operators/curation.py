@@ -1,0 +1,199 @@
+"""Training-corpus curation operators: deterministic sampling, token-budget
+packing, and the end-to-end clean pipeline.
+
+north_star scope (LLM-training-data pipeline ops). Reference has no analog;
+semantics follow standard corpus-curation practice (C4/Gopher-style filters,
+mixture rebalancing, sequence packing).
+
+Design rules:
+
+- **Deterministic by content, not by RNG.** Sampling uses an md5-derived
+  uniform key (``substr(md5(id), 1, 4)`` compared against a hex threshold)
+  instead of ``rand()``: the sample is reproducible run-to-run, stable
+  under repartitioning, and expressible in ANSI SQL — so every operator
+  here is fully oracle-checkable (rand-based sampleBy is none of those).
+- **No global sorts.** Packing orders within (stratum, shard) where the
+  shard is itself hash-derived — each pack window is independent, so the
+  work parallelizes to stratum×shard granularity at any corpus size.
+- **Filters stay native.** Everything is Column expressions over
+  whitespace tokenization (``text.tokens``); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# ---------------------------------------------------------------------------
+# Deterministic uniform key + stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def det_key(id_col: Column | str, width: int = 4) -> Column:
+    """Deterministic uniform sampling key: the first ``width`` hex chars of
+    md5 of the id's decimal string. Uniform over 16^width buckets,
+    identical in any engine with md5 (the oracle uses the same
+    expression), and independent of partitioning."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(c.cast("string")), 1, width)
+
+
+def hex_threshold(rate: float, width: int = 4) -> str:
+    """Hex string t such that det_key < t keeps ~``rate`` of rows."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(int(rate * 16 ** width), 16 ** width - 1), f"0{width}x")
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      stratum_col: str = "lang", id_col: str = "doc_id",
+                      default_rate: float = 1.0) -> DataFrame:
+    """Per-stratum deterministic sampling — the mixture-rebalancing
+    primitive (e.g. downsample the dominant language before training).
+
+    Pure narrow filter: no shuffle, no RNG, pushed to the scan; the kept
+    set is a function of (id, stratum) only, so reruns and backfills
+    select the same rows at any scale."""
+    key = det_key(id_col)
+
+    def keep(rate: float) -> Column:
+        # rate >= 1 must keep EVERYTHING: a hex-string compare can't
+        # express it ('ffff' excludes keys equal to 'ffff', and '10000'
+        # sorts lexicographically BELOW 'ffff').
+        if rate >= 1.0:
+            return F.lit(True)
+        return key < F.lit(hex_threshold(rate))
+
+    expr = keep(default_rate)
+    for stratum, rate in sorted(rates.items()):
+        expr = F.when(F.col(stratum_col) == stratum, keep(rate)).otherwise(expr)
+    return df.filter(expr)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget packing
+# ---------------------------------------------------------------------------
+
+
+def pack_token_budget(df: DataFrame, budget: int, stratum_col: str = "lang",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n_shards: int = 16) -> DataFrame:
+    """Greedy sequential packing of documents into ``budget``-token bins
+    (context-window packing for LLM training).
+
+    Documents are processed in ``id_col`` order within (stratum, shard)
+    and a document's bin is where its running token total STARTS:
+    ``pack_id = floor((cumsum - n_tokens) / budget)`` — the standard
+    streaming approximation (a doc crossing a boundary stays in the bin
+    it started in; oversized docs own their bins).
+
+    The shard is hash-derived from the id (``substr(md5(id), 1, 1)``):
+    each (stratum, shard) window sorts independently, so the plan is
+    #strata × ``n_shards`` parallel sorted windows — never a global sort,
+    and shard count can grow with the corpus. Shards are deterministic,
+    so the packing itself is reproducible end to end."""
+    from .skew import spread
+
+    if n_shards != 16:
+        raise ValueError("n_shards is fixed at 16 (one hex char of md5)")
+    n_tok = F.size(tokens(text_col))
+    shard = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    w = (
+        Window.partitionBy(stratum_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spread(df, id_col).select(
+            F.col(id_col), F.col(stratum_col),
+            n_tok.cast("long").alias("n_tokens"), shard.alias("shard"),
+        )
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col, stratum_col, "shard", "n_tokens",
+            F.floor((F.col("__cum") - F.col("n_tokens")) / budget)
+            .cast("long").alias("pack_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus clean
+# ---------------------------------------------------------------------------
+
+
+def corpus_clean(df: DataFrame, min_tokens: int = 10, max_tokens: int = 5000,
+                 max_avg_word_len: float = 15.0, budget_per_stratum: int = 5000,
+                 stratum_col: str = "lang", id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """The composed curation pipeline: quality filter → exact dedup →
+    per-stratum token budget. One declarative plan, fully oracle-checkable.
+
+    Stages (all shuffles are keyed and bounded):
+    1. Quality: token count in [min_tokens, max_tokens] and average word
+       length ≤ max_avg_word_len (C4/Gopher-style length rules) — narrow,
+       pushed to the scan.
+    2. Exact dedup: keep the min-id representative per md5(text) group,
+       via a min-over-fingerprint window (one shuffle on the fingerprint).
+    3. Budget: running token total per stratum in id order; docs are kept
+       while the stratum's cumulative total stays ≤ budget_per_stratum —
+       deterministic "first N tokens per stratum". NOTE the budget window
+       is per-stratum sequential BY SEMANTICS (the kept set depends on
+       order); for corpus-scale budgets, apply stage 3 per (stratum,
+       shard) like ``pack_token_budget`` and budget each shard.
+    """
+    from .skew import spread
+
+    n_tok = F.size(tokens(text_col))
+    nospace = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    t = (
+        spread(df, id_col)
+        .select(
+            F.col(id_col), F.col(stratum_col), F.col("source"),
+            n_tok.cast("long").alias("n_tokens"),
+            F.md5(F.col(text_col)).alias("__fp"),
+            (nospace.cast("double") / n_tok).alias("__awl"),
+        )
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("__awl") <= max_avg_word_len)
+        )
+    )
+    rep = t.withColumn("__keep", F.min(id_col).over(Window.partitionBy("__fp")))
+    deduped = rep.filter(F.col(id_col) == F.col("__keep"))
+    bw = (
+        Window.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deduped.withColumn("__cum", F.sum("n_tokens").over(bw))
+        .filter(F.col("__cum") <= budget_per_stratum)
+        .select(id_col, stratum_col, "source", "n_tokens")
+    )
+
+
+def mixture_stats(df: DataFrame, stratum_col: str = "lang",
+                  source_col: str = "source", text_col: str = "text") -> DataFrame:
+    """Training-mixture composition: per (stratum, source) document and
+    token counts plus each cell's share of all tokens — the table you
+    balance a pre-training mixture against. One hash aggregate; the
+    pct-of-total window runs over the already-aggregated (tiny) result.
+    Tokenization (the CPU) happens in the spread stage, partial-aggregated
+    map-side before the one (stratum, source) shuffle."""
+    from .skew import spread
+
+    n_tok = F.size(tokens(text_col))
+    agg = spread(df, "doc_id").groupBy(stratum_col, source_col).agg(
+        F.count("*").alias("doc_count"),
+        F.sum(n_tok.cast("long")).alias("token_count"),
+    )
+    total_w = Window.partitionBy()
+    return agg.select(
+        stratum_col, source_col, "doc_count", "token_count",
+        (F.col("token_count").cast("double")
+         / F.sum("token_count").over(total_w)).alias("token_share"),
+    )

@@ -2205,6 +2205,110 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Corpus curation (deterministic sampling / packing / clean pipeline —
+# operators.curation; md5-keyed so every op is fully oracle-checkable)
+# ===========================================================================
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < CASE lang WHEN 'en' THEN '4000' ELSE '8000' END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: keep 25% of the dominant language, 50% of the
+    rest, via the deterministic md5 sampling key — reproducible, shuffle
+    free, pushed to the scan (no RNG, unlike sampleBy)."""
+    from ..operators.curation import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(d, rates={"en": 0.25}, default_rate=0.5)
+
+
+@query(
+    "pack_token_budget",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+        FROM documents)
+    SELECT doc_id, lang, shard, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY lang, shard
+                                           ORDER BY doc_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)
+                       - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def pack_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy 2048-token context-window packing per (lang, md5-shard) —
+    #strata × 16 independent sorted windows, never a global sort."""
+    from ..operators.curation import pack_token_budget
+
+    return pack_token_budget(_t(spark, sf_dir, "documents"), budget=2048)
+
+
+@query(
+    "corpus_clean",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               md5(text) AS fp,
+               CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                   / len(string_split_regex(trim(text), '\s+')) AS awl
+        FROM documents),
+    q AS (
+        SELECT * FROM t
+        WHERE n_tokens BETWEEN 10 AND 5000 AND awl <= 15.0),
+    d AS (
+        SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM q),
+    b AS (
+        SELECT doc_id, lang, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+        FROM d WHERE doc_id = keep_id)
+    SELECT doc_id, lang, source, n_tokens FROM b WHERE cum <= 5000
+    """,
+)
+def corpus_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: C4/Gopher-style quality filter → exact dedup
+    (min-id per md5 fingerprint) → per-language 5000-token budget."""
+    from ..operators.curation import corpus_clean
+
+    return corpus_clean(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_mixture",
+    oracle=r"""
+    WITH a AS (
+        SELECT lang, source, count(*) AS doc_count,
+               CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                    AS BIGINT) AS token_count
+        FROM documents GROUP BY lang, source)
+    SELECT lang, source, doc_count, token_count,
+           CAST(token_count AS DOUBLE) / sum(token_count) OVER () AS token_share
+    FROM a
+    """,
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture composition table: per (lang, source) doc/token
+    counts and token share — one aggregate, pct-of-total over the tiny
+    aggregated result."""
+    from ..operators.curation import mixture_stats
+
+    return mixture_stats(_t(spark, sf_dir, "documents"))
+
+
 @query(
     "trend_slope_per_customer",
     oracle="""

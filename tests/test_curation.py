@@ -1,0 +1,101 @@
+"""Corpus-curation operators: deterministic sampling, packing, clean
+pipeline, mixture stats (operators/curation.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from healthcare_data_warehouse_spark.operators.curation import (
+    corpus_clean,
+    hex_threshold,
+    mixture_stats,
+    pack_token_budget,
+    stratified_sample,
+)
+from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+from conftest import SF_CORRECT, SF_SMOKE
+
+
+def test_hex_threshold_bounds():
+    assert hex_threshold(0.0) == "0000"
+    assert hex_threshold(0.25) == "4000"
+    assert hex_threshold(0.5) == "8000"
+    # rate=1.0 saturates at the max key (stratified_sample special-cases
+    # it to keep-all before the compare)
+    assert hex_threshold(1.0) == "ffff"
+
+
+def test_stratified_sample_deterministic_and_calibrated(spark):
+    d = load_table(spark, SF_CORRECT, "documents").select("doc_id", "lang")
+    s1 = stratified_sample(d, rates={"en": 0.25}, default_rate=0.5)
+    s2 = stratified_sample(d, rates={"en": 0.25}, default_rate=0.5)
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    assert ids1 == sorted(r.doc_id for r in s2.collect())  # no RNG
+
+    totals = dict(d.groupBy("lang").count().collect())
+    kept = dict(s1.groupBy("lang").count().collect())
+    en_rate = kept["en"] / totals["en"]
+    assert 0.15 < en_rate < 0.35
+    for lang in totals:
+        if lang != "en":
+            assert 0.35 < kept[lang] / totals[lang] < 0.65
+
+
+def test_stratified_sample_rate_one_keeps_all(spark):
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert stratified_sample(d, rates={}, default_rate=1.0).count() == d.count()
+    assert stratified_sample(d, rates={}, default_rate=0.0).count() == 0
+
+
+def test_pack_respects_budget_and_order(spark):
+    budget = 512
+    d = load_table(spark, SF_SMOKE, "documents")
+    packed = pack_token_budget(d, budget=budget)
+    rows = packed.orderBy("lang", "shard", "doc_id").collect()
+
+    # within each (lang, shard): pack ids non-decreasing in doc order, and
+    # a pack's token total exceeds budget only via its LAST doc (greedy
+    # start-bin rule) unless a single doc is itself oversized
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[(r.lang, r.shard)].append(r)
+    assert len(groups) > 1
+    for grp in groups.values():
+        pids = [r.pack_id for r in grp]
+        assert pids == sorted(pids)
+        by_pack = defaultdict(list)
+        for r in grp:
+            by_pack[r.pack_id].append(r.n_tokens)
+        for toks in by_pack.values():
+            # every doc except the last STARTED inside the budget
+            assert sum(toks[:-1]) <= budget
+
+
+def test_corpus_clean_invariants(spark):
+    budget = 5000
+    d = load_table(spark, SF_CORRECT, "documents")
+    kept = corpus_clean(d, budget_per_stratum=budget)
+    rows = kept.collect()
+    assert 0 < len(rows) < d.count()
+    assert all(10 <= r.n_tokens <= 5000 for r in rows)
+    # per-stratum kept token totals respect the budget
+    for lang, tot in kept.groupBy("lang").agg(
+        F.sum("n_tokens").alias("t")
+    ).collect():
+        assert tot <= budget
+    # no two kept docs share a content fingerprint
+    fps = (
+        d.join(kept.select("doc_id"), "doc_id", "left_semi")
+        .select(F.md5("text").alias("fp"))
+    )
+    assert fps.distinct().count() == fps.count()
+
+
+def test_mixture_shares_sum_to_one(spark):
+    d = load_table(spark, SF_SMOKE, "documents")
+    rows = mixture_stats(d).collect()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9
+    assert all(r.doc_count > 0 and r.token_count > 0 for r in rows)
