@@ -1359,6 +1359,49 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_first(load_table(spark, sf_dir, "events"))
 
 
+@query(
+    "stream_enrich_segment",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           c_mktsegment AS segment, count(*) AS cnt,
+           {_osum('value')} AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly events per customer segment — batch twin of the
+    stream-static enrichment join (streaming.pipelines.
+    streaming_enrich_segment); parity pytest-enforced."""
+    from ..sources.loaders import load_table
+    from ..streaming.pipelines import enrich_with_segment
+
+    return enrich_with_segment(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+
+
+@query(
+    "stream_funnel_pairs",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_funnel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase pairs within 1h — batch twin of the stream-stream
+    interval join (streaming.pipelines.streaming_funnel_pairs): equi-key
+    co-shuffle on user_id plus a range predicate, state bounded by the
+    watermark in the live pipeline."""
+    from ..sources.loaders import load_table
+    from ..streaming.pipelines import funnel_pairs
+
+    return funnel_pairs(load_table(spark, sf_dir, "events"))
+
+
 # ===========================================================================
 # ML pipeline (features + anomaly are oracle-checked; model scoring is
 # rows-only — MLlib RNG can't be replayed in SQL)

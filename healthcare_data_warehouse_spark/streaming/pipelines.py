@@ -103,6 +103,48 @@ def dedup_keep_first(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_segment(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Hourly event rollup per customer market segment: events joined to
+    the customer dimension (user_id = c_custkey in the driver layout).
+    In streaming this is a STREAM-STATIC join — the static side is
+    re-resolved every micro-batch, so dimension updates between batches
+    are picked up; join strategy is left to Catalyst/AQE (customer scales
+    with the data — no broadcast hint, per the engine-wide hint policy)."""
+    dim = customer.select(F.col("c_custkey").alias("user_id"),
+                          F.col("c_mktsegment").alias("segment"))
+    return (
+        events.join(dim, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(F.count("*").alias("cnt"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "segment", "cnt", "total_value")
+    )
+
+
+def funnel_pairs(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Click→purchase conversion pairs: every (click, purchase) by the
+    same user with the purchase inside ``horizon`` after the click. The
+    batch twin of the streaming stream-stream interval join: equi-key on
+    user_id (one co-shuffle) plus a time-range predicate — never a cross
+    join."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        )
+        .select("user_id", "click_id", "purchase_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming runners (Trigger.AvailableNow + memory sink)
 # ---------------------------------------------------------------------------
@@ -133,6 +175,54 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str,
     ev = read_event_stream(spark, sf_dir).withWatermark("ts", watermark)
     return tumbling_hourly(ev).withColumn(
         "window_start", F.col("window_start").cast("timestamp_ntz")
+    )
+
+
+def streaming_enrich_segment(spark: SparkSession, sf_dir: str,
+                             watermark: str = "2 hours") -> DataFrame:
+    """Stream-static enrichment: the event stream joins the (batch)
+    customer dimension, then aggregates per segment per hour under a
+    watermark. The static side is just a DataFrame — Structured Streaming
+    re-binds it each micro-batch."""
+    from ..sources.loaders import load_table
+
+    ev = read_event_stream(spark, sf_dir).withWatermark("ts", watermark)
+    dim = load_table(spark, sf_dir, "customer")
+    return enrich_with_segment(ev, dim).withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz")
+    )
+
+
+def streaming_funnel_pairs(spark: SparkSession, sf_dir: str,
+                           horizon: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """STREAM-STREAM interval join: clicks and purchases are two
+    watermarked streams; the time-range predicate on the join condition
+    lets Spark bound each side's state (click state can be dropped once
+    the watermark passes click_ts + horizon). Append output — each pair
+    is emitted exactly once."""
+    ev = read_event_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        )
+        .select("user_id", "click_id", "purchase_id")
     )
 
 

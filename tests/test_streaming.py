@@ -48,3 +48,38 @@ def test_streaming_dedup_matches_distinct(spark):
 def test_watermark_in_plan(spark):
     df = streaming_tumbling_hourly(spark, SF_SMOKE, watermark="2 hours")
     assert "EventTimeWatermark" in df._jdf.queryExecution().logical().toString()
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    from healthcare_data_warehouse_spark.streaming.pipelines import (
+        enrich_with_segment,
+        streaming_enrich_segment,
+    )
+
+    stream_result = run_stream_to_memory(
+        streaming_enrich_segment(spark, SF_SMOKE), "t_enrich"
+    )
+    batch_result = enrich_with_segment(
+        load_table(spark, SF_SMOKE, "events"),
+        load_table(spark, SF_SMOKE, "customer"),
+    )
+    canon = lambda rows: sorted(  # noqa: E731
+        (r["window_start"], r["segment"], r["cnt"], r["total_value"]) for r in rows
+    )
+    assert canon(stream_result.collect()) == canon(batch_result.collect())
+
+
+def test_stream_stream_funnel_matches_batch(spark):
+    from healthcare_data_warehouse_spark.streaming.pipelines import (
+        funnel_pairs,
+        streaming_funnel_pairs,
+    )
+
+    stream_df = streaming_funnel_pairs(spark, SF_SMOKE)
+    assert stream_df.isStreaming
+    stream_result = run_stream_to_memory(stream_df, "t_funnel", output_mode="append")
+    batch_result = funnel_pairs(load_table(spark, SF_SMOKE, "events"))
+    canon = lambda rows: sorted(  # noqa: E731
+        (r["user_id"], r["click_id"], r["purchase_id"]) for r in rows
+    )
+    assert canon(stream_result.collect()) == canon(batch_result.collect())
