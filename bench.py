@@ -35,6 +35,9 @@ HEADLINE = [
     "ann_cosine_topk",
     "stream_hourly_agg",
     "trend_slope_per_customer",
+    # round-2 additions (blocked pair scoring + curation pipeline):
+    "dedup_embedding_cosine",
+    "corpus_clean",
 ]
 
 

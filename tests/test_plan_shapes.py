@@ -117,6 +117,11 @@ def test_no_forced_broadcast_of_scaling_relations(spark):
 def test_star_fact_build_no_forced_broadcast(spark):
     from healthcare_data_warehouse_spark.plans.star import fact_orders
 
+    # The surrogate-key stage persists an intermediate; a cached fragment
+    # built by an EARLIER test under the normal broadcast threshold would
+    # be substituted here with its stale BroadcastHashJoin inside. Clear
+    # so this test sees the plan Catalyst would build at 100 TB.
+    spark.catalog.clearCache()
     with _no_auto_broadcast(spark):
         df = fact_orders(spark, SF_SMOKE)
         plan = df._jdf.queryExecution().executedPlan().toString()
