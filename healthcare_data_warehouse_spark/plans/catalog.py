@@ -2248,6 +2248,97 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_repetition",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+    g AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+        FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+        WHERE len(toks) >= 2),
+    gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+    r AS (SELECT doc_id, max(c) AS top_c, sum(c) AS tot FROM gc GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               AS distinct_token_ratio,
+           CAST(r.top_c AS DOUBLE) / r.tot AS top_bigram_frac
+    FROM t JOIN r ON t.doc_id = r.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: fraction of
+    distinct tokens, and the share of the single most frequent word
+    bigram (repetitive boilerplate scores high). One explode + two keyed
+    aggregates, CPU spread before tokenize; docs under 2 tokens drop (no
+    bigram exists)."""
+    from ..operators.skew import spread
+    from ..operators.text import tokens
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    toks = tokens("text")
+    base = d.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
+        .alias("distinct_token_ratio"),
+        F.col("text"),
+    )
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(t) - 1)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1))
+    )
+    g = (
+        d.filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    gc = g.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    r = gc.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("tot")
+    )
+    return (
+        base.join(r, "doc_id")
+        .select(
+            "doc_id", "distinct_token_ratio",
+            (F.col("top_c").cast("double") / F.col("tot")).alias("top_bigram_frac"),
+        )
+    )
+
+
+@query(
+    "embedding_dim_profile",
+    oracle="""
+    WITH e AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    x AS (
+        SELECT label, CAST(i - 1 AS INTEGER) AS dim, emb[i] AS v
+        FROM e, LATERAL (SELECT unnest(generate_series(1, len(emb))) AS i))
+    SELECT label, dim, count(*) AS n,
+           min(v) AS min_v, max(v) AS max_v
+    FROM x GROUP BY label, dim
+    """,
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) embedding range profile via posexplode —
+    the columnar vector-stats pass (feature ranges for normalization /
+    drift checks). min/max/count only: exact under any accumulation
+    order, so the distributed result matches the oracle bit-for-bit
+    (a dim-wise MEAN would need decimal accumulation)."""
+    from ..operators.skew import spread
+
+    e = spread(_t(spark, sf_dir, "embeddings"), "vec_id")
+    x = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("dim", "v")
+    )
+    return x.groupBy("label", "dim").agg(
+        F.count("*").alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
 # ===========================================================================
 # Corpus curation (deterministic sampling / packing / clean pipeline —
 # operators.curation; md5-keyed so every op is fully oracle-checkable)

@@ -39,6 +39,10 @@ def test_dim_customer_shape_and_pii(spark):
 
 
 def test_fact_orders_broadcasts_dim(spark):
+    # plan-shape assertion: clear cached fragments so a fact build cached
+    # by another test under a different broadcast threshold (the
+    # surrogate-key stage persists an intermediate) can't be substituted
+    spark.catalog.clearCache()
     fact = fact_orders(spark, SF_SMOKE)
     plan = fact._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
