@@ -107,4 +107,8 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
                 "frame_idx": pd.Series(idxs, dtype="int32"),
                 "frame_payload": frames if frames else pd.Series([], dtype=object),
             })
-    return df.select("doc_id", "payload").mapInPandas(_fn, FRAME_SCHEMA)
+    from .skew import spread
+
+    return spread(df.select("doc_id", "payload"), "doc_id").mapInPandas(
+        _fn, FRAME_SCHEMA
+    )

@@ -2249,6 +2249,34 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frames",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           CAST(least(32, nb - i * 32) AS INTEGER) AS frame_bytes
+    FROM d, LATERAL (SELECT unnest(generate_series(0,
+        CAST(ceil(nb / 32.0) AS BIGINT) - 1)) AS i)
+    WHERE nb > 0
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling mapInPandas stage (video keyframe-extraction shape:
+    output cardinality > input). The deterministic byte-stride stand-in
+    decode makes the whole Arrow explode-shaped Python stage
+    oracle-checkable: per-frame index + frame byte length must equal the
+    SQL chunking of the payload."""
+    from ..operators.multimodal import attach_binary, sample_frames
+
+    d = attach_binary(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(d, every_n_bytes=32)
+    return frames.select(
+        "doc_id", "frame_idx",
+        F.octet_length("frame_payload").cast("int").alias("frame_bytes"),
+    )
+
+
+@query(
     "text_repetition",
     oracle=r"""
     WITH t AS (
