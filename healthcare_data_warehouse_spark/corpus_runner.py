@@ -1,0 +1,96 @@
+"""End-to-end LLM-training-corpus pipeline runner.
+
+The corpus analog of ``runner.py``'s warehouse DAG: one driver program
+that takes a raw document table through the full curation funnel and
+materializes a training-ready corpus —
+
+    ingest → quality filter + exact dedup + per-language token budget
+    (``operators.curation.corpus_clean``) → near-duplicate removal
+    (MinHash+LSH candidates, keep the min-id of every candidate pair) →
+    context-window packing (``operators.curation.pack_token_budget``) →
+    parquet partitioned by (lang, pack bucket), plus a JSON manifest with
+    per-stage survivor counts.
+
+Every stage is the declarative operator the catalog already certifies;
+this module only composes them and writes. At 100 TB the identical
+program is a spark-submit job; the partitioned layout means a trainer
+reading one language (or one pack shard) prunes everything else.
+
+    python -m healthcare_data_warehouse_spark.corpus_runner \
+        [--sf-dir /root/testdata/sf0.001] [--out .scratch/corpus]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import SCRATCH_DIR, SMOKE_SF_DIR
+from .operators.curation import corpus_clean, pack_token_budget
+from .operators.dedup import lsh_candidate_pairs
+from .session import get_spark
+from .sources.loaders import load_table
+
+
+def drop_near_dups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Remove near-duplicates: LSH candidate pairs vote out the larger id
+    of each pair (keep-min policy, matching exact dedup). One banded
+    bucket join + one anti join — never O(n²)."""
+    pairs = lsh_candidate_pairs(docs, id_col=id_col)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    manifest: dict = {"sf_dir": sf_dir, "out_dir": out_dir, "stages": {}}
+    docs = load_table(spark, sf_dir, "documents")
+    manifest["stages"]["ingest"] = {"docs": docs.count()}
+
+    # Stage 1: quality + exact dedup + per-language budget (one plan).
+    kept_ids = corpus_clean(docs).select("doc_id")
+    clean = docs.join(kept_ids, "doc_id", "left_semi")
+    manifest["stages"]["clean"] = {"docs": clean.count()}
+
+    # Stage 2: near-dup removal over the survivors.
+    deduped = drop_near_dups(clean)
+    manifest["stages"]["near_dup"] = {"docs": deduped.count()}
+
+    # Stage 3: pack into context windows; keep text alongside assignment.
+    packs = pack_token_budget(deduped, budget=2048)
+    corpus = deduped.join(packs.select("doc_id", "shard", "n_tokens", "pack_id"),
+                          "doc_id")
+    out_path = os.path.join(out_dir, "corpus")
+    corpus.write.mode("overwrite").partitionBy("lang", "shard").parquet(out_path)
+
+    stats = corpus.groupBy().agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.countDistinct("lang", "shard", "pack_id").alias("packs"),
+    ).collect()[0]
+    manifest["stages"]["packed"] = {
+        "docs": stats["docs"], "tokens": int(stats["tokens"]),
+        "packs": stats["packs"],
+    }
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=SMOKE_SF_DIR)
+    ap.add_argument("--out", default=os.path.join(SCRATCH_DIR, "corpus"))
+    args = ap.parse_args()
+    spark = get_spark("corpus-runner")
+    manifest = run_corpus_pipeline(spark, args.sf_dir, args.out)
+    print(json.dumps(manifest))
+
+
+if __name__ == "__main__":
+    main()
