@@ -1,0 +1,93 @@
+"""Distributed graph connectivity: connected components over an edge list.
+
+The clustering step of near-duplicate detection: pair generation
+(LSH/SimHash/Jaccard) yields edges; a training corpus keeps ONE document
+per connected component. The reference has no analog; semantics follow
+the standard min-label-propagation formulation (Kiveris et al.'s
+large-star/small-star family — this is the simple propagation variant,
+appropriate because near-dup graphs are dense clique-ish clusters with
+tiny diameter).
+
+Algorithm: every node's label starts as its own id; each round replaces
+it with the minimum label in its closed neighborhood (itself + direct
+neighbors); converged when no label changes. Rounds needed = graph
+diameter — 2-3 for dup clusters; a ``max_iter`` guard raises on
+pathological chains instead of looping forever. Each round is one
+shuffle (explode edges both ways + min-aggregate + join back); lineage
+is truncated with ``localCheckpoint`` every round so plan depth stays
+constant no matter how many iterations run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iter: int = 25) -> DataFrame:
+    """Label every node with the MINIMUM node id reachable from it.
+
+    Returns (node, component) — deterministic: the component id is the
+    smallest member id, independent of partitioning or iteration order.
+    Raises RuntimeError if ``max_iter`` rounds don't converge (diameter
+    larger than max_iter — not a near-dup-shaped graph)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a").agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_iter} rounds "
+        f"(graph diameter too large for min-label propagation)"
+    )
+
+
+def dedup_cluster_assignments(pairs: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b") -> DataFrame:
+    """Near-dup cluster assignment from candidate pairs: (doc_id,
+    cluster_rep, cluster_size) for every doc that belongs to a multi-doc
+    cluster; cluster_rep is the min doc id (the keep-policy
+    representative)."""
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_rep"),
+            "cluster_size",
+        )
+    )

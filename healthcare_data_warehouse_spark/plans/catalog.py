@@ -1987,6 +1987,82 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_nn_clusters",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings),
+    sim AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_cosine_similarity(a.emb, b.emb) AS s
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+    nn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rn
+            FROM sim) WHERE rn = 1),
+    sym AS (SELECT src AS a, dst AS b FROM nn UNION SELECT dst, src FROM nn),
+    reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+        ) SELECT * FROM r),
+    comp AS (
+        SELECT a AS vec_id, least(a, min(b)) AS cluster_rep
+        FROM reach GROUP BY a)
+    SELECT c.vec_id, c.cluster_rep, s.cluster_size
+    FROM comp c
+    JOIN (SELECT cluster_rep, count(*) AS cluster_size
+          FROM comp GROUP BY 1) s USING (cluster_rep)
+    """,
+)
+def embedding_nn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor clustering over embeddings: each vector links to
+    its top-1 cosine neighbor within its label block (deterministic
+    argmax: score desc, id asc), and connected components over the NN
+    graph yield cluster assignments (component id = min member id).
+
+    Distributed shape: blocked pair scoring (skew.blocked_pair_join) →
+    per-node window argmax → iterative min-label propagation
+    (operators.graph.connected_components, one shuffle per round,
+    lineage checkpoint-truncated). The oracle replays the exact same
+    semantics with a recursive-CTE transitive closure."""
+    from ..operators.graph import connected_components
+    from ..operators.similarity import dot, norm
+    from ..operators.skew import blocked_pair_join
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("__norm")
+    )
+    pairs = blocked_pair_join(e, "label", "vec_id", payload=["embedding", "__norm"])
+    sim = (
+        dot(F.col("embedding_a"), F.col("embedding_b"))
+        / (F.col("__norm_a") * F.col("__norm_b"))
+    ).alias("s")
+    half = pairs.select("id_a", "id_b", sim)
+    sym = half.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "s"
+    ).union(half.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "s"))
+    w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
+    nn = (
+        sym.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("src", "dst")
+    )
+    comp = connected_components(nn, max_iter=50)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("component").alias("cluster_rep"),
+            "cluster_size",
+        )
+    )
+
+
+@query(
     "skew_salted_agg",
     oracle=f"""
     SELECT l_returnflag, count(*) AS cnt,
