@@ -37,11 +37,19 @@ from .sources.loaders import load_table
 
 
 def drop_near_dups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Remove near-duplicates: LSH candidate pairs vote out the larger id
-    of each pair (keep-min policy, matching exact dedup). One banded
-    bucket join + one anti join — never O(n²)."""
+    """Remove near-duplicates: LSH candidate pairs → connected components
+    → keep each cluster's min-id representative. Component-level removal
+    (not per-pair): with pairs (1,3),(2,3) a per-pair policy would keep
+    both 1 and 2 even though they share a cluster through 3. One banded
+    bucket join + the CC propagation rounds + one anti join — never
+    O(n²)."""
+    from .operators.graph import dedup_cluster_assignments
+
     pairs = lsh_candidate_pairs(docs, id_col=id_col)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    clusters = dedup_cluster_assignments(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+        F.col("doc_id").alias(id_col)
+    )
     return docs.join(losers, id_col, "left_anti")
 
 
