@@ -872,6 +872,30 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, path, schema)
 
 
+@query(
+    "scan_jsonl",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + schema'd source roundtrip over the documents corpus —
+    the interchange format LLM-data pipelines ship (one JSON object per
+    line; newline-splittable so a 100 TB corpus parallelizes by byte
+    ranges). Explicit read schema (no inference pass), FAILFAST on
+    corrupt lines. Value-hash parity with the parquet oracle proves the
+    JSON path is lossless for the corpus schema (incl. escaped newlines
+    inside ``text``)."""
+    import os as _os
+
+    from ..config import SCRATCH_DIR
+    from ..sources.loaders import jsonl_roundtrip
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    path = _os.path.join(
+        SCRATCH_DIR, f"docs_jsonl_{_os.path.basename(sf_dir.rstrip('/'))}")
+    return jsonl_roundtrip(spark, docs, path)
+
+
 _SCAN_TABLE_SQL = """
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders

@@ -73,3 +73,40 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """CSV source with an explicit schema (no inference job at 100 TB)."""
     return spark.read.option("header", "true").schema(schema).csv(path)
+
+
+# ---------------------------------------------------------------------------
+# JSONL (newline-delimited JSON) — the interchange format LLM-corpus
+# pipelines actually ship (one document object per line). The reference has
+# no JSON path; this extends S1/S2 to the corpus world.
+# ---------------------------------------------------------------------------
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSONL sink: one JSON object per line, splittable across executors.
+
+    Spark's json writer is already newline-delimited; ``ignoreNullFields``
+    is disabled so a reader with an explicit schema sees every column on
+    every line (null included) — round-trip stability over compactness.
+    """
+    df.write.mode(mode).option("ignoreNullFields", "false").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSONL source with an explicit schema.
+
+    Explicit schema for the same reason as ``read_csv``: schema inference
+    is a full extra pass over the data (at 100 TB, a full extra scan), and
+    inferred types drift with content (an all-int sample infers LONG, then
+    a decimal appears). ``mode=FAILFAST`` surfaces corrupt lines at read
+    time instead of silently nulling them.
+    """
+    return (
+        spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    )
+
+
+def jsonl_roundtrip(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Write ``df`` as JSONL and scan it back under the same schema —
+    the correctness harness for the JSONL path."""
+    write_jsonl(df, path)
+    return read_jsonl(spark, path, df.schema)

@@ -84,3 +84,34 @@ def test_multimodal_resize_and_frames(spark):
     # frame_idx dense from 0 per doc
     first = frames.filter(F.col("doc_id") == per_doc[0]["doc_id"]).orderBy("frame_idx").collect()
     assert [x["frame_idx"] for x in first] == list(range(len(first)))
+
+
+def test_jsonl_roundtrip_preserves_nulls_and_newlines(spark, tmp_path):
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from healthcare_data_warehouse_spark.sources.loaders import jsonl_roundtrip
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    df = spark.createDataFrame(
+        [Row(id=1, text="line1\nline2"), Row(id=2, text=None)], schema)
+    back = jsonl_roundtrip(spark, df, str(tmp_path / "docs"))
+    rows = {r["id"]: r["text"] for r in back.collect()}
+    assert rows == {1: "line1\nline2", 2: None}
+    assert back.schema == schema
+
+
+def test_jsonl_failfast_on_corrupt_line(spark, tmp_path):
+    import pytest
+    from pyspark.sql import types as T
+
+    from healthcare_data_warehouse_spark.sources.loaders import read_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"id": 1}\n{not json at all\n')
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    with pytest.raises(Exception):  # FAILFAST surfaces the corrupt line
+        read_jsonl(spark, str(tmp_path), schema).collect()
