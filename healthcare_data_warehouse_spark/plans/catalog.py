@@ -872,6 +872,35 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, path, schema)
 
 
+_PROFILE_COLS = ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"]
+
+
+@query(
+    "profile_lineitem",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name, count(*) AS n_rows,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_str,
+               CAST(max({c}) AS VARCHAR) AS max_str
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler (dbt-test measurement layer, dbt_project models'
+    not_null/unique checks computed engine-side): per-column null count,
+    exact distinct cardinality, min/max — ONE scan of the fact for all
+    columns (the oracle needs {n} scans). Exact-distinct mode plans an
+    Expand (row × n_cols); `profile_table(df, approx=True)` is the
+    Expand-free HLL++ mode for 100 TB (pytest-covered)."""
+    from ..operators.profiling import profile_table
+
+    return profile_table(_t(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+
+
 @query(
     "scan_jsonl",
     oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",

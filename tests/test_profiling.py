@@ -1,0 +1,57 @@
+"""profile_table: one-pass column stats, exact vs HLL modes, plan shape."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from healthcare_data_warehouse_spark.operators.profiling import profile_table
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=1, b=None), Row(a=2, b="y"), Row(a=None, b="y")]
+    )
+
+
+def test_exact_profile_values(df):
+    out = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(out) == {"a", "b"}
+    a, b = out["a"], out["b"]
+    assert a["n_rows"] == 4 and b["n_rows"] == 4
+    assert a["n_nulls"] == 1 and b["n_nulls"] == 1
+    assert a["n_distinct"] == 2 and b["n_distinct"] == 2  # nulls not counted
+    assert (a["min_str"], a["max_str"]) == ("1", "2")
+    assert (b["min_str"], b["max_str"]) == ("x", "y")
+
+
+def test_approx_mode_close_and_expand_free(df):
+    out = {r["col_name"]: r for r in profile_table(df, approx=True).collect()}
+    # HLL++ is exact at this cardinality.
+    assert out["a"]["n_distinct"] == 2 and out["b"]["n_distinct"] == 2
+    # The scale guarantee: approx mode must not plan an Expand.
+    plan = profile_table(df, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    exact_plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan  # exact multi-distinct pays the Expand
+
+
+def test_all_null_column_and_subset(spark):
+    df = spark.createDataFrame([Row(a=1, b=None), Row(a=2, b=None)],
+                               schema="a int, b string")
+    out = {r["col_name"]: r for r in profile_table(df, ["b"]).collect()}
+    assert list(out) == ["b"]
+    assert out["b"]["n_nulls"] == 2 and out["b"]["n_distinct"] == 0
+    assert out["b"]["min_str"] is None and out["b"]["max_str"] is None
+
+
+def test_empty_columns_rejected(df):
+    with pytest.raises(ValueError):
+        profile_table(df, [])
+
+
+def test_single_scan(df):
+    # All columns' stats come from ONE aggregation over the input —
+    # the optimized plan contains exactly one scan of the source.
+    plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
