@@ -2332,6 +2332,25 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("token_heavy_hitters")  # CMS estimates use Spark xxhash64 → rows-only
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens by count-min-sketch estimate
+    (operators/sketches.py). The 100 TB shape: the sketch is a bounded
+    depth×width relation built in one explode+groupBy pass and persisted
+    at ingest; repeated frequency questions then join candidates against
+    the sketch instead of rescanning the corpus. Exact counterpart for
+    certification: ``text_token_stats`` (same tokenizer, oracle-matched).
+    Estimates are pytest-pinned to never undercount and stay within the
+    eps·N CMS bound (tests/test_sketches.py)."""
+    from ..operators.sketches import heavy_hitters
+    from ..operators.skew import spread
+    from ..operators.text import tokens
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    w = d.select(F.explode(tokens("text")).alias("token"))
+    return heavy_hitters(w, "token", k=20)
+
+
 @query("text_tfidf")  # ln() last-ulp differs across libms → rows-only
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top TF-IDF term per document: tf = in-doc count / doc length,

@@ -1,0 +1,75 @@
+"""Count-min sketch: overestimate guarantee, error bound, merge law,
+heavy-hitter recovery, plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_data_warehouse_spark.operators.sketches import (
+    build_cms,
+    estimate_counts,
+    heavy_hitters,
+    merge_cms,
+)
+
+
+@pytest.fixture(scope="module")
+def zipf(spark):
+    # Zipf-ish: value v appears ~1000/v times, v in 1..50 → N≈4500.
+    rows = [(v,) for v in range(1, 51) for _ in range(1000 // v)]
+    return spark.createDataFrame(rows, "v int")
+
+
+def test_never_underestimates_and_error_bounded(zipf):
+    exact = {r["v"]: r["c"] for r in
+             zipf.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    n = sum(exact.values())
+    est = {r["v"]: r["est_count"] for r in
+           estimate_counts(build_cms(zipf, "v"), zipf, "v").collect()}
+    assert set(est) == set(exact)
+    for v, true in exact.items():
+        assert est[v] >= true                       # CMS never undercounts
+        assert est[v] <= true + (2.71828 / 2048) * n + 1  # eps·N bound
+
+
+def test_merge_equals_whole(zipf):
+    left = zipf.filter(F.col("v") <= 25)
+    right = zipf.filter(F.col("v") > 25)
+    merged = merge_cms(build_cms(left, "v"), build_cms(right, "v"))
+    whole = build_cms(zipf, "v")
+    # Deterministic hashing → counter-exact equality.
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_sketch_size_bounded(zipf):
+    assert build_cms(zipf, "v", depth=3, width=64).count() <= 3 * 64
+
+
+def test_heavy_hitters_top_values(zipf):
+    top = [r["v"] for r in heavy_hitters(zipf, "v", k=5).collect()]
+    assert top == [1, 2, 3, 4, 5]  # true frequency order recovered
+
+
+def test_heavy_hitters_sampled_candidates(zipf):
+    top = [r["v"] for r in
+           heavy_hitters(zipf, "v", k=3, candidate_fraction=0.5).collect()]
+    assert top[:3] == [1, 2, 3]  # heavy values survive candidate sampling
+
+
+def test_unseen_value_estimates_from_sketch(spark, zipf):
+    cms = build_cms(zipf, "v")
+    items = spark.createDataFrame([(999999,)], "v int")
+    [row] = estimate_counts(cms, items, "v").collect()
+    # Unseen value: collisions may inflate it, but ≤ eps·N.
+    assert 0 <= row["est_count"] <= (2.71828 / 2048) * 4500 + 1
+
+
+def test_estimate_plan_broadcasts_sketch_not_scan(zipf):
+    est = estimate_counts(build_cms(zipf, "v"), zipf, "v")
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # bounded sketch is the build side
+
+
+def test_merge_empty_rejected():
+    with pytest.raises(ValueError):
+        merge_cms()
