@@ -2651,3 +2651,94 @@ def trend_slope_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     out = trend_slope_native(o, "o_custkey", "o_orderdate", "o_totalprice")
     return out.withColumnRenamed("o_custkey", "customer_id")
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        FROM events
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week,
+           CAST(date_diff('day', cohort_week, active_week) / 7 AS INTEGER)
+               AS week_offset,
+           count(DISTINCT a.user_id) AS active_users
+    FROM activity a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over the event log: cohort = week of
+    a user's first event; cell (cohort, offset) = distinct users of that
+    cohort active offset weeks later. The product-analytics staple the
+    reference's visit-frequency cohorts (analytics_examples.sql CASE
+    buckets) stop short of.
+
+    Scale shape: both inputs aggregate BEFORE the join — first-touch is a
+    user-keyed groupBy (map-side combine), activity is a distinct on
+    (user, week) — then first⋈activity co-shuffles on user_id (both sides
+    already user-partitioned, AQE may broadcast the smaller), and the
+    final groupBy is over (cohort, offset) — bounded by weeks². No
+    full-event-log join anywhere."""
+    from ..sources.loaders import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "funnel_dropoff",
+    oracle="""
+    WITH step AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (t_signup IS NOT NULL) AS n_signup,
+           count(*) FILTER (t_view > t_signup) AS n_view_after_signup,
+           count(*) FILTER (t_purchase > t_view AND t_view > t_signup)
+               AS n_full_funnel
+    FROM step
+    """,
+)
+def funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch funnel drop-off (signup → view → purchase, strictly ordered
+    first-touch times): distinct users reaching each stage. The batch
+    twin of the stream-stream interval join (stream_funnel_pairs) at the
+    user grain: ONE user-keyed aggregate pivots each user's first-touch
+    per step (conditional min — no self-joins of the event log), then a
+    global count. Event-log-sized shuffle count: exactly one."""
+    from ..sources.loaders import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    step = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return step.agg(
+        F.count(F.when(F.col("t_signup").isNotNull(), 1)).alias("n_signup"),
+        F.count(F.when(F.col("t_view") > F.col("t_signup"), 1)).alias("n_view_after_signup"),
+        F.count(F.when((F.col("t_purchase") > F.col("t_view"))
+                       & (F.col("t_view") > F.col("t_signup")), 1)).alias("n_full_funnel"),
+    )
