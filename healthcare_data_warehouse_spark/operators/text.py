@@ -108,3 +108,50 @@ def lang_id(text: Column | str) -> Column:
         lambda acc, e: F.when(e["value"] > acc["value"], e).otherwise(acc),
     )
     return best["key"]
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (corpus scrubbing)
+# ---------------------------------------------------------------------------
+
+# Pattern set kept to syntax both Java regex (Spark, executor-side) and
+# RE2-family engines agree on: character classes + bounded quantifiers, no
+# backrefs/lookaround — so the same literal patterns are replayable in the
+# DuckDB oracle and in any downstream scrub audit.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+    # \b can't sit before "(" or "+" (non-word chars), so the optional
+    # country code and the area-code alternatives carry their own
+    # boundaries on the digit-start branches.
+    ("phone",
+     r"(\+1[-. ]|\b1[-. ])?(\([0-9]{3}\) ?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b",
+     "[PHONE]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails / SSNs / phone numbers / IPv4s with typed tags.
+
+    Chained ``regexp_replace`` — native JVM regex inside whole-stage
+    codegen, replace-all semantics, one projection (no Python, no UDF).
+    Order matters: SSN before phone (both dash-grouped digits; the
+    SSN grouping 3-2-4 must not be half-eaten by the phone rule)."""
+    out = F.col(text) if isinstance(text, str) else text
+    for _, pattern, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def pii_hit_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document count of each PII pattern class (scrub audit: how much
+    PII did the corpus contain, by type) — ``regexp_count`` per pattern,
+    single projection."""
+    return df.select(
+        "*",
+        *[
+            F.regexp_count(F.col(text_col), F.lit(p)).cast("long").alias(f"n_{name}")
+            for name, p, _ in PII_PATTERNS
+        ],
+    )

@@ -2742,3 +2742,37 @@ def funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when((F.col("t_purchase") > F.col("t_view"))
                        & (F.col("t_view") > F.col("t_signup")), 1)).alias("n_full_funnel"),
     )
+
+
+def _pii_oracle() -> str:
+    from ..operators.text import PII_PATTERNS
+
+    clean = "text"
+    for _, pattern, tag in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pattern}', '{tag}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{name}"
+        for name, p, _ in PII_PATTERNS
+    )
+    return f"SELECT doc_id, {clean} AS clean_text, {counts} FROM documents"
+
+
+@query("text_redact_pii", oracle=_pii_oracle())
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII scrub: emails/SSNs/phones/IPv4s replaced with typed tags
+    plus per-class hit counts (operators/text.py redact_pii — chained
+    native regexp_replace, replace-all, whole-stage codegen; the patterns
+    are restricted to Java-regex ∩ RE2 syntax so the DuckDB oracle runs
+    the IDENTICAL literals). Narrow projection only — at 100 TB this is a
+    map-only stage, no shuffle."""
+    from ..operators.text import PII_PATTERNS, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        redact_pii("text").alias("clean_text"),
+        *[
+            F.regexp_count(F.col("text"), F.lit(p)).cast("long").alias(f"n_{name}")
+            for name, p, _ in PII_PATTERNS
+        ],
+    )

@@ -51,3 +51,28 @@ def test_quality_features_values(spark):
     assert r["word_count"] == 3
     assert abs(r["avg_word_len"] - 3.0) < 1e-12   # 9 non-space chars / 3
     assert abs(r["stopword_ratio"] - 1 / 3) < 1e-12
+
+
+def test_redact_pii_planted(spark):
+    from healthcare_data_warehouse_spark.operators.text import pii_hit_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.com now"),
+            (2, "ssn 123-45-6789 phone (555) 123-4567 ip 10.0.0.1"),
+            (3, "call +1 555 867 5309 or 555.867.5309"),
+            (4, "no pii here, just 1234 and a-b-c"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           df.select("doc_id", redact_pii("text").alias("t")).collect()}
+    assert out[1]["t"] == "mail [EMAIL] now"
+    assert out[2]["t"] == "ssn [SSN] phone [PHONE] ip [IP]"
+    assert out[3]["t"] == "call [PHONE] or [PHONE]"
+    assert out[4]["t"] == "no pii here, just 1234 and a-b-c"
+
+    counts = {r["doc_id"]: r for r in pii_hit_counts(df).collect()}
+    assert counts[2]["n_ssn"] == 1 and counts[2]["n_phone"] == 1
+    assert counts[2]["n_ipv4"] == 1 and counts[1]["n_email"] == 1
+    assert counts[3]["n_phone"] == 2 and counts[4]["n_phone"] == 0
