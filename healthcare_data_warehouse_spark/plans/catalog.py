@@ -2776,3 +2776,34 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, p, _ in PII_PATTERNS
         ],
     )
+
+
+@query(
+    "agg_incremental_merge",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n,
+           {_osum('o_totalprice')} AS sum_v,
+           {_osum('o_totalprice')} / count(*) AS avg_v,
+           min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py): three
+    date-sliced 'loads' of the fact are partial-aggregated independently,
+    their compact per-key states merged (union + monoid re-agg over
+    state-sized input), and the merged state finalized — provably equal to
+    aggregating the whole table at once (the oracle does exactly that).
+    The pattern that replaces the reference's full-refresh dbt models at
+    100 TB: each load is scanned once, ever."""
+    from ..operators.incremental import finalize, merge_states, partial_agg
+
+    o = _t(spark, sf_dir, "orders")
+    loads = [
+        o.filter(F.col("o_orderdate") < "1994-01-01"),
+        o.filter((F.col("o_orderdate") >= "1994-01-01")
+                 & (F.col("o_orderdate") < "1996-01-01")),
+        o.filter(F.col("o_orderdate") >= "1996-01-01"),
+    ]
+    states = [partial_agg(load, ["o_orderstatus"], "o_totalprice") for load in loads]
+    return finalize(merge_states(*states))
