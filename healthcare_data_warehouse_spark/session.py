@@ -41,6 +41,11 @@ def get_spark(app_name: str = "healthcare-dw-spark", cpus: int | None = None) ->
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(n, 8)))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Runtime bloom-filter join pruning: when a shuffle join's build
+        # side is selective, inject its key bloom filter into the probe
+        # side's SCAN — at 100 TB this skips most of the fact before the
+        # shuffle (the win broadcast joins get, without the memory bound).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -67,6 +72,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
     ):
         try:
             spark.conf.set(key, val)

@@ -162,3 +162,37 @@ def test_signature_pipelines_keep_pinned_spread(spark):
             f"{name}: pinned spread repartition missing — CPU-heavy stage "
             f"would run on the scan's (possibly single) partitions"
         )
+
+
+def test_runtime_bloom_filter_injected_for_selective_dim(spark):
+    # With broadcast off (the 100 TB case: dim too big to broadcast), a
+    # selective dim filter must still reach the fact SCAN as an injected
+    # bloom filter on the join key — Spark's runtime filter, enabled in
+    # session.py. Thresholds lowered to local-data sizes for the probe.
+    import contextlib
+
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    @contextlib.contextmanager
+    def lowered(k, v):
+        saved = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            spark.conf.set(k, saved) if saved is not None else spark.conf.unset(k)
+
+    from pyspark.sql import functions as F
+
+    with _no_auto_broadcast(spark), \
+         lowered("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB"), \
+         lowered("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"):
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        s = load_table(spark, SF_SMOKE, "supplier").filter(
+            F.col("s_acctbal") > 9000)  # selective build side
+        joined = li.join(s, li["l_suppkey"] == s["s_suppkey"]).select(
+            "l_orderkey", "s_name")
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower(), (
+            "runtime bloom filter not injected into the fact side"
+        )
