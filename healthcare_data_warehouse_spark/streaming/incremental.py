@@ -1,0 +1,59 @@
+"""Checkpointed incremental ingest: exactly-once file ETL.
+
+The production replacement for the reference's Airflow hourly batch DAG
+(airflow_dags.py:58-78, which re-lists and re-loads, relying on upsert
+idempotency to survive re-runs): a Structured Streaming file source with
+a CHECKPOINT tracks which input files have been committed, so each run
+processes exactly the files that arrived since the last run — no
+re-listing window, no reliance on downstream dedup, crash-safe by the
+sink's write-ahead commit log.
+
+Pattern: ``readStream(schema).parquet(src)`` → user transform (must be
+stateless/row-local for append mode) → ``writeStream.trigger(
+availableNow=True)`` parquet sink. ``availableNow`` drains everything
+pending and stops — a cron-invocable *incremental batch job*: the
+operational model of a 100 TB ingest pipeline (run per hour, process only
+the new files, bounded by ``maxFilesPerTrigger``-style rate options if a
+backlog builds).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    fmt: str = "parquet",
+) -> int:
+    """Drain all unprocessed files from ``src_dir`` into ``dest_dir``.
+
+    Returns the number of micro-batches executed this run (0 = nothing
+    new). Exactly-once per input file: the checkpoint's source log
+    remembers committed files across runs; re-running after a crash
+    replays only uncommitted batches.
+    """
+    stream = spark.readStream.schema(schema).format(fmt).load(src_dir)
+    if transform is not None:
+        stream = transform(stream)
+        if not stream.isStreaming:
+            raise ValueError("transform must return a streaming DataFrame")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", dest_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    return sum(1 for p in progress if p["numInputRows"] > 0)
