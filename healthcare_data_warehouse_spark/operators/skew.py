@@ -126,3 +126,46 @@ def explode_salted_agg(df: DataFrame, key: str, measure: str, salt_buckets: int 
         F.sum("__cnt").alias("cnt"),
         F.sum("__sum").cast("double").alias("total"),
     )
+
+
+def hot_key_share(df: DataFrame, on: str, sample_fraction: float = 0.1,
+                  seed: int = 7) -> float:
+    """Estimated share of rows held by the single hottest join key, from a
+    seeded sample (one small aggregate job; at 100 TB the sample read is
+    the only cost, and file-source sampling prunes at the scan)."""
+    counted = (
+        df.sample(fraction=sample_fraction, seed=seed)
+        .groupBy(on).count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+        .first()
+    )
+    if not counted or not counted["n"]:
+        return 0.0
+    return counted["mx"] / counted["n"]
+
+
+def choose_salt_buckets(df: DataFrame, on: str, hot_threshold: float = 0.2,
+                        sample_fraction: float = 0.1, seed: int = 7) -> int:
+    """Salting decision: 1 (no salting) unless one key holds more than
+    ``hot_threshold`` of the rows; then enough buckets to spread that key
+    across the cluster (hot share × parallelism, capped)."""
+    share = hot_key_share(df, on, sample_fraction, seed)
+    if share <= hot_threshold:
+        return 1
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return max(2, min(int(share * par) + 1, par))
+
+
+def auto_join(big: DataFrame, small: DataFrame, on: str, how: str = "inner",
+              hot_threshold: float = 0.2, sample_fraction: float = 0.1,
+              seed: int = 7) -> DataFrame:
+    """Skew-adaptive join: measure the big side's hot-key share on a
+    sample, then join plain (AQE handles mild skew) or salted (known hot
+    key, hash-partitioned path). The automated version of the manual
+    "we know diagnosis J18.9 is half the table" tuning decision; the
+    detection is one sampled aggregate, so the cost of asking is fixed
+    while the cost of NOT salting a hot key grows with the data."""
+    buckets = choose_salt_buckets(big, on, hot_threshold, sample_fraction, seed)
+    if buckets <= 1:
+        return big.join(small, on, how)
+    return salted_join(big, small, on, salt_buckets=buckets, how=how)

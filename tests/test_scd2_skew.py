@@ -121,3 +121,42 @@ def test_salted_join_left_preserves_unmatched_big_rows(spark):
     want = big.join(small, "k", "left")
     assert got.count() == want.count() == 10
     assert got.filter(F.col("name").isNull()).count() == 7
+
+
+def test_hot_key_share_detects_skew(spark):
+    from healthcare_data_warehouse_spark.operators.skew import (
+        choose_salt_buckets,
+        hot_key_share,
+    )
+
+    skewed = spark.createDataFrame(
+        [("hot",)] * 900 + [(f"k{i}",) for i in range(100)], "k string")
+    uniform = spark.createDataFrame(
+        [(f"k{i % 50}",) for i in range(1000)], "k string")
+    assert hot_key_share(skewed, "k", sample_fraction=0.5) > 0.5
+    assert hot_key_share(uniform, "k", sample_fraction=0.5) < 0.1
+    assert choose_salt_buckets(skewed, "k", sample_fraction=0.5) > 1
+    assert choose_salt_buckets(uniform, "k", sample_fraction=0.5) == 1
+    empty = spark.createDataFrame([], "k string")
+    assert choose_salt_buckets(empty, "k") == 1
+
+
+def test_auto_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from healthcare_data_warehouse_spark.operators.skew import auto_join
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [(f"k{i}", i) for i in range(50)],
+        "k string, v int")
+    small = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"S{i}") for i in range(50)],
+        "k string, tag string")
+    auto = auto_join(big, small, "k", sample_fraction=0.5)
+    plain = big.join(small, "k")
+    assert auto.count() == plain.count() == 550
+    assert auto.exceptAll(plain).count() == 0
+    # Left join keeps unmatched big-side rows exactly once.
+    small2 = small.filter(F.col("k") != "hot")
+    left = auto_join(big, small2, "k", how="left", sample_fraction=0.5)
+    assert left.count() == big.count()
