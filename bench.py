@@ -38,6 +38,15 @@ HEADLINE = [
     # round-2 additions (blocked pair scoring + curation pipeline):
     "dedup_embedding_cosine",
     "corpus_clean",
+    # round-2 additions (warehouse + corpus breadth): sketch heavy
+    # hitters, event analytics, one-pass profiling, PII scrub, mergeable
+    # partial aggregation:
+    "token_heavy_hitters",
+    "cohort_retention",
+    "funnel_dropoff",
+    "profile_lineitem",
+    "text_redact_pii",
+    "agg_incremental_merge",
 ]
 
 
