@@ -2807,3 +2807,67 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     states = [partial_agg(load, ["o_orderstatus"], "o_totalprice") for load in loads]
     return finalize(merge_states(*states))
+
+
+@query(
+    "pivot_status_by_year",
+    oracle="""
+    SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS order_year,
+           count(*) FILTER (o_orderstatus = 'F') AS cnt_F,
+           count(*) FILTER (o_orderstatus = 'O') AS cnt_O,
+           count(*) FILTER (o_orderstatus = 'P') AS cnt_P
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts by status across years. The pivot values are
+    EXPLICIT — ``pivot(col, values)`` without values makes Spark run a
+    distinct-collect job over the column first (an extra full pass +
+    driver collect; unbounded if the column is miscategorized). With the
+    value list pinned, the pivot compiles to conditional aggregation —
+    exactly the oracle's FILTER form — in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out.select(
+        "order_year",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"cnt_{s}") for s in ("F", "O", "P")],
+    )
+    return renamed
+
+
+@query(
+    "unpivot_kpis",
+    oracle=f"""
+    WITH k AS (
+        SELECT (SELECT count(DISTINCT c_custkey) FROM customer) AS total_patients,
+               (SELECT count(DISTINCT s_suppkey) FROM supplier) AS total_providers,
+               v.total_visits, v.avg_cost
+        FROM (SELECT count(*) AS total_visits,
+                     {_oround(_oavg('o_totalprice'))} AS avg_cost
+              FROM orders) v
+    )
+    SELECT metric, value FROM (
+        SELECT 'total_patients' AS metric, CAST(total_patients AS DOUBLE) AS value FROM k
+        UNION ALL SELECT 'total_providers', CAST(total_providers AS DOUBLE) FROM k
+        UNION ALL SELECT 'total_visits', CAST(total_visits AS DOUBLE) FROM k
+        UNION ALL SELECT 'avg_cost', avg_cost FROM k
+    )
+    """,
+)
+def unpivot_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide 4-KPI card flipped to tidy (metric, value)
+    rows — the shape dashboards and metric stores ingest. ``unpivot`` is
+    a generator projection over the already-1-row KPI block: zero extra
+    scans beyond kpi_block's single fact pass."""
+    wide = kpi_block(spark, sf_dir)
+    casted = wide.select(*[F.col(c).cast("double").alias(c) for c in wide.columns])
+    return casted.unpivot(
+        ids=[], values=["total_patients", "total_providers",
+                        "total_visits", "avg_cost"],
+        variableColumnName="metric", valueColumnName="value",
+    )
