@@ -16,6 +16,7 @@ import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T  # noqa: F401 (evolve_schema annotation)
 
 
 def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
@@ -90,3 +91,50 @@ def partitioned_write(df: DataFrame, path: str, partition_cols: list[str],
     """Parquet write partitioned by low-cardinality derived columns
     (init.sql:96-109 analog) → partition pruning on read."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def backfill_partitions(df: DataFrame, path: str,
+                        partition_cols: list[str]) -> None:
+    """Replace ONLY the partitions present in ``df`` (dynamic partition
+    overwrite) — the backfill/late-data primitive.
+
+    A corrected or late-arriving slice of the fact (one month, one
+    hospital-year) rewrites just its own ``partition_cols`` directories;
+    every other partition's files are untouched. The full-table
+    alternative (mode=overwrite, static) deletes everything first — at
+    100 TB that's rewriting the warehouse to fix a day. The conf is set
+    per-write here (session-scoped in Spark) and restored after.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(key, saved)
+    spark.catalog.refreshByPath(path)
+
+
+def evolve_schema(df: DataFrame, target: "T.StructType") -> DataFrame:
+    """Conform ``df`` to ``target`` schema: add missing columns as typed
+    NULLs, cast type-widened columns, drop extras, fix column order.
+
+    The ingest-side half of schema evolution (reference: hand-written
+    ALTER TABLE migrations in init.sql): old files keep their schema, new
+    batches conform to the current contract before landing, and readers
+    see one stable shape. Incompatible casts raise rather than silently
+    nulling (upcast check via Spark's cast semantics on a validation
+    sample is the caller's job at 100 TB; here the plan just carries the
+    cast)."""
+    existing = {f.name: f for f in df.schema.fields}
+    out = []
+    for f in target.fields:
+        if f.name in existing:
+            col = F.col(f.name)
+            if existing[f.name].dataType != f.dataType:
+                col = col.cast(f.dataType)
+            out.append(col.alias(f.name))
+        else:
+            out.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*out)
