@@ -57,3 +57,45 @@ def incremental_ingest(
     q.awaitTermination()
     progress = q.recentProgress
     return sum(1 for p in progress if p["numInputRows"] > 0)
+
+
+def stream_upsert(
+    spark: SparkSession,
+    src_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    keys: list[str],
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> int:
+    """Streaming MERGE: drain new files and UPSERT them into a keyed
+    parquet table (``foreachBatch`` + ``sinks.upsert_to_path``).
+
+    The append-mode ``incremental_ingest`` is for immutable event logs;
+    this is for mutable entities (the reference's ml_predictions /
+    patient upsert loops, scripts/etl.py:116-132) arriving as files.
+    Exactly-once end to end: the checkpoint gives each input file to
+    exactly one batch, and the keyed upsert is idempotent, so even a
+    crash-replayed batch converges to the same table. Within one batch,
+    ``dropDuplicates(keys)`` keeps the upsert well-defined when a batch
+    carries several versions of a key (last-writer-unspecified → we pin
+    "any single row per key per batch"; order within a batch of files is
+    not meaningful).
+    """
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    if transform is not None:
+        stream = transform(stream)
+
+    from ..sources.sinks import upsert_to_path
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        upsert_to_path(spark, table_path, batch.dropDuplicates(keys), keys)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sum(1 for p in q.recentProgress if p["numInputRows"] > 0)

@@ -134,3 +134,30 @@ def test_incremental_ingest_rejects_batch_transform(spark, tmp_path):
             spark, str(tmp_path / "s"), str(tmp_path / "d"),
             str(tmp_path / "c"), schema,
             transform=lambda df: spark.createDataFrame([(1,)], schema))
+
+
+def test_stream_upsert_merges_by_key(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from healthcare_data_warehouse_spark.streaming.incremental import stream_upsert
+
+    src, table, ckpt = (str(tmp_path / d) for d in ("s", "t", "c"))
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType())])
+
+    def arrive(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    arrive([(1, "a"), (2, "b")])
+    assert stream_upsert(spark, src, table, ckpt, schema, ["k"]) >= 1
+    assert spark.read.parquet(table).count() == 2
+
+    arrive([(2, "b2"), (3, "c")])  # update k=2, insert k=3
+    stream_upsert(spark, src, table, ckpt, schema, ["k"])
+    out = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    assert out == {1: "a", 2: "b2", 3: "c"}
+
+    # Nothing new → no batch; table unchanged.
+    assert stream_upsert(spark, src, table, ckpt, schema, ["k"]) == 0
+    assert spark.read.parquet(table).count() == 3
