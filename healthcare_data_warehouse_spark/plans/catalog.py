@@ -2871,3 +2871,67 @@ def unpivot_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "total_visits", "avg_cost"],
         variableColumnName="metric", valueColumnName="value",
     )
+
+
+@query(
+    "dq_rules_orders",
+    oracle="""
+    SELECT 'not_null' AS rule, 'o_orderkey' AS col_name,
+           count(*) FILTER (o_orderkey IS NULL) AS n_violations,
+           count(*) FILTER (o_orderkey IS NULL) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values', 'o_orderstatus',
+           count(*) FILTER (o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('F', 'O', 'P')),
+           count(*) FILTER (o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('F', 'O', 'P')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'in_range', 'o_totalprice',
+           count(*) FILTER (o_totalprice IS NOT NULL
+                            AND (o_totalprice < 0 OR o_totalprice > 600000)),
+           count(*) FILTER (o_totalprice IS NOT NULL
+                            AND (o_totalprice < 0 OR o_totalprice > 600000)) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'matches', 'o_orderpriority',
+           count(*) FILTER (o_orderpriority IS NOT NULL
+                            AND NOT regexp_matches(o_orderpriority, '^[1-5]-')),
+           count(*) FILTER (o_orderpriority IS NOT NULL
+                            AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'unique', 'o_orderkey', v, v = 0 FROM (
+        SELECT CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS v FROM (
+            SELECT count(*) AS cnt FROM orders WHERE o_orderkey IS NOT NULL
+            GROUP BY o_orderkey HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'relationships', 'o_custkey', v, v = 0 FROM (
+        SELECT count(*) AS v FROM orders o
+        WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    """,
+)
+def dq_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ contract on the fact (operators/dq.py — the
+    engine-side dbt test suite, dbt_project/models' not_null / unique /
+    accepted_values / relationships): four row-local rules fused into ONE
+    conditional-aggregation scan, plus a two-phase key-count for unique
+    and one anti-join for the customer FK. The oracle evaluates each rule
+    as its own SQL check — same report, N scans instead of 1."""
+    from ..operators.dq import Rule, dq_check
+
+    o = _t(spark, sf_dir, "orders")
+    return dq_check(
+        o,
+        [
+            Rule("not_null", "o_orderkey"),
+            Rule("accepted_values", "o_orderstatus", ("F", "O", "P")),
+            Rule("in_range", "o_totalprice", (0, 600_000)),
+            Rule("matches", "o_orderpriority", r"^[1-5]-"),
+            Rule("unique", "o_orderkey"),
+            Rule("relationships", "o_custkey", ("customer", "c_custkey")),
+        ],
+        ref_tables={"customer": _t(spark, sf_dir, "customer")},
+    )
