@@ -2935,3 +2935,53 @@ def dq_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ref_tables={"customer": _t(spark, sf_dir, "customer")},
     )
+
+
+@query(
+    "event_sessionize",
+    oracle="""
+    WITH x AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           user_id || '-' || CAST(sum(new_s) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS VARCHAR)
+               AS session_id
+    FROM x
+    """,
+)
+def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-ID ASSIGNMENT (not just counts — stream_session_count's
+    row-preserving sibling): gap-based sessionization via the lag/cumsum
+    idiom, labeling every event with ``user-<seq>``. Both windows
+    partition by user_id — parallel across users at any scale, with the
+    two window functions sharing ONE sort/shuffle (same partition+order
+    spec, fused by Catalyst into a single WindowExec)."""
+    from ..sources.loaders import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_timestamp(F.col("ts").cast("timestamp"))
+           - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp")) >= 1800),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("event_id", "user_id", "ts", new_s.alias("new_s"))
+        .withColumn(
+            "session_id",
+            F.concat_ws(
+                "-", F.col("user_id"),
+                F.sum("new_s").over(
+                    Window.partitionBy("user_id").orderBy("ts", "event_id")
+                ).cast("string"),
+            ),
+        )
+        .drop("new_s")
+    )

@@ -34,9 +34,13 @@ def _events_ts_fixup(df: DataFrame) -> DataFrame:
     naive-to-naive with the DuckDB oracle.
     """
     if isinstance(df.schema["ts"].dataType, T.LongType):
+        # Integer division, not `/`: float division rounds the microsecond
+        # (ns values near .5µs land 1µs high), while parquet readers that
+        # handle nanos natively (the DuckDB oracle) TRUNCATE — and a last-
+        # microsecond mismatch breaks row-level parity on raw-ts outputs.
         df = df.withColumn(
             "ts",
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz"),
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     return df
 

@@ -49,7 +49,9 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LTZ (not NTZ): watermarks require tz-aware event time
     # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). Outputs convert
     # window bounds back to NTZ for parity with the batch/oracle side.
-    return stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # `div` (integer division): truncate to the microsecond exactly like
+    # native-nanos readers; float `/` would round and drift 1µs.
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 # ---------------------------------------------------------------------------
