@@ -116,3 +116,42 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 20,
     return (
         est.orderBy(F.desc("est_count"), F.asc(col)).limit(int(k))
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketches (distinct-count analog of the CMS above) — Spark's native
+# Apache DataSketches bindings: hll_sketch_agg / hll_union_agg /
+# hll_sketch_estimate. The sketch column is a binary, mergeable,
+# storable aggregation state.
+# ---------------------------------------------------------------------------
+
+def build_hll_sketches(df: DataFrame, col: str, group_cols: list[str],
+                       lg_k: int = 12) -> DataFrame:
+    """Per-group HLL sketch of ``col``'s distinct values.
+
+    The ingest-side half of incremental distinct counting: persist these
+    (e.g. one row per day) and any coarser distinct-count question is
+    answered from the sketches alone — history is never rescanned. One
+    map-side-combining groupBy; each sketch is ~2^lg_k bytes."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("hll"))
+
+
+def hll_estimates(sketches: DataFrame) -> DataFrame:
+    """Read each group's distinct-count estimate off its sketch."""
+    return sketches.select(
+        *[c for c in sketches.columns if c != "hll"],
+        F.hll_sketch_estimate("hll").alias("n_distinct_est"),
+    )
+
+
+def hll_rollup(sketches: DataFrame, rollup_cols: list[str]) -> DataFrame:
+    """Merge fine-grained sketches up to ``rollup_cols`` granularity and
+    estimate — e.g. daily user sketches → monthly distinct users. The
+    union is sketch-sized work: no raw data involved."""
+    grouped = (
+        sketches.groupBy(*rollup_cols).agg(F.hll_union_agg("hll").alias("hll"))
+        if rollup_cols
+        else sketches.agg(F.hll_union_agg("hll").alias("hll"))
+    )
+    return hll_estimates(grouped)

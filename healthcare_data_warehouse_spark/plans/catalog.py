@@ -2985,3 +2985,24 @@ def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("new_s")
     )
+
+
+@query("hll_users_rollup")  # DataSketches HLL estimates → rows-only
+def hll_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct counting via stored sketches
+    (operators/sketches.py HLL half): per-day user sketches (the
+    ingest-time artifact — one binary row per day) rolled up to per-week
+    distinct-user estimates by UNIONING SKETCHES, never rescanning
+    events. Accuracy is pytest-pinned within 5% of exact
+    (tests/test_sketches.py); exact certified twin: agg_count_distinct /
+    stream_session_count."""
+    from ..operators.sketches import build_hll_sketches, hll_rollup
+    from ..sources.loaders import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    )
+    daily = build_hll_sketches(ev, "user_id", ["week", "day"])
+    return hll_rollup(daily, ["week"]).orderBy("week")

@@ -73,3 +73,41 @@ def test_estimate_plan_broadcasts_sketch_not_scan(zipf):
 def test_merge_empty_rejected():
     with pytest.raises(ValueError):
         merge_cms()
+
+
+def test_hll_daily_rollup_close_to_exact(spark):
+    from pyspark.sql import functions as F
+
+    from healthcare_data_warehouse_spark.operators.sketches import (
+        build_hll_sketches,
+        hll_estimates,
+        hll_rollup,
+    )
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts"))
+    daily = build_hll_sketches(ev, "user_id", ["day"])
+
+    est = {r["day"]: r["n_distinct_est"] for r in hll_estimates(daily).collect()}
+    exact = {r["day"]: r["n"] for r in
+             ev.groupBy("day").agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for d, n in exact.items():
+        assert abs(est[d] - n) <= max(1, 0.05 * n)
+
+    # Rollup: merge ALL daily sketches -> overall distinct users, no
+    # rescan of events. Compare to the exact global count.
+    [total] = hll_rollup(daily, []).collect()
+    exact_total = ev.agg(F.countDistinct("user_id")).first()[0]
+    assert abs(total["n_distinct_est"] - exact_total) <= max(1, 0.05 * exact_total)
+
+    # Merge law: union of two half-period sketches == sketch of the union
+    # (same estimate).
+    first_half = build_hll_sketches(
+        ev.filter(F.dayofmonth("day") <= 15), "user_id", [])
+    second_half = build_hll_sketches(
+        ev.filter(F.dayofmonth("day") > 15), "user_id", [])
+    merged = hll_rollup(first_half.unionByName(second_half), [])
+    assert abs(merged.first()["n_distinct_est"]
+               - total["n_distinct_est"]) < 1e-9 + 0.02 * exact_total
