@@ -3006,3 +3006,55 @@ def hll_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = build_hll_sketches(ev, "user_id", ["week", "day"])
     return hll_rollup(daily, ["week"]).orderBy("week")
+
+
+@query(
+    "histogram_totalprice",
+    oracle="""
+    WITH s AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+    SELECT CAST(LEAST(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20) ) AS INTEGER),
+                 19) AS INTEGER) AS bucket,
+           count(*) AS cnt
+    FROM orders, s
+    GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of the cost measure — the
+    distribution half of the profiling layer (profile_lineitem has the
+    scalar stats). Two-pass shape: a scalar (min,max) aggregate feeds the
+    bucket expression (scalar subquery → literal after the first tiny
+    job), then one map-side-combining groupBy; the 100 TB cost is two
+    scans of one column, no sort, no driver data."""
+    o = _t(spark, sf_dir, "orders")
+    lo, hi = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    width = (hi - lo) / 20
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(19),
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "corr_measures",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(corr(l_extendedprice, l_discount), 6) AS corr_price_discount,
+           round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_discount
+    FROM lineitem
+    """,
+)
+def corr_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation / sample covariance across fact
+    measures in ONE aggregation pass (the feature-engineering sanity
+    matrix). Spark's corr/covar_samp use the numerically-stable one-pass
+    co-moment update and merge partials across partitions — same
+    algorithm DuckDB runs single-threaded, so results agree to ~1e-12;
+    rounded to 6dp to pin down the last-ulp merge-order wiggle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_discount"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_discount"),
+    )
