@@ -3058,3 +3058,34 @@ def corr_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_discount"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_discount"),
     )
+
+
+@query(
+    "entity_match_pairs",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b
+      ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def entity_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution stage 1+2 (operators/entity.py — the
+    master-patient-index primitive the reference's trusted patient_id
+    skips): name-prefix blocking bounds the pair space to
+    within-block², then native banded levenshtein (threshold arg →
+    early-exit DP) keeps pairs within 1 edit. Stage 3 (connected-
+    components entity ids) is certified by graph_components_* and
+    tests/test_entity.py's transitive-closure case."""
+    from ..operators.entity import candidate_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    return candidate_pairs(
+        c, "c_custkey", "c_name", F.substring("c_name", 1, 16), max_edit=1
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("dist").cast("int").alias("dist"),
+    )
