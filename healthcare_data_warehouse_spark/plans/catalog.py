@@ -3089,3 +3089,40 @@ def entity_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         F.col("dist").cast("int").alias("dist"),
     )
+
+
+@query(
+    "decontamination_report",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 5
+    ),
+    ev AS (SELECT DISTINCT unnest(sh) AS gram FROM t WHERE doc_id % 10 = 0),
+    tr AS (SELECT doc_id, unnest(sh) AS gram FROM t WHERE doc_id % 10 != 0)
+    SELECT doc_id, count(*) AS n_hits
+    FROM tr JOIN ev USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontamination.py — the
+    GPT-3-style n-gram overlap scrub, here at 5-gram granularity so the
+    synthetic corpus produces hits): docs whose id % 10 == 0 stand in for
+    the eval set; every 'training' doc sharing a 5-gram with it is
+    reported with its hit count. Plan: eval grams are one explode +
+    distinct (compact), the train side explodes and hash-joins on the
+    gram — AQE broadcasts the eval-gram set while it fits; no pairwise
+    document comparison exists anywhere."""
+    from ..operators.decontamination import contamination_report, eval_ngrams
+    from ..operators.skew import spread
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    tr = d.filter(F.col("doc_id") % 10 != 0)
+    return contamination_report(tr, eval_ngrams(ev, n=5), n=5)

@@ -99,3 +99,32 @@ def test_mixture_shares_sum_to_one(spark):
     rows = mixture_stats(d).collect()
     assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9
     assert all(r.doc_count > 0 and r.token_count > 0 for r in rows)
+
+
+def test_decontaminate_drops_only_contaminated(spark):
+    from healthcare_data_warehouse_spark.operators.decontamination import (
+        contamination_report,
+        decontaminate,
+        eval_ngrams,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated training text with no overlap here"),
+            (3, "short doc"),  # fewer than n tokens -> no grams, clean
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "we ask whether the quick brown fox jumps over anything")],
+        "doc_id long, text string",
+    )
+    grams = eval_ngrams(evals, n=5)
+    rep = {r["doc_id"]: r["n_hits"]
+           for r in contamination_report(train, grams, n=5).collect()}
+    assert 1 in rep and rep[1] >= 1      # shares "the quick brown fox jumps"
+    assert 2 not in rep and 3 not in rep
+
+    clean = decontaminate(train, evals, n=5)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
