@@ -120,6 +120,46 @@ def pack_token_budget(df: DataFrame, budget: int, stratum_col: str = "lang",
 
 
 # ---------------------------------------------------------------------------
+# Context-window chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 32, overlap: int = 8,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    pre-processing for embedding / retrieval / long-context training
+    (each chunk is ``chunk_tokens`` wide; consecutive chunks share
+    ``overlap`` tokens, i.e. stride = chunk_tokens - overlap).
+
+    Pure native plan: one projection builds the token array, ``sequence``
+    generates the chunk starts (1, 1+stride, …, ≤ n_tokens), ``explode``
+    fans out one row per chunk, and ``slice``/``array_join`` materialize
+    the chunk text. No shuffle at all — chunking is embarrassingly
+    row-parallel, so the stage scales linearly with the corpus and
+    whole-stage codegen keeps it JVM-side. Empty documents yield one
+    empty chunk (split('') is [''] in both Spark and the oracle), so
+    row-parity with the DuckDB twin is exact.
+
+    Output: (id, chunk_id, chunk_text, n_chunk_tokens)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    n = F.size("__toks")
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    piece = F.slice("__toks", F.col("start"), F.lit(chunk_tokens))
+    return (
+        toked.select(id_col, "__toks", F.explode(starts).alias("start"))
+        .select(
+            F.col(id_col),
+            ((F.col("start") - 1) / stride).cast("int").alias("chunk_id"),
+            F.array_join(piece, " ").alias("chunk_text"),
+            F.size(piece).cast("int").alias("n_chunk_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # End-to-end corpus clean
 # ---------------------------------------------------------------------------
 

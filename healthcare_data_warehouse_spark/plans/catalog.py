@@ -2566,6 +2566,34 @@ def pack_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chunk_documents",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+    st AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks), 1), 24)) AS start
+        FROM t)
+    SELECT doc_id,
+           CAST((start - 1) / 24 AS INTEGER) AS chunk_id,
+           array_to_string(list_slice(toks, start, start + 31), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, start, start + 31)) AS INTEGER)
+               AS n_chunk_tokens
+    FROM st
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token chunks with 8-token overlap
+    (stride 24) — sequence+explode+slice, no shuffle anywhere; the whole
+    plan is one codegen'd projection fan-out, linear in corpus size."""
+    from ..operators.curation import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           chunk_tokens=32, overlap=8)
+
+
+@query(
     "corpus_clean",
     oracle=r"""
     WITH t AS (

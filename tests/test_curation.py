@@ -128,3 +128,36 @@ def test_decontaminate_drops_only_contaminated(spark):
 
     clean = decontaminate(train, evals, n=5)
     assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+
+
+def test_chunk_documents_windows(spark):
+    from healthcare_data_warehouse_spark.operators.curation import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))),  # 10 toks: chunks @1,@5,@9
+         (2, "a b"),                                 # fits in one chunk
+         (3, "")],                                   # split('') == [''] -> 1 chunk
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.chunk_id): r
+            for r in chunk_documents(d, chunk_tokens=6, overlap=2).collect()}
+    assert {k for k in rows} == {(1, 0), (1, 1), (1, 2), (2, 0), (3, 0)}
+    assert rows[(1, 0)].chunk_text == "w0 w1 w2 w3 w4 w5"
+    # overlap: chunk 1 starts at token 4 (stride 4), re-covering w4 w5
+    assert rows[(1, 1)].chunk_text == "w4 w5 w6 w7 w8 w9"
+    assert rows[(1, 2)].chunk_text == "w8 w9"
+    assert rows[(1, 2)].n_chunk_tokens == 2
+    assert rows[(2, 0)].n_chunk_tokens == 2
+    assert rows[(3, 0)].chunk_text == ""
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(d, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from healthcare_data_warehouse_spark.operators.curation import chunk_documents
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    plan = chunk_documents(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
