@@ -3120,6 +3120,55 @@ def entity_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_orders_diff",
+    oracle="""
+    WITH o_old AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        WHERE year(o_orderdate) <= 1994),
+    o_new AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 97 = 0 THEN 'X-UPDATED'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE year(o_orderdate) BETWEEN 1993 AND 1995),
+    j AS (
+        SELECT coalesce(o_old.o_orderkey, o_new.o_orderkey) AS o_orderkey,
+               o_old.o_orderkey IS NULL AS ins,
+               o_new.o_orderkey IS NULL AS del,
+               (o_old.o_totalprice IS DISTINCT FROM o_new.o_totalprice) AS d1,
+               (o_old.o_orderpriority IS DISTINCT FROM o_new.o_orderpriority) AS d2
+        FROM o_old FULL OUTER JOIN o_new ON o_old.o_orderkey = o_new.o_orderkey)
+    SELECT o_orderkey,
+           CASE WHEN ins THEN 'insert' WHEN del THEN 'delete'
+                ELSE 'update' END AS change_type,
+           CASE WHEN NOT ins AND NOT del THEN
+                    concat_ws(',', CASE WHEN d1 THEN 'o_totalprice' END,
+                                   CASE WHEN d2 THEN 'o_orderpriority' END)
+                ELSE '' END AS changed_cols
+    FROM j
+    WHERE ins OR del OR d1 OR d2
+    """,
+)
+def cdc_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (operators/cdc.py): the 'old' warehouse state is
+    orders ≤ 1994, the 'new' extract is 1993–1995 with a deterministic
+    priority rewrite on keys % 97 — so the diff exercises all three change
+    types at once (1995 inserts, 1992 deletes, rewritten updates with a
+    changed-column list). One full-outer shuffle join on the key."""
+    from ..operators.cdc import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.year("o_orderdate") <= 1994).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    new = o.filter(F.year("o_orderdate").between(1993, 1995)).select(
+        "o_orderkey", "o_totalprice",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("X-UPDATED"))
+        .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+    )
+    return table_diff(old, new, ["o_orderkey"],
+                      compare_cols=["o_totalprice", "o_orderpriority"])
+
+
+@query(
     "decontamination_report",
     oracle=r"""
     WITH t AS (
