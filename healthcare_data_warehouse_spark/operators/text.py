@@ -69,6 +69,18 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def ngrams(text: Column | str, n: int = 2) -> Column:
+    """All word n-grams in document order, NOT deduplicated — the
+    frequency-carrying variant of ``dedup.shingles`` (vocabulary counts,
+    collocation mining need every occurrence). Same empty-doc guard:
+    fewer than n tokens yields an empty array."""
+    t = tokens(text)
+    n_g = F.greatest(F.lit(0), F.size(t) - (n - 1))
+    idx = F.slice(F.sequence(F.lit(1), F.greatest(F.lit(1), n_g)), F.lit(1), n_g)
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])  # noqa: E731
+    return F.transform(idx, gram)
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lower-cased text. Oracle:

@@ -2648,6 +2648,88 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_k_per_group",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY lang
+        ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) <= 25
+    """,
+)
+def sample_k_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25-per-language sample (hash-ordered per-group
+    row_number — the reservoir-sampling stand-in that is reproducible
+    and partition-independent)."""
+    from ..operators.curation import sample_k_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_k_per_group(d, k=25)
+
+
+@query(
+    "mixture_temperature",
+    oracle=r"""
+    WITH a AS (
+        SELECT lang,
+               CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                    AS BIGINT) AS token_count
+        FROM documents GROUP BY lang),
+    b AS (
+        SELECT lang, token_count,
+               CAST(token_count AS DOUBLE) / sum(token_count) OVER ()
+                   AS token_share
+        FROM a),
+    c AS (SELECT lang, token_count, token_share,
+                 sqrt(token_share) AS s FROM b)
+    SELECT lang, token_count, token_share,
+           s / CAST(sum(CAST(s AS DECIMAL(18,12))) OVER () AS DOUBLE)
+               AS weight
+    FROM c
+    """,
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 mixture rebalancing weights per language —
+    share^0.5 renormalized (sqrt for cross-engine bit parity; the
+    normalizer accumulates in DECIMAL so it's combine-order-free)."""
+    from ..operators.curation import temperature_weights
+
+    return temperature_weights(_t(spark, sf_dir, "documents"), alpha=0.5)
+
+
+@query(
+    "vocab_bigrams",
+    oracle=r"""
+    WITH t AS (
+        SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+    g AS (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS gram
+        FROM t)
+    SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+    FROM g GROUP BY gram
+    ORDER BY cnt DESC, gram LIMIT 50
+    """,
+)
+def vocab_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigrams with occurrence counts (collocation /
+    vocabulary mining): frequency-carrying n-grams (operators/text.py
+    ``ngrams``) explode into one hash aggregate — map-side partial
+    aggregation absorbs the fan-out, then TakeOrderedAndProject picks
+    the top 50 (no global sort)."""
+    from ..operators.skew import spread
+    from ..operators.text import ngrams
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return (
+        d.select(F.explode(ngrams("text", 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "gram")
+        .limit(50)
+    )
+
+
+@query(
     "trend_slope_per_customer",
     oracle="""
     WITH g AS (

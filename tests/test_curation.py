@@ -161,3 +161,48 @@ def test_chunk_documents_no_shuffle(spark):
     d = load_table(spark, SF_SMOKE, "documents")
     plan = chunk_documents(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_sample_k_per_group_deterministic(spark):
+    from healthcare_data_warehouse_spark.operators.curation import sample_k_per_group
+
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    s1 = sample_k_per_group(d, k=7)
+    sizes = {r.lang: r["count"] for r in s1.groupBy("lang").count().collect()}
+    full = {r.lang: r["count"] for r in d.groupBy("lang").count().collect()}
+    for lang, n in sizes.items():
+        assert n == min(7, full[lang])
+    # partition-layout independence: same ids under a different layout
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    ids2 = sorted(r.doc_id for r in sample_k_per_group(d.repartition(13), k=7).collect())
+    assert ids1 == ids2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sample_k_per_group(d, k=0)
+
+
+def test_temperature_weights_flatten_toward_uniform(spark):
+    from healthcare_data_warehouse_spark.operators.curation import temperature_weights
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    rows = temperature_weights(d, alpha=0.5).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-12
+    # temperature < 1 compresses: every weight sits between its natural
+    # share and the uniform 1/n (strictly, unless already uniform)
+    n = len(rows)
+    for r in rows:
+        lo, hi = sorted((r.token_share, 1.0 / n))
+        assert lo - 1e-12 <= r.weight <= hi + 1e-12
+
+
+def test_ngrams_order_and_empty(spark):
+    from healthcare_data_warehouse_spark.operators.text import ngrams
+
+    d = spark.createDataFrame([(1, "a b a b"), (2, "x"), (3, "")],
+                              "doc_id long, text string")
+    got = {r.doc_id: r.g for r in d.select("doc_id", ngrams("text", 2).alias("g")).collect()}
+    assert got[1] == ["a b", "b a", "a b"]   # duplicates preserved, in order
+    assert got[2] == []
+    assert got[3] == []
