@@ -119,6 +119,30 @@ def pack_token_budget(df: DataFrame, budget: int, stratum_col: str = "lang",
     )
 
 
+def assign_split(df: DataFrame, fractions: dict[str, float] | None = None,
+                 id_col: str = "doc_id",
+                 out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: the md5 sampling key
+    falls into consecutive hex intervals sized by ``fractions`` (default
+    80/10/10). A document's split is a pure function of its id — stable
+    across reruns, repartitions, and corpus growth (new docs never move
+    old docs between splits, the property RNG splits lack). Narrow
+    projection, no shuffle."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+    key = det_key(id_col)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = key < F.lit(hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)
+
+
 def sample_k_per_group(df: DataFrame, k: int, group_col: str = "lang",
                        id_col: str = "doc_id") -> DataFrame:
     """Exactly min(k, |group|) rows per group, deterministically — the

@@ -95,3 +95,30 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
         "min_str",
         "max_str",
     )
+
+
+def winsorize(df: DataFrame, value_col: str, group_col: str | None = None,
+              lo_q: float = 0.05, hi_q: float = 0.95,
+              out_col: str = "winsorized") -> DataFrame:
+    """Clip ``value_col`` to its [lo_q, hi_q] quantile band, optionally
+    per group — the standard outlier treatment before training-feature
+    or KPI aggregation.
+
+    Plan: one grouped exact-percentile aggregate (two-phase hash agg;
+    group cardinality rows) joined back onto the fact — Catalyst/AQE
+    broadcasts the per-group band table while it fits, and the clip
+    itself is a narrow least/greatest projection. At 100 TB swap the
+    exact percentile for approx_percentile (same shape, sketch
+    aggregate) — exact keeps this oracle-checkable."""
+    from pyspark.sql import functions as F
+
+    keys = [group_col] if group_col else []
+    bands = df.groupBy(*keys).agg(
+        F.percentile(value_col, F.lit(lo_q)).alias("__lo"),
+        F.percentile(value_col, F.lit(hi_q)).alias("__hi"),
+    )
+    joined = df.join(bands, keys) if keys else df.crossJoin(F.broadcast(bands))
+    return joined.withColumn(
+        out_col,
+        F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+    ).drop("__lo", "__hi")

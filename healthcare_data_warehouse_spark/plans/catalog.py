@@ -2730,6 +2730,51 @@ def vocab_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_train_val_test",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                    THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split assignment — hash-interval membership,
+    stable under corpus growth; narrow projection, zero shuffle."""
+    from ..operators.curation import assign_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_split(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+@query(
+    "winsorize_costs",
+    oracle="""
+    WITH q AS (
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.05) AS lo,
+               quantile_cont(o_totalprice, 0.95) AS hi
+        FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           least(greatest(o_totalprice, lo), hi) AS winsorized
+    FROM orders JOIN q USING (o_orderstatus)
+    """,
+)
+def winsorize_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status cost winsorization at [p05, p95] (operators/profiling.py
+    ``winsorize``): grouped exact-percentile bands join back broadcast,
+    clip is a narrow projection."""
+    from ..operators.profiling import winsorize
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    return winsorize(o, "o_totalprice", group_col="o_orderstatus")
+
+
+@query(
     "trend_slope_per_customer",
     oracle="""
     WITH g AS (

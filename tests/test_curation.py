@@ -206,3 +206,20 @@ def test_ngrams_order_and_empty(spark):
     assert got[1] == ["a b", "b a", "a b"]   # duplicates preserved, in order
     assert got[2] == []
     assert got[3] == []
+
+
+def test_assign_split_stable_under_growth(spark):
+    from healthcare_data_warehouse_spark.operators.curation import assign_split
+
+    d = load_table(spark, SF_CORRECT, "documents").select("doc_id")
+    full = {r.doc_id: r.split for r in assign_split(d).collect()}
+    frac = sum(1 for s in full.values() if s == "train") / len(full)
+    assert 0.74 < frac < 0.86
+    # growing the corpus never reassigns an existing doc
+    half = {r.doc_id: r.split
+            for r in assign_split(d.filter(F.col("doc_id") % 2 == 0)).collect()}
+    assert all(full[k] == v for k, v in half.items())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        assign_split(d, {"train": 0.5, "val": 0.1})

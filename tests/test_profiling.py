@@ -63,3 +63,25 @@ def test_scan_shapes(spark, df):
         pq = spark.read.parquet(d)
         plan = profile_table(pq, ["a"])._jdf.queryExecution().executedPlan().toString()
         assert "ReadSchema: struct<a:" in plan and "b:string" not in plan
+
+
+def test_winsorize_clips_to_group_band(spark):
+    from healthcare_data_warehouse_spark.operators.profiling import winsorize
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)] + [("b", 1000.0), ("b", 1.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    rows = winsorize(df, "v", group_col="g", lo_q=0.1, hi_q=0.9).collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.g, []).append(r)
+    a_vals = sorted(r.winsorized for r in by_g["a"])
+    assert a_vals[0] >= 10.0 and a_vals[-1] <= 91.0   # clipped into band
+    assert len(a_vals) == 100                          # row-preserving
+    b_max = max(r.winsorized for r in by_g["b"])
+    assert b_max < 1000.0                              # outlier clipped
+
+    # ungrouped: global band
+    g = winsorize(df.select("v"), "v", lo_q=0.0, hi_q=0.5).collect()
+    assert max(r.winsorized for r in g) == sorted(x.v for x in df.collect())[51]
