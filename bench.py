@@ -47,6 +47,11 @@ HEADLINE = [
     "profile_lineitem",
     "text_redact_pii",
     "agg_incremental_merge",
+    # round-2 session-3 additions (chunking fan-out, CDC full-outer diff,
+    # bigram vocabulary aggregate):
+    "chunk_documents",
+    "cdc_orders_diff",
+    "vocab_bigrams",
 ]
 
 

@@ -2775,6 +2775,51 @@ def winsorize_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "inverted_index",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split_regex(trim(text), '\s+')))
+                   AS term
+        FROM documents),
+    g AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+               array_to_string(list_sort(list(doc_id))[1:1000], ',') AS postings
+        FROM t GROUP BY term)
+    SELECT term, doc_freq, postings
+    FROM g WHERE doc_freq >= 5
+    ORDER BY doc_freq DESC, term LIMIT 100
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index build: per term, document frequency + the sorted
+    posting list (capped at 1000 doc ids — real indexes segment long
+    postings; the cap keeps a stopword's row bounded at any corpus
+    size). One explode of per-doc DISTINCT terms into one hash
+    aggregate; collect_list order is made deterministic by sort_array.
+    Postings serialize comma-joined (arrow list nullability/field-name
+    metadata differs between engines; values are what's checked).
+    Top-100 terms by document frequency."""
+    from ..operators.skew import spread
+    from ..operators.text import tokens
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 1000), ","
+            ).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= 5)
+        .orderBy(F.desc("doc_freq"), "term")
+        .limit(100)
+    )
+
+
+@query(
     "trend_slope_per_customer",
     oracle="""
     WITH g AS (
