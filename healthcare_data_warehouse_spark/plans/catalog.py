@@ -2820,6 +2820,85 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_report",
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY o_custkey),
+    s AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS nkeys
+        FROM f)
+    SELECT o_custkey, cnt,
+           CAST(cnt AS DOUBLE) / (CAST(total AS DOUBLE) / nkeys) AS skew_ratio
+    FROM f CROSS JOIN s
+    ORDER BY cnt DESC, o_custkey LIMIT 20
+    """,
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics: the 20 hottest join/agg keys with
+    their frequency and ratio to the mean key frequency — the table you
+    read before deciding to salt (operators/skew.py). One keyed count
+    (map-side combined) + a 1-row global stat broadcast; top-k via
+    TakeOrderedAndProject."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    s = f.agg(F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("nkeys"))
+    return (
+        f.crossJoin(F.broadcast(s))
+        .select(
+            "o_custkey", "cnt",
+            (F.col("cnt").cast("double")
+             / (F.col("total").cast("double") / F.col("nkeys"))).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("cnt"), "o_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+        FROM orders GROUP BY o_orderstatus),
+    dev AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               abs(o_totalprice - med) AS adev
+        FROM orders JOIN med USING (o_orderstatus)),
+    m2 AS (
+        SELECT o_orderstatus, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY o_orderstatus)
+    SELECT o_orderkey, o_orderstatus, o_totalprice, adev / mad AS mad_score
+    FROM dev JOIN m2 USING (o_orderstatus)
+    WHERE mad > 0 AND adev / mad > 2.5
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier scores via median absolute deviation —
+    unlike z-scores, medians need no distributed double sums (exact
+    percentile parity is already pinned), and MAD tolerates the heavy
+    tails cost data actually has. Plan: two tiny grouped percentile
+    aggregates, each broadcast-joined back; the score is a narrow
+    projection and the >2.5 filter bounds the output to true outliers."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    med = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med"))
+    dev = o.join(med, "o_orderstatus").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"))
+    mad = dev.groupBy("o_orderstatus").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(mad, "o_orderstatus")
+        .filter((F.col("mad") > 0) & (F.col("adev") / F.col("mad") > 2.5))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                (F.col("adev") / F.col("mad")).alias("mad_score"))
+    )
+
+
+@query(
     "trend_slope_per_customer",
     oracle="""
     WITH g AS (

@@ -196,3 +196,32 @@ def test_runtime_bloom_filter_injected_for_selective_dim(spark):
         assert "bloom_filter" in plan.lower(), (
             "runtime bloom filter not injected into the fact side"
         )
+
+
+def test_cdc_diff_single_keyed_join_no_nested_loop(spark):
+    import re
+
+    plan = _plan(spark, "cdc_orders_diff")
+    # full-outer can't broadcast: exactly one keyed shuffle join, never a
+    # BroadcastNestedLoopJoin (the O(n*m) failure mode of outer joins)
+    keyed = re.findall(r"(SortMergeJoin|ShuffledHashJoin) .*FullOuter", plan)
+    assert len(keyed) == 1, plan[:500]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_inverted_index_and_vocab_topk_no_global_sort(spark):
+    for name in ("inverted_index", "vocab_bigrams"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_winsorize_band_join_broadcasts(spark):
+    # the per-group band table is group-cardinality rows -> must broadcast
+    plan = _plan(spark, "winsorize_costs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_split_assignment_is_narrow(spark):
+    plan = _plan(spark, "split_train_val_test")
+    assert "Exchange" not in plan  # pure projection: no shuffle at all
