@@ -155,6 +155,21 @@ def snapshot_upsert(spark: SparkSession, path: str, updates: DataFrame,
     return snapshot_write(merged, path, op=op)
 
 
+def snapshot_diff(spark: SparkSession, path: str, keys: list[str],
+                  from_version: int, to_version: int | None = None,
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """What changed between two committed versions — the time-travel
+    answer to "what did last night's load do?". Composes the versioned
+    reads with the CDC keyed diff (operators/cdc.py): one full-outer
+    shuffle join on the key, rows tagged insert/delete/update with the
+    changed-column list."""
+    from ..operators.cdc import table_diff
+
+    old = snapshot_read(spark, path, from_version)
+    new = snapshot_read(spark, path, to_version)
+    return table_diff(old, new, keys, compare_cols)
+
+
 def snapshot_vacuum(path: str, keep_last: int = 2) -> list[int]:
     """Delete version directories beyond the newest ``keep_last``,
     always keeping the pointer's target. Returns removed versions."""

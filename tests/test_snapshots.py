@@ -87,3 +87,14 @@ def test_crash_debris_is_invisible(spark, table):
     v = snapshot_write(_df(spark, [(1, "b")]), table)
     assert v == 2  # tmp debris overwritten, not version-bumped
     assert {r.val for r in snapshot_read(spark, table).collect()} == {"b"}
+
+
+def test_snapshot_diff_between_versions(spark, table):
+    from healthcare_data_warehouse_spark.sources.snapshots import snapshot_diff
+
+    snapshot_write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), table)
+    snapshot_upsert(spark, table, _df(spark, [(2, "B"), (4, "d")]), ["k"])
+    d = {r.k: r for r in snapshot_diff(spark, table, ["k"], 1, 2).collect()}
+    assert d[2].change_type == "update" and d[2].changed_cols == "val"
+    assert d[4].change_type == "insert"
+    assert 1 not in d and 3 not in d  # untouched rows absent from the feed
