@@ -64,3 +64,45 @@ def range_join_count(left: DataFrame, right: DataFrame, on: str, ts_col: str,
         .groupBy(*lcols)
         .agg(F.count(F.col(f"r.{ts_col}")).alias(count_alias))
     )
+
+
+def grouped_ewma(df: DataFrame, value_col: str, order_cols: list[str],
+                 group_col: str, alpha: float = 0.3,
+                 beta: float | None = None,
+                 out_col: str = "ewma") -> DataFrame:
+    """Per-group exponentially weighted moving average of the FINAL state:
+    s_1 = x_1, s_i = alpha*x_i + beta*s_{i-1} over the group's rows in
+    ``order_cols`` order — the classic smoothed-trend signal Spark has no
+    window frame for (the recurrence is order-sequential by definition).
+
+    Plan: one groupBy collects each group's ordered value array
+    (sort_array over structs — deterministic, tie-broken by the full
+    order_cols tuple), then a native ``aggregate`` lambda folds it.
+    Sequential work is per-GROUP (bounded: a patient's visit history),
+    groups themselves parallelize freely, so at 100 TB this scales as
+    long as no single group is corpus-sized — same contract as any
+    per-entity history operator. Bit-parity note: pass ``beta`` as an
+    explicit literal (default 1-alpha computed in Python can land a
+    half-ulp off the decimal literal an oracle would parse); identical
+    literals make the fold IEEE-identical in any engine (DuckDB
+    ``list_reduce`` folds with the same left-to-right order).
+    """
+    if beta is None:
+        beta = 1.0 - alpha
+    ordered = F.sort_array(F.collect_list(F.struct(
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+        F.col(value_col).cast("double").alias("v"),
+    )))
+    vals = F.transform(ordered, lambda s: s["v"])
+    agg = df.groupBy(group_col).agg(vals.alias("__vals"))
+    n = F.size("__vals")
+    folded = F.aggregate(
+        F.slice(F.col("__vals"), 2, F.greatest(n - 1, F.lit(0))),
+        F.element_at(F.col("__vals"), 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(beta) * acc,
+    )
+    return agg.select(
+        group_col,
+        n.cast("int").alias("n_points"),
+        folded.alias(out_col),
+    )

@@ -2899,6 +2899,34 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ewma_customer_spend",
+    oracle="""
+    WITH s AS (
+        SELECT o_custkey,
+               list(o_totalprice ORDER BY o_orderdate, o_orderkey) AS vals
+        FROM orders GROUP BY o_custkey)
+    SELECT o_custkey,
+           CAST(len(vals) AS INTEGER) AS n_points,
+           list_reduce(vals, (a, b) -> CAST(0.3 AS DOUBLE) * b
+                                       + CAST(0.7 AS DOUBLE) * a) AS ewma
+    FROM s
+    """,
+)
+def ewma_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-patient exponentially smoothed spend (alpha=0.3): the
+    order-sequential recurrence folds a sorted per-group array with a
+    native aggregate lambda (operators/temporal.py grouped_ewma) —
+    bit-identical to the single-threaded oracle because the fold order
+    and the float literals are pinned on both sides."""
+    from ..operators.temporal import grouped_ewma
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    return grouped_ewma(o, "o_totalprice", ["o_orderdate", "o_orderkey"],
+                        "o_custkey", alpha=0.3, beta=0.7)
+
+
+@query(
     "trend_slope_per_customer",
     oracle="""
     WITH g AS (

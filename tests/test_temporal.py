@@ -39,3 +39,19 @@ def test_range_join_count(spark):
     # window is [20:00, 30:00): 21 and 25 count; 30 (equal) and 19 (too old)
     # and user 2 don't.
     assert out[0]["matches"] == 2
+
+
+def test_grouped_ewma_matches_closed_form(spark):
+    from healthcare_data_warehouse_spark.operators.temporal import grouped_ewma
+
+    rows = [("g", i, float(v)) for i, v in enumerate([10, 20, 30, 40])]
+    rows += [("solo", 0, 99.0)]
+    df = spark.createDataFrame(rows, "g string, seq int, v double")
+    out = {r.g: r for r in grouped_ewma(df, "v", ["seq"], "g", alpha=0.5, beta=0.5).collect()}
+    # s1=10, s2=15, s3=22.5, s4=31.25
+    assert out["g"].ewma == 31.25 and out["g"].n_points == 4
+    assert out["solo"].ewma == 99.0 and out["solo"].n_points == 1
+    # order column, not input order, drives the fold
+    shuffled = spark.createDataFrame(list(reversed(rows)), "g string, seq int, v double")
+    out2 = {r.g: r.ewma for r in grouped_ewma(shuffled, "v", ["seq"], "g", alpha=0.5, beta=0.5).collect()}
+    assert out2["g"] == 31.25
