@@ -68,3 +68,30 @@ def finalize(state: DataFrame) -> DataFrame:
         "min_v",
         "max_v",
     )
+
+
+def refresh_state_from_diff(old_state: DataFrame, new_table: DataFrame,
+                            diff: DataFrame, keys: list[str],
+                            measure: str) -> DataFrame:
+    """CDC-driven aggregate maintenance: bring a persisted state up to
+    date for exactly the keys a change feed touched.
+
+    min/max don't invert (you can't subtract a deleted row out of a
+    max), so instead of differential updates the affected KEYS are
+    re-aggregated from the new table state and swapped in:
+
+        kept       = old_state  ANTI-JOIN  changed_keys
+        recomputed = partial_agg(new_table  SEMI-JOIN  changed_keys)
+        new_state  = kept ∪ recomputed
+
+    Exactly equal to re-aggregating the whole table, but every stage is
+    proportional to the CHANGE set: the semi/anti joins broadcast the
+    changed-key list while it's small (the normal CDC case — AQE
+    decides), and the only aggregation scans the touched keys' rows.
+    ``diff`` is ``cdc.table_diff`` output (or any frame carrying the
+    key columns of inserted/deleted/updated rows)."""
+    changed = diff.select(*keys).distinct()
+    kept = old_state.join(changed, keys, "left_anti")
+    recomputed = partial_agg(new_table.join(changed, keys, "left_semi"),
+                             keys, measure)
+    return kept.unionByName(recomputed)

@@ -2927,6 +2927,41 @@ def ewma_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_size_estimate",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cnt_a
+        FROM orders GROUP BY o_custkey),
+    b AS (
+        SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS cnt_b
+        FROM customer GROUP BY c_custkey)
+    SELECT CAST(sum(cnt_a * cnt_b) AS BIGINT) AS join_rows,
+           CAST(count(*) AS BIGINT) AS common_keys,
+           CAST(max(cnt_a * cnt_b) AS BIGINT) AS max_key_pairs
+    FROM a JOIN b USING (k)
+    """,
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality diagnostics: the exact output size a
+    customer⋈orders join would produce, its common-key count, and the
+    worst single key's pair count — the numbers that decide broadcast vs
+    shuffle vs salt BEFORE paying for the join. Two keyed counts (each a
+    fraction of the real join's width) joined on the key; at 100 TB the
+    same shape runs on a sample or with approx_count_distinct sketches,
+    this exact form doubles as the calibration oracle."""
+    o = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("cnt_a"))
+    c = _t(spark, sf_dir, "customer").groupBy(
+        F.col("c_custkey").alias("k")).agg(F.count(F.lit(1)).alias("cnt_b"))
+    pairs = F.col("cnt_a") * F.col("cnt_b")
+    return o.join(c, "k").agg(
+        F.sum(pairs).alias("join_rows"),
+        F.count(F.lit(1)).alias("common_keys"),
+        F.max(pairs).alias("max_key_pairs"),
+    )
+
+
+@query(
     "trend_slope_per_customer",
     oracle="""
     WITH g AS (

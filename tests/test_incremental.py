@@ -58,3 +58,31 @@ def test_merge_shuffle_is_state_sized(loads):
 def test_empty_merge_rejected():
     with pytest.raises(ValueError):
         merge_states()
+
+
+def test_refresh_state_from_diff_equals_full_reaggregate(spark):
+    from healthcare_data_warehouse_spark.operators.cdc import table_diff
+    from healthcare_data_warehouse_spark.operators.incremental import (
+        partial_agg,
+        refresh_state_from_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0), (3, 7.0), (4, 1.0)],
+        "k long, v double")
+    # new state: key 2 updated, key 3 deleted, key 5 inserted, 1/4 untouched
+    new = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 6.0), (4, 1.0), (5, 9.0)],
+        "k long, v double")
+    # row-identity diff needs a row key; use (k, v) as the compare surface
+    diff = table_diff(
+        old.groupBy("k").agg(F.sum("v").alias("v")),
+        new.groupBy("k").agg(F.sum("v").alias("v")),
+        ["k"],
+    )
+    refreshed = refresh_state_from_diff(
+        partial_agg(old, ["k"], "v"), new, diff, ["k"], "v")
+    full = partial_agg(new, ["k"], "v")
+    assert sorted(map(tuple, refreshed.collect())) == sorted(map(tuple, full.collect()))
+    # deleted key has no state row anymore
+    assert refreshed.filter(F.col("k") == 3).count() == 0
