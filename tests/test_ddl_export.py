@@ -54,3 +54,32 @@ def test_export_excel_gated(spark):
         assert os.path.exists(path)
         os.remove(path)
     # when openpyxl is missing the export degrades to a clean False
+
+
+def test_composed_report_exports(spark, tmp_path):
+    from healthcare_data_warehouse_spark.sources.export import (
+        export_ml_predictions,
+        export_patient_data,
+        generate_analytics_report,
+    )
+
+    xlsx = str(tmp_path / "report.xlsx")
+    ok = generate_analytics_report(spark, SF_SMOKE, xlsx)
+    if ok:  # openpyxl present: workbook carries all five sheets
+        import openpyxl
+
+        wb = openpyxl.load_workbook(xlsx)
+        assert set(wb.sheetnames) == {
+            "KPIs", "Age_Groups", "Top_Diagnoses", "Provider_Stats",
+            "Monthly_Trends"}
+
+    csv1 = str(tmp_path / "patient.csv")
+    export_patient_data(spark, SF_SMOKE, patient_key=7, path=csv1)
+    import pandas as pd
+
+    pdf = pd.read_csv(csv1)
+    assert len(pdf.columns) > 1  # patient-history projection, not empty
+
+    csv2 = str(tmp_path / "preds.csv")
+    export_ml_predictions(spark, SF_SMOKE, csv2, limit=5)
+    assert len(pd.read_csv(csv2)) <= 5
