@@ -2899,6 +2899,32 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decile_boundaries",
+    oracle="""
+    WITH q AS (
+        SELECT quantile_cont(o_totalprice,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM orders)
+    SELECT CAST(i AS INTEGER) AS decile, qs[i] AS boundary
+    FROM q CROSS JOIN generate_series(1, 9) AS t(i)
+    """,
+)
+def decile_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram boundaries: the nine cost deciles in ONE
+    percentile aggregate (a single pass; array result posexplodes into
+    rows) — the bucket-boundary table an equi-depth binning or monotonic
+    feature transform joins against. Exact here for the oracle; at
+    100 TB the same shape runs on approx_percentile."""
+    o = _t(spark, sf_dir, "orders")
+    fracs = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    return (
+        o.agg(F.percentile("o_totalprice", fracs).alias("qs"))
+        .select(F.posexplode("qs").alias("pos", "boundary"))
+        .select((F.col("pos") + 1).cast("int").alias("decile"), "boundary")
+    )
+
+
+@query(
     "ewma_customer_spend",
     oracle="""
     WITH s AS (
