@@ -2899,6 +2899,38 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_centroids",
+    oracle="""
+    WITH ex AS (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings)
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           CAST(sum(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS centroid
+    FROM ex GROUP BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors, computed declaratively: posexplode the
+    embedding into (label, dim, value) and mean per cell — the IVF/KMeans
+    seeding and cluster-summary primitive as ONE hash aggregate
+    (map-side partial sums absorb the 64x row fan-out before the
+    label×dim shuffle). Sums accumulate in DECIMAL(18,8): float32 inputs
+    widen to double exactly, so the distributed mean is bit-identical to
+    the sequential oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            (F.sum(F.col("v").cast("double").cast("decimal(18,8)")).cast("double")
+             / F.count(F.lit(1))).alias("centroid"))
+        .select("label", F.col("dim").cast("int").alias("dim"), "centroid")
+    )
+
+
+@query(
     "decile_boundaries",
     oracle="""
     WITH q AS (
