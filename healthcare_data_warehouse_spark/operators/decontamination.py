@@ -66,3 +66,34 @@ def decontaminate(train_df: DataFrame, eval_df: DataFrame,
     dirty = contamination_report(
         train_df, eval_ngrams(eval_df, text_col, n), id_col, text_col, n)
     return train_df.join(dirty.select(id_col), id_col, "left_anti")
+
+
+def common_phrase_report(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 5,
+                         common_df: int = 20) -> DataFrame:
+    """Boilerplate detection: per document, what share of its n-gram
+    phrases also appear in >= ``common_df`` distinct documents (the
+    RefinedWeb/Gopher 'repeated passage' signal — navigation chrome,
+    license footers, templated text score high and get filtered or
+    de-weighted before training).
+
+    Same two-sided shape as the decontamination scrub, but
+    self-referential: one explode builds per-doc DISTINCT grams, a hash
+    aggregate computes each gram's document frequency, and a join keyed
+    on the gram tags every (doc, gram) with commonness. No pairwise doc
+    comparison; the gram-frequency relation grows with the corpus so it
+    carries NO broadcast hint (AQE decides)."""
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("gram"))
+    gram_df = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        sh.join(gram_df, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("d") >= common_df, 1).otherwise(0)).alias("n_common"),
+        )
+        .select(
+            id_col, "n_grams", "n_common",
+            (F.col("n_common").cast("double") / F.col("n_grams")).alias("common_share"),
+        )
+    )

@@ -3541,6 +3541,41 @@ def cdc_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "boilerplate_ngram_share",
+    oracle=r"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(toks) - 4),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 5),
+    gdf AS (SELECT gram, count(*) AS d FROM sh GROUP BY gram)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN d >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           CAST(sum(CASE WHEN d >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS common_share
+    FROM sh JOIN gdf USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def boilerplate_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage (boilerplate) signal: share of each doc's 5-gram
+    phrases appearing in >= 3 distinct documents
+    (operators/decontamination.py common_phrase_report; threshold 3 so
+    the synthetic corpus produces a spread). Explode + gram-frequency
+    aggregate + gram-keyed join — never doc-pairwise."""
+    from ..operators.decontamination import common_phrase_report
+    from ..operators.skew import spread
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return common_phrase_report(d, n=5, common_df=3)
+
+
+@query(
     "decontamination_report",
     oracle=r"""
     WITH t AS (

@@ -223,3 +223,21 @@ def test_assign_split_stable_under_growth(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         assign_split(d, {"train": 0.5, "val": 0.1})
+
+
+def test_common_phrase_report_flags_boilerplate(spark):
+    from healthcare_data_warehouse_spark.operators.decontamination import (
+        common_phrase_report,
+    )
+
+    footer = "all rights reserved by the example corporation today"
+    docs = [(i, f"unique words number {i} alpha beta gamma " + footer)
+            for i in range(5)]
+    docs.append((99, "entirely original content with no shared passages at all"))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            common_phrase_report(d, n=5, common_df=5).collect()}
+    # footer grams appear in 5 docs -> flagged common; unique doc scores 0
+    assert all(rows[i].n_common > 0 for i in range(5))
+    assert rows[99].n_common == 0 and rows[99].common_share == 0.0
+    assert all(0.0 < rows[i].common_share < 1.0 for i in range(5))
