@@ -7,9 +7,10 @@ materializes a training-ready corpus —
     ingest → quality filter + exact dedup + per-language token budget
     (``operators.curation.corpus_clean``) → near-duplicate removal
     (MinHash+LSH candidates, keep the min-id of every candidate pair) →
-    context-window packing (``operators.curation.pack_token_budget``) →
-    parquet partitioned by (lang, pack bucket), plus a JSON manifest with
-    per-stage survivor counts.
+    benchmark decontamination (eval 5-gram scrub) → context-window
+    packing (``operators.curation.pack_token_budget``) → parquet
+    partitioned by (lang, pack bucket) + retrieval chunks partitioned by
+    lang, plus a JSON manifest with per-stage survivor counts.
 
 Every stage is the declarative operator the catalog already certifies;
 this module only composes them and writes. At 100 TB the identical
@@ -67,6 +68,18 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     deduped = drop_near_dups(clean)
     manifest["stages"]["near_dup"] = {"docs": deduped.count()}
 
+    # Stage 2.5: benchmark decontamination (GPT-3-style n-gram scrub).
+    # The held-out eval set is the doc_id % 10 == 0 slice (the repo-wide
+    # convention, see catalog.decontamination_report); eval docs leave
+    # the training corpus and any trainer doc sharing a 5-gram with them
+    # is scrubbed too.
+    from .operators.decontamination import decontaminate
+
+    evals = docs.filter(F.col("doc_id") % 10 == 0)
+    deduped = decontaminate(
+        deduped.filter(F.col("doc_id") % 10 != 0), evals, n=5)
+    manifest["stages"]["decontaminated"] = {"docs": deduped.count()}
+
     # Stage 3: pack into context windows; keep text alongside assignment.
     packs = pack_token_budget(deduped, budget=2048)
     corpus = deduped.join(packs.select("doc_id", "shard", "n_tokens", "pack_id"),
@@ -83,6 +96,18 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         "docs": stats["docs"], "tokens": int(stats["tokens"]),
         "packs": stats["packs"],
     }
+
+    # Stage 4: retrieval-ready overlapping chunks of the final corpus
+    # (32-token windows, 8 overlap), partitioned by language so an
+    # embedding job for one language prunes the rest.
+    from .operators.curation import chunk_documents
+
+    chunks = chunk_documents(deduped).join(
+        deduped.select("doc_id", "lang"), "doc_id")
+    chunk_path = os.path.join(out_dir, "corpus_chunks")
+    chunks.write.mode("overwrite").partitionBy("lang").parquet(chunk_path)
+    manifest["stages"]["chunks"] = {
+        "chunks": spark.read.parquet(chunk_path).count()}
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
