@@ -3610,3 +3610,150 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = d.filter(F.col("doc_id") % 10 == 0)
     tr = d.filter(F.col("doc_id") % 10 != 0)
     return contamination_report(tr, eval_ngrams(ev, n=5), n=5)
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    WITH src AS (
+        SELECT c_mktsegment, year(o_orderdate) AS yr, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+    SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+           coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr,
+           CAST(count(*) AS BIGINT) AS n_visits,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_cost
+    FROM src
+    GROUP BY GROUPING SETS ((c_mktsegment, yr), (c_mktsegment), (yr), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the reference's stacked summary reports —
+    per-segment/year, per-segment, per-year, grand total — as ONE
+    aggregate; reference builds each level as a separate query in
+    analytics_queries.sql). Spark plans a single Expand + hash aggregate:
+    one fact scan feeds all four grouping levels, vs four scans for the
+    reference's approach. NULL group keys are disambiguated to 'ALL'
+    post-aggregate (customer segments are non-null, so no collision)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    src = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", F.year("o_orderdate").alias("yr"), "o_totalprice")
+    g = src.groupingSets(
+        [["c_mktsegment", "yr"], ["c_mktsegment"], ["yr"], []],
+        "c_mktsegment", "yr",
+    ).agg(
+        F.count(F.lit(1)).alias("n_visits"),
+        dsum(F.col("o_totalprice")).alias("total_cost"),
+    )
+    return g.select(
+        F.coalesce("c_mktsegment", F.lit("ALL")).alias("seg"),
+        F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
+        "n_visits", "total_cost",
+    )
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH ex AS (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+    mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim),
+    q AS (
+        SELECT label, v,
+               CASE WHEN mx > mn
+                    THEN floor(((v - mn) / (mx - mn)) * 255.0 + 0.5)
+                    ELSE 0.0 END AS code,
+               mn, mx
+        FROM ex JOIN mm USING (dim))
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vals,
+           max(abs(v - (mn + (code * (mx - mn)) / 255.0))) AS max_abs_err,
+           CAST(sum(CAST(code AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+               AS avg_code
+    FROM q GROUP BY label
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8-style) embedding quantization — the storage path for
+    ANN at 100 TB (4x smaller vectors before IVF/LSH; see
+    operators/similarity.py). Per-dimension global [min,max] -> 256-level
+    code -> reconstruction; reports per-label worst-case reconstruction
+    error and mean code. Plan: posexplode + per-dim aggregate (bounded by
+    dimensionality, broadcastable by AQE on size) + hash aggregate —
+    codes are exact small integers, so their DECIMAL sum is
+    bit-reproducible; max|err| avoids distributed double-sum ordering.
+    floor(x + 0.5) not F.round: IEEE-identical in both engines."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim", "vf"),
+    ).select("label", "dim", F.col("vf").cast("double").alias("v"))
+    mm = e.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    j = e.join(mm, "dim")
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.floor(((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+                * F.lit(255.0) + F.lit(0.5)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    q = j.select("label", "v", "mn", "mx", code.alias("code"))
+    recon = F.col("mn") + (F.col("code") * (F.col("mx") - F.col("mn"))) / F.lit(255.0)
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.max(F.abs(F.col("v") - recon)).alias("max_abs_err"),
+        (F.sum(F.col("code").cast("decimal(18,4)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_code"),
+    )
+
+
+@query(
+    "quality_bigram_lm",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS gram
+        FROM t WHERE len(toks) >= 2),
+    w AS (SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1 FROM bg),
+    cb AS (SELECT gram, count(*) AS c_bi FROM w GROUP BY gram),
+    cu AS (SELECT w1, count(*) AS c_start FROM w GROUP BY w1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CAST(CAST(c_bi AS DOUBLE) / CAST(c_start AS DOUBLE)
+                         AS DECIMAL(24,12))) AS DOUBLE) / count(*)
+               AS familiarity
+    FROM w JOIN cb USING (gram) JOIN cu USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model familiarity — a cheap
+    perplexity stand-in used as a pre-training quality signal (docs made
+    of globally common word transitions score high; gibberish scores
+    low). P(w2|w1) = count(w1 w2) / count(w1-as-bigram-start), averaged
+    per document. Plan: one explode to the bigram table, two
+    vocabulary-sized count aggregates joined back by gram/w1 (AQE decides
+    broadcast vs shuffle from size), one final per-doc aggregate — no
+    pairwise work; log-free so the score is bit-reproducible (each term
+    is a single double division, summed via DECIMAL(24,12))."""
+    from ..operators.skew import spread
+    from ..operators.text import ngrams
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    w = d.select(
+        "doc_id", F.explode(ngrams("text", 2)).alias("gram"),
+    ).select("doc_id", "gram", F.split("gram", " ")[0].alias("w1"))
+    cb = w.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bi"))
+    cu = w.groupBy("w1").agg(F.count(F.lit(1)).alias("c_start"))
+    term = F.col("c_bi").cast("double") / F.col("c_start").cast("double")
+    return (
+        w.join(cb, "gram").join(cu, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum(term.cast("decimal(24,12)")).cast("double")
+             / F.count(F.lit(1))).alias("familiarity"),
+        )
+    )
