@@ -3757,3 +3757,71 @@ def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.count(F.lit(1))).alias("familiarity"),
         )
     )
+
+@query(
+    "exists_semijoin",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderpriority = '1-URGENT' AND o_totalprice > 200000)
+    """,
+)
+def exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS as a LEFT SEMI join (patients with at least one
+    urgent high-cost visit — the reference's patient-flagging subqueries,
+    query_builder.py). Semi join never duplicates or widens the probe
+    side: the build side is pre-filtered and deduplicates inside the
+    join, so the output is customer rows verbatim. Filter is pushed to
+    the orders scan; AQE picks broadcast vs shuffle from the filtered
+    size (no hint — the filtered set shrinks much faster than the
+    table grows, but that is a stats decision, not ours)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 200000))
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "timeseries_gapfill",
+    oracle=f"""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      {_osum('o_totalprice')} AS daily
+               FROM orders GROUP BY 1),
+    b AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+    cal AS (
+        SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                           CAST(mx AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b)
+    SELECT cal.day,
+           coalesce(daily, CAST(0 AS DOUBLE)) AS revenue,
+           daily IS NULL AS is_gap
+    FROM cal LEFT JOIN d USING (day)
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling: a dense daily revenue series with zero-fill
+    on days that had no visits (resampling before any rolling-window
+    analytics — a sparse series silently shrinks ROWS BETWEEN frames).
+    Plan: daily pre-aggregate (one shuffle), a 2-value global min/max,
+    sequence()+explode builds the calendar spine (rows = days elapsed,
+    independent of data volume), left join back. The spine side is tiny
+    forever, so this is AQE-broadcast territory at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        dsum("o_totalprice").alias("daily"))
+    spine = (
+        d.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    return spine.join(d, "day", "left").select(
+        "day",
+        F.coalesce("daily", F.lit(0.0)).alias("revenue"),
+        F.col("daily").isNull().alias("is_gap"),
+    )

@@ -62,3 +62,36 @@ def test_agg_grouping_sets_levels_reconcile(spark):
     assert grand[0].n_visits == sum(r.n_visits for r in fine)
     assert grand[0].n_visits == sum(r.n_visits for r in seg_only)
     assert abs(grand[0].total_cost - sum(r.total_cost for r in fine)) < 1e-4
+
+
+def test_exists_semijoin_no_duplication(spark):
+    """Semi join returns each qualifying customer exactly once, and every
+    returned customer really has a qualifying order."""
+    q = entrymod.queries()
+    rows = q["exists_semijoin"](spark, SF_SMOKE).collect()
+    keys = [r.c_custkey for r in rows]
+    assert len(keys) == len(set(keys))
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    qualifying = {
+        r.o_custkey
+        for r in o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 200000)
+        ).select("o_custkey").distinct().collect()
+    }
+    assert set(keys) == qualifying
+
+
+def test_timeseries_gapfill_dense_calendar(spark):
+    """The filled series is a dense daily calendar: one row per day
+    between min and max, gaps zero-filled and flagged."""
+    rows = entrymod.queries()["timeseries_gapfill"](spark, SF_SMOKE).collect()
+    days = sorted(r.day for r in rows)
+    assert len(days) == (days[-1] - days[0]).days + 1
+    assert len(set(days)) == len(days)
+    for r in rows:
+        if r.is_gap:
+            assert r.revenue == 0.0
+        else:
+            assert r.revenue > 0.0
