@@ -1189,7 +1189,34 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_langid")  # heuristic classifier — rows-only (pytest-verified)
+def _langid_oracle() -> str:
+    """DuckDB replica of operators.text.lang_id, generated from the same
+    _LANG_PROFILES dict so the two can never drift: per-language stopword
+    hit counts, argmax with alphabetical first-wins tiebreak, 'und' when
+    every score is zero (the fold in lang_id only replaces on strict >,
+    which is exactly 'first language reaching the max, alphabetically')."""
+    from ..operators.text import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)
+    score = ", ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS s_{}".format(
+            ", ".join("'{}'".format(w) for w in _LANG_PROFILES[lg]), lg)
+        for lg in langs
+    )
+    mx = "greatest({})".format(", ".join(f"s_{lg}" for lg in langs))
+    arms = " ".join(f"WHEN s_{lg} = {mx} THEN '{lg}'" for lg in langs)
+    return rf"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+    s AS (SELECT doc_id, lang, {score} FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN {mx} = 0 THEN 'und' {arms} END AS predicted_lang
+    FROM s
+    """
+
+
+@query("text_langid", oracle=_langid_oracle())
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic stopword-profile language ID per document. The scoring
     expressions are interpreted higher-order functions (CPU ≫ bytes), so
