@@ -3852,3 +3852,81 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("daily", F.lit(0.0)).alias("revenue"),
         F.col("daily").isNull().alias("is_gap"),
     )
+
+@query(
+    "in_grouped_subquery",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate, o_totalprice,
+           CAST(qty AS DOUBLE) AS total_qty
+    FROM orders JOIN (
+        SELECT l_orderkey, {_osum('l_quantity')} AS qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING {_osum('l_quantity')} > 150
+    ) big ON o_orderkey = l_orderkey
+    """,
+)
+def in_grouped_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — keys IN (grouped-HAVING subquery): visits whose
+    total line quantity exceeds a threshold (the reference's
+    'high-utilization patients' listing, query_builder.py threshold
+    params). The membership set is produced by a partial-aggregated
+    groupBy on the fact itself, then joined back on the key — both sides
+    co-partition on l_orderkey/o_orderkey so AQE plans one shuffle for
+    the aggregate and reuses-or-broadcasts the (HAVING-shrunk) key set
+    for the join. No hint: how much HAVING shrinks is a stats question."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+
+
+@query(
+    "timeseries_locf",
+    oracle=f"""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      {_osum('o_totalprice')} AS daily
+               FROM orders WHERE o_orderpriority = '1-URGENT'
+               GROUP BY 1),
+    b AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+    cal AS (
+        SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                           CAST(mx AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b),
+    sparse AS (SELECT cal.day, daily FROM cal LEFT JOIN d USING (day))
+    SELECT day, daily IS NULL AS was_gap,
+           last_value(daily IGNORE NULLS) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS revenue_locf
+    FROM sparse
+    """,
+)
+def timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last observation carried forward) over the dense
+    calendar: gaps inherit the most recent observed value instead of
+    zero — the resampling mode for level-style series (census, balance)
+    vs gapfill's zero-fill for flow-style series. Spark and DuckDB both
+    implement last_value(IGNORE NULLS) over a running frame; the window
+    is global but runs over the day-grain spine (rows = elapsed days,
+    not data volume), the same safe shape as window_moving_avg."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        dsum("o_totalprice").alias("daily"))
+    spine = (
+        d.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    sparse = spine.join(d, "day", "left")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    return sparse.select(
+        "day",
+        F.col("daily").isNull().alias("was_gap"),
+        F.last("daily", ignorenulls=True).over(w).alias("revenue_locf"),
+    )

@@ -95,3 +95,30 @@ def test_timeseries_gapfill_dense_calendar(spark):
             assert r.revenue == 0.0
         else:
             assert r.revenue > 0.0
+
+
+def test_in_grouped_subquery_threshold(spark):
+    """Every returned visit really exceeds the quantity threshold, and
+    each qualifying key appears exactly once."""
+    rows = entrymod.queries()["in_grouped_subquery"](spark, SF_SMOKE).collect()
+    assert rows
+    keys = [r.o_orderkey for r in rows]
+    assert len(keys) == len(set(keys))
+    assert all(r.total_qty > 150 for r in rows)
+
+
+def test_timeseries_locf_carries_forward(spark):
+    """Gap days inherit the latest observed value; observed days carry
+    their own; the series is dense."""
+    rows = sorted(
+        entrymod.queries()["timeseries_locf"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.day,
+    )
+    assert (rows[-1].day - rows[0].day).days + 1 == len(rows)
+    assert not rows[0].was_gap
+    last_obs = None
+    for r in rows:
+        if not r.was_gap:
+            last_obs = r.revenue_locf
+        else:
+            assert r.revenue_locf == last_obs
