@@ -3930,3 +3930,33 @@ def timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("daily").isNull().alias("was_gap"),
         F.last("daily", ignorenulls=True).over(w).alias("revenue_locf"),
     )
+
+@query(
+    "stream_trending_topk",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+    r AS (
+        SELECT window_start, event_type, cnt,
+               CAST(rank() OVER (PARTITION BY window_start
+                                 ORDER BY cnt DESC, event_type) AS INTEGER)
+                   AS rnk
+        FROM h)
+    SELECT window_start, event_type, cnt, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types per hour (top-3 by count, rank with
+    deterministic tiebreak) — batch twin of
+    streaming.pipelines.streaming_trending_topk, whose live variant
+    re-ranks each micro-batch snapshot in foreachBatch (rank over a
+    streaming aggregate needs the window finished; the leaderboard sink
+    is overwritten idempotently instead). The rank window partitions by
+    window_start, so each hour sorts independently — no global sort at
+    any scale."""
+    from ..sources.loaders import load_table
+    from ..streaming.pipelines import trending_topk, tumbling_hourly
+
+    return trending_topk(tumbling_hourly(load_table(spark, sf_dir, "events")))

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -234,3 +234,43 @@ def streaming_dedup(spark: SparkSession, sf_dir: str,
     than the watermark is dropped (the late-duplicate horizon)."""
     ev = read_event_stream(spark, sf_dir).withWatermark("ts", watermark)
     return ev.dropDuplicates(["event_id"]).select("event_id", "user_id", "event_type")
+
+
+def trending_topk(hourly: DataFrame, k: int = 3) -> DataFrame:
+    """Rank event types inside each tumbling window and keep the top k
+    (deterministic tiebreak on event_type). Shared by the batch twin and
+    the foreachBatch stage of the streaming variant; the window is
+    partitioned by window_start, so the sort is per-hour, never global."""
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("cnt").desc(), F.col("event_type"))
+    return (
+        hourly.select("window_start", "event_type", "cnt",
+                      F.rank().over(w).cast("int").alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def streaming_trending_topk(spark: SparkSession, sf_dir: str, out_path: str,
+                            k: int = 3, watermark: str = "2 hours") -> DataFrame:
+    """Streaming trending-topics: watermarked tumbling counts, then a
+    foreachBatch ranking stage — rank() isn't allowed on a live streaming
+    aggregate (it would need the finished window), so each micro-batch
+    re-ranks the aggregate snapshot and overwrites the serving table.
+    That overwrite-a-small-ranked-table shape is the production pattern
+    for leaderboards: state lives in the (watermark-bounded) agg, the
+    sink is tiny and idempotently rewritten."""
+    ev = read_event_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = tumbling_hourly(ev).withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz"))
+
+    def _rank_and_swap(batch_df: DataFrame, _batch_id: int) -> None:
+        trending_topk(batch_df, k).write.mode("overwrite").parquet(out_path)
+
+    q = (
+        agg.writeStream.foreachBatch(_rank_and_swap)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out_path)

@@ -161,3 +161,25 @@ def test_stream_upsert_merges_by_key(spark, tmp_path):
     # Nothing new → no batch; table unchanged.
     assert stream_upsert(spark, src, table, ckpt, schema, ["k"]) == 0
     assert spark.read.parquet(table).count() == 3
+
+
+def test_streaming_trending_topk_matches_batch(spark, tmp_path):
+    """The foreachBatch-ranked leaderboard equals the batch twin: with
+    AvailableNow the final micro-batch snapshot IS the full aggregate,
+    so the overwritten sink must match rank-over-batch exactly."""
+    from healthcare_data_warehouse_spark.streaming.pipelines import (
+        streaming_trending_topk,
+        trending_topk,
+    )
+
+    out = str(tmp_path / "trending")
+    stream_result = streaming_trending_topk(spark, SF_SMOKE, out)
+    batch = trending_topk(tumbling_hourly(load_table(spark, SF_SMOKE, "events")))
+    canon = lambda rows: sorted(  # noqa: E731
+        (r["window_start"], r["event_type"], r["cnt"], r["rnk"]) for r in rows)
+    got = stream_result.withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz"))
+    want = batch.withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz"))
+    assert canon(got.collect()) == canon(want.collect())
+    assert all(r.rnk <= 3 for r in stream_result.collect())
