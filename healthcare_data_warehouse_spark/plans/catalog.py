@@ -3960,3 +3960,29 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipelines import trending_topk, tumbling_hourly
 
     return trending_topk(tumbling_hourly(load_table(spark, sf_dir, "events")))
+
+@query(
+    "scan_orc",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source roundtrip (sources/loaders.py write_orc/read_orc):
+    the orders slice is written to ORC and scanned back; value-hash parity
+    with the parquet-based oracle proves the format hop is lossless
+    (int64 keys, doubles, dates). The filter runs on the ORC scan —
+    Spark's vectorized ORC reader pushes predicates and prunes columns
+    like parquet, so the plan keeps the shape the parquet path has."""
+    import os as _os
+
+    from ..config import SCRATCH_DIR
+    from ..sources.loaders import orc_roundtrip
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+    path = _os.path.join(
+        SCRATCH_DIR, f"orders_orc_{_os.path.basename(sf_dir.rstrip('/'))}")
+    return orc_roundtrip(spark, o, path).filter(F.col("o_totalprice") > 100000)

@@ -114,3 +114,25 @@ def jsonl_roundtrip(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     the correctness harness for the JSONL path."""
     write_jsonl(df, path)
     return read_jsonl(spark, path, df.schema)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib default): the columnar interchange format for
+    Hive/Trino-adjacent warehouses. Same splittable, predicate-pushdown
+    story as parquet — kept as a sink option so downstream ORC-native
+    stacks can consume exports without a conversion hop."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source. ORC files carry their schema; Spark's vectorized ORC
+    reader does scan-level filter pushdown and column pruning exactly as
+    for parquet, so plans over ORC keep the same shape."""
+    return spark.read.orc(path)
+
+
+def orc_roundtrip(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Write ``df`` as ORC and scan it back — correctness harness for
+    the ORC path (schema + values must survive the format hop)."""
+    write_orc(df, path)
+    return read_orc(spark, path)

@@ -166,3 +166,22 @@ def test_evolve_schema_conforms_batches(spark):
     row = out.first()
     assert row["id"] == 1 and row["cost"] == 5.0 and row["flag"] is None
     assert "legacy" not in out.columns
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC write→read preserves schema + values, and the ORC scan pushes
+    filters down like parquet."""
+    from healthcare_data_warehouse_spark.sources.loaders import (
+        load_table,
+        orc_roundtrip,
+    )
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice")
+    back = orc_roundtrip(spark, o, str(tmp_path / "orc"))
+    assert back.schema == o.schema
+    assert back.count() == o.count()
+
+    filtered = back.filter(back.o_totalprice > 100000)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_totalprice" in plan
