@@ -52,6 +52,10 @@ HEADLINE = [
     "chunk_documents",
     "cdc_orders_diff",
     "vocab_bigrams",
+    # round-2 session-4 additions (bigram-LM scoring over the corpus,
+    # windowed trending top-k — the heaviest of the newest ops):
+    "quality_bigram_lm",
+    "stream_trending_topk",
 ]
 
 

@@ -3760,27 +3760,36 @@ def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity stand-in used as a pre-training quality signal (docs made
     of globally common word transitions score high; gibberish scores
     low). P(w2|w1) = count(w1 w2) / count(w1-as-bigram-start), averaged
-    per document. Plan: one explode to the bigram table, two
-    vocabulary-sized count aggregates joined back by gram/w1 (AQE decides
-    broadcast vs shuffle from size), one final per-doc aggregate — no
-    pairwise work; log-free so the score is bit-reproducible (each term
-    is a single double division, summed via DECIMAL(24,12))."""
+    per document. Plan: the corpus explodes twice (once into the bigram
+    count, once for the per-occurrence join); the start-word denominator
+    is NOT a third corpus pass — count(w1) = sum of c_bi over grams
+    sharing w1, a vocabulary-sized aggregate of the count table itself,
+    so the per-gram rate table is built entirely from vocab-sized inputs
+    and joined back in one corpus-side hash join (AQE decides broadcast
+    vs shuffle from the vocabulary's size). No pairwise work; log-free
+    so the score is bit-reproducible (each term is a single double
+    division, summed via DECIMAL(24,12))."""
     from ..operators.skew import spread
     from ..operators.text import ngrams
 
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
-    w = d.select(
-        "doc_id", F.explode(ngrams("text", 2)).alias("gram"),
-    ).select("doc_id", "gram", F.split("gram", " ")[0].alias("w1"))
+    w = d.select("doc_id", F.explode(ngrams("text", 2)).alias("gram"))
     cb = w.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bi"))
-    cu = w.groupBy("w1").agg(F.count(F.lit(1)).alias("c_start"))
-    term = F.col("c_bi").cast("double") / F.col("c_start").cast("double")
+    cs = (
+        cb.groupBy(F.split("gram", " ")[0].alias("w1"))
+        .agg(F.sum("c_bi").alias("c_start"))
+    )
+    rate = cb.join(cs, F.split(cb.gram, " ")[0] == cs.w1).select(
+        "gram",
+        (F.col("c_bi").cast("double")
+         / F.col("c_start").cast("double")).alias("term"),
+    )
     return (
-        w.join(cb, "gram").join(cu, "w1")
+        w.join(rate, "gram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            (F.sum(term.cast("decimal(24,12)")).cast("double")
+            (F.sum(F.col("term").cast("decimal(24,12)")).cast("double")
              / F.count(F.lit(1))).alias("familiarity"),
         )
     )
