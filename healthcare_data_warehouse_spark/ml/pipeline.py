@@ -79,6 +79,12 @@ def predict_readmission(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import vector_to_array
 
     features = build_features(spark, sf_dir)
+    if features.isEmpty():  # backfill edge: RF.fit refuses empty input
+        return features.select(
+            "customer_id", "visit_id",
+            F.lit(0.0).alias("readmission_risk"),
+            F.lit(0).cast("int").alias("predicted_readmit"),
+        ).limit(0)
     model, assembler, _ = train_readmission_model(features)
     scored = model.transform(assembler.transform(features))
     prob = F.element_at(vector_to_array("probability"), 2)

@@ -86,6 +86,13 @@ def ivf_topk(df: DataFrame, query_vec_id: int, k: int = 10, n_lists: int = 16,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
+    # Backfill edge: KMeans.fit refuses an empty dataset, and a missing
+    # query id has no vector to probe with — both mean "no neighbors",
+    # not an error. Empty result, stable schema.
+    if df.filter(F.col(id_col) == query_vec_id).isEmpty():
+        return df.select(
+            id_col, "label", F.lit(0.0).alias("cosine_sim")).limit(0)
+
     spark = df.sparkSession
     vecs = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
     km = KMeans(k=n_lists, seed=seed, featuresCol="__v", predictionCol="__list")

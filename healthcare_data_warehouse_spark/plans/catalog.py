@@ -2302,6 +2302,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_build_index, ivf_topk_indexed
 
     emb = _t(spark, sf_dir, "embeddings")
+    if emb.isEmpty():  # backfill edge: nothing to index, nothing to probe
+        return emb.select(
+            "vec_id", "label", F.lit(0.0).alias("cosine_sim")).limit(0)
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     index_dir = os.path.join(tempfile.gettempdir(), f"hdw_ivf_{tag}")
     if not os.path.exists(os.path.join(index_dir, "centroids.json")):
@@ -3455,6 +3458,9 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans of one column, no sort, no driver data."""
     o = _t(spark, sf_dir, "orders")
     lo, hi = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    if lo is None:  # empty input (backfill edge): empty frame, same schema
+        return o.select(F.lit(0).alias("bucket"),
+                        F.lit(0).cast("long").alias("cnt")).limit(0)
     width = (hi - lo) / 20
     bucket = F.least(
         F.floor((F.col("o_totalprice") - F.lit(lo)) / F.lit(width)).cast("int"),

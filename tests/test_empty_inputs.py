@@ -1,0 +1,80 @@
+"""Empty-input robustness: every query shape that computes driver-side
+scalars (min/max/percentile seeds), fits a model, or builds a calendar
+spine must degrade to an EMPTY result with a stable schema on 0-row
+tables — the production backfill / new-partition edge — never crash.
+
+(A full 140-query sweep ran once during development; the queries here are
+the shapes that failed or came closest: scalar-seeded expressions, MLlib
+fits, sequence spines, percentile arrays, LSH/corpus funnels.)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+
+from conftest import SF_SMOKE
+
+RISKY = [
+    "histogram_totalprice",     # driver-side (min,max) seed arithmetic
+    "ann_ivf_topk",             # KMeans.fit refuses empty input
+    "ml_predict_readmission",   # RandomForest.fit refuses empty input
+    "anomaly_quantile",         # percentile threshold seed
+    "decile_boundaries",        # percentile-array seed
+    "timeseries_gapfill",       # sequence() calendar spine from min/max
+    "timeseries_locf",          # same spine + global window
+    "highcost_above_p90",       # percentile scalar join
+    "percentile_p90",
+    "window_moving_avg",        # global window over empty series
+    "dedup_minhash_lsh",        # signature explode over empty corpus
+    "corpus_clean",             # multi-stage funnel
+    "quality_bigram_lm",        # vocabulary aggregates over empty corpus
+    "embedding_quantize",       # per-dim min/max join
+    "trend_slope_per_customer", # closed-form OLS on empty groups
+    "cdc_orders_diff",          # full-outer diff of two empty snapshots
+    "stream_trending_topk",     # rank over empty windows
+]
+
+# Global aggregates legitimately return ONE row on empty input (SQL
+# semantics: COUNT(*) with no GROUP BY is 0, not absent) — assert
+# no-crash and the single-row shape instead of emptiness.
+GLOBAL_AGG = [
+    "agg_grouping_sets",        # the () grouping set emits a grand-total row
+    "kpi_block",                # multi-KPI single pass
+    "scalar_subquery",          # 1-row scalar cross join
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    """Every driver table, zero rows, schemas copied from sf0.001."""
+    out = str(tmp_path_factory.mktemp("sf_empty"))
+    for f in os.listdir(SF_SMOKE):
+        if f.endswith(".parquet"):
+            s = pq.read_schema(os.path.join(SF_SMOKE, f))
+            empty = pa.table(
+                {c: pa.array([], type=s.field(c).type) for c in s.names},
+                schema=s)
+            pq.write_table(empty, os.path.join(out, f))
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", RISKY)
+def test_query_survives_empty_tables(spark, empty_sf_dir, name):
+    fn = entrymod.queries()[name]
+    rows = fn(spark, empty_sf_dir).collect()
+    assert rows == []
+
+
+@pytest.mark.parametrize("name", GLOBAL_AGG)
+def test_global_agg_emits_single_row_on_empty(spark, empty_sf_dir, name):
+    fn = entrymod.queries()[name]
+    rows = fn(spark, empty_sf_dir).collect()
+    assert len(rows) <= 1
