@@ -4001,3 +4001,39 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _os.path.join(
         SCRATCH_DIR, f"orders_orc_{_os.path.basename(sf_dir.rstrip('/'))}")
     return orc_roundtrip(spark, o, path).filter(F.col("o_totalprice") > 100000)
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       event_type FROM events),
+    p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS click_ts FROM ev WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.click_ts,
+           c.click_ts IS NOT NULL AS attributed
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent click at-or-before it (unmatched purchases stay, flagged
+    unattributed) — the marketing/event-analytics twin of the clinical
+    as-of join, certified against DuckDB's native ASOF LEFT JOIN. Spark
+    has no asof operator; operators/temporal.py asof_join builds it as
+    union + per-user ordered window with last(ignorenulls) carry-forward:
+    one shuffle on user_id, state bounded per user, no range explosion
+    (vs the interval-join formulation whose pair count grows with the
+    lookback window)."""
+    from ..operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(p, c, on="user_id", ts_col="ts",
+                    right_ts_alias="click_ts")
+    return out.select(
+        "event_id", "user_id",
+        F.col("ts").alias("purchase_ts"), "click_ts",
+        F.col("click_ts").isNotNull().alias("attributed"),
+    )

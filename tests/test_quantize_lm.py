@@ -122,3 +122,18 @@ def test_timeseries_locf_carries_forward(spark):
             last_obs = r.revenue_locf
         else:
             assert r.revenue_locf == last_obs
+
+
+def test_attribution_last_touch_semantics(spark):
+    """One output row per purchase; attributed rows carry a click at or
+    before the purchase."""
+    rows = entrymod.queries()["attribution_last_touch"](spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    assert len(rows) == n_purchases
+    assert any(r.attributed for r in rows)
+    for r in rows:
+        if r.attributed:
+            assert r.click_ts <= r.purchase_ts
+        else:
+            assert r.click_ts is None
