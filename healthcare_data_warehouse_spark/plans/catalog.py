@@ -4037,3 +4037,90 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"), "click_ts",
         F.col("click_ts").isNotNull().alias("attributed"),
     )
+
+@query(
+    "embedding_dim_scaler",
+    oracle="""
+    WITH ex AS (
+        SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings)
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mean_v,
+           CAST(sum(CAST(v * v AS DECIMAL(18,8))) AS DOUBLE) / count(*)
+               - (CAST(sum(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / count(*))
+               * (CAST(sum(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / count(*))
+               AS var_v
+    FROM ex GROUP BY dim
+    """,
+)
+def embedding_dim_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global per-dimension standardization stats (mean, population
+    variance) — the scaler fit before quantization/IVF (dimensions with
+    tiny variance carry no ANN signal; z-scoring needs exactly these).
+    One posexplode + one hash aggregate keyed by dim (bounded by
+    dimensionality). Both moments accumulate as DECIMAL(18,8) so the
+    distributed sums are order-independent; the variance is composed
+    from them in one fixed double-op order (sum_sq/n - mean*mean) that
+    the oracle mirrors token-for-token — bit parity without rounding."""
+    from ..operators.skew import spread
+
+    e = spread(_t(spark, sf_dir, "embeddings"), "vec_id")
+    x = e.select(
+        F.posexplode(F.col("embedding")).alias("dim", "vf"),
+    ).select("dim", F.col("vf").cast("double").alias("v"))
+    dec = lambda c: F.sum(c.cast("decimal(18,8)")).cast("double")  # noqa: E731
+    n = F.count(F.lit(1))
+    mean = dec(F.col("v")) / n
+    return x.groupBy("dim").agg(
+        n.alias("n"),
+        mean.alias("mean_v"),
+        (dec(F.col("v") * F.col("v")) / n - mean * mean).alias("var_v"),
+    )
+
+
+@query(
+    "dedup_containment",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents)
+        WHERE doc_id % 7 = 0 AND len(toks) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / least(len(a.sh), len(b.sh)) AS containment
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment coefficient |A∩B| / min(|A|,|B|) over the same blocked
+    candidate pairs as dedup_ngram_jaccard — the asymmetric overlap
+    measure that catches SUBSET duplication (a short doc embedded whole
+    inside a long one scores ~1.0 here but low Jaccard, since the union
+    is dominated by the long doc). Same scale story as the Jaccard
+    verifier: group-bounded pair join on the blocking key; production
+    input is LSH candidates, never the raw corpus cross join."""
+    from ..operators.dedup import shingles
+    from ..operators.skew import spread
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id").filter(
+        F.col("doc_id") % 7 == 0)
+    t = d.select(
+        "doc_id", "lang", F.array_distinct(shingles("text", 3)).alias("sh"),
+    ).filter(F.size("sh") >= 1)
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("l_a"),
+                 F.col("sh").alias("sh_a"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("l_b"),
+                 F.col("sh").alias("sh_b"))
+    pairs = a.join(b, (F.col("l_a") == F.col("l_b"))
+                   & (F.col("id_a") < F.col("id_b")))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return pairs.select(
+        "id_a", "id_b",
+        (inter / F.least(F.size("sh_a"), F.size("sh_b"))).alias("containment"),
+    )

@@ -137,3 +137,30 @@ def test_attribution_last_touch_semantics(spark):
             assert r.click_ts <= r.purchase_ts
         else:
             assert r.click_ts is None
+
+
+def test_embedding_dim_scaler_moments(spark):
+    """One row per dimension; variance is non-negative and zero only if
+    the dimension is constant."""
+    rows = entrymod.queries()["embedding_dim_scaler"](spark, SF_SMOKE).collect()
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    n_dim = len(emb.select("embedding").first()[0])
+    assert len(rows) == n_dim
+    for r in rows:
+        assert r.n > 0
+        assert r.var_v >= -1e-12
+
+
+def test_dedup_containment_bounds_jaccard(spark):
+    """Containment >= Jaccard on the identical pair set (min <= union),
+    and both live in [0, 1]."""
+    q = entrymod.queries()
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in q["dedup_containment"](spark, SF_SMOKE).collect()}
+    jac = {(r.id_a, r.id_b): r.jaccard
+           for r in q["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()}
+    assert set(cont) == set(jac)
+    assert cont
+    for k, c in cont.items():
+        assert 0.0 <= c <= 1.0 + 1e-12
+        assert c >= jac[k] - 1e-12
