@@ -225,3 +225,38 @@ def test_winsorize_band_join_broadcasts(spark):
 def test_split_assignment_is_narrow(spark):
     plan = _plan(spark, "split_train_val_test")
     assert "Exchange" not in plan  # pure projection: no shuffle at all
+
+
+def test_asof_attribution_single_user_shuffle_no_range_join(spark):
+    """The as-of attribution must be the union+window formulation: one
+    hash partitioning on user_id, no BroadcastNestedLoopJoin / cartesian
+    range join (whose pair count explodes with the lookback)."""
+    plan = _plan(spark, "attribution_last_touch")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_grouping_sets_single_scan_expand(spark):
+    """All four grouping levels come from ONE orders scan through one
+    Expand — not a union of per-level aggregates re-scanning the fact."""
+    plan = _plan(spark, "agg_grouping_sets")
+    assert plan.count("Expand") >= 1
+    assert plan.count("Location: InMemoryFileIndex [file:%s/orders.parquet]"
+                      % SF_SMOKE) <= 1 or plan.count("orders.parquet") <= 2
+
+
+def test_containment_pair_join_is_key_equi_join(spark):
+    """Candidate pairing joins on the blocking key (lang) — hash/sort
+    join with an equi-condition, never a nested-loop over the corpus."""
+    plan = _plan(spark, "dedup_containment")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_calendar_spine_join_no_shuffle_of_daily_side_twice(spark):
+    """Gap-fill spine join: no nested loop; the explode spine is tiny and
+    joined by key."""
+    plan = _plan(spark, "timeseries_gapfill")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
