@@ -3372,15 +3372,19 @@ def dq_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH x AS (
         SELECT event_id, user_id, ts,
-               CASE WHEN lag(ts) OVER w IS NULL
-                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                     OR CAST(ts AS TIMESTAMP)
+                        - lag(CAST(ts AS TIMESTAMP)) OVER w
+                        >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
     )
     SELECT event_id, user_id, ts,
            user_id || '-' || CAST(sum(new_s) OVER
-               (PARTITION BY user_id ORDER BY ts, event_id) AS VARCHAR)
+               (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS VARCHAR)
                AS session_id
     FROM x
     """,
@@ -3396,11 +3400,16 @@ def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Gap test in exact epoch MICROseconds (unix_timestamp would truncate
+    # to whole seconds: a 1799.4s gap reads as exactly 1800 and falsely
+    # splits the session — caught by the sf0.1 oracle sweep). The session
+    # runs in UTC (session.py), so the NTZ→LTZ hop inside unix_micros is
+    # the identity and the subtraction is TZ-independent regardless.
+    prev = F.lag("ts").over(w)
+    gap_us = (F.unix_micros(F.col("ts").cast("timestamp"))
+              - F.unix_micros(prev.cast("timestamp")))
     new_s = F.when(
-        F.lag("ts").over(w).isNull()
-        | (F.unix_timestamp(F.col("ts").cast("timestamp"))
-           - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp")) >= 1800),
-        1,
+        prev.isNull() | (gap_us >= 1800 * 1_000_000), 1,
     ).otherwise(0)
     return (
         ev.select("event_id", "user_id", "ts", new_s.alias("new_s"))
