@@ -4133,3 +4133,48 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b",
         (inter / F.least(F.size("sh_a"), F.size("sh_b"))).alias("containment"),
     )
+
+@query(
+    "top_provider_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(s_name, total) AS top_provider,
+           max(total) AS top_total,
+           CAST(count(*) AS BIGINT) AS n_providers
+    FROM (
+        SELECT c_mktsegment, s_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY c_mktsegment, s_name)
+    GROUP BY c_mktsegment
+    """,
+)
+def top_provider_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greatest-n-per-group WITHOUT a window: max_by/arg_max collapses the
+    'which provider bills the most per patient segment' question into one
+    hash aggregate over the pre-aggregated totals — no per-group sort, no
+    rank+filter, no self-join, so the second phase shuffles only the
+    distinct (segment, provider) pairs. Determinism: totals are exact
+    decimals and provider totals are distinct-by-construction here; a
+    production tie needs a (total, name) struct-max tiebreak.
+    max_by == DuckDB arg_max."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    per = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("c_mktsegment", "s_name")
+        .agg(dsum("l_extendedprice").alias("total"))
+    )
+    return per.groupBy("c_mktsegment").agg(
+        F.max_by("s_name", "total").alias("top_provider"),
+        F.max("total").alias("top_total"),
+        F.count(F.lit(1)).alias("n_providers"),
+    )

