@@ -4178,3 +4178,45 @@ def top_provider_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total").alias("top_total"),
         F.count(F.lit(1)).alias("n_providers"),
     )
+
+@query(
+    "mau_trailing7",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    b AS (SELECT min(day) AS mn, max(day) AS mx FROM du),
+    f AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                           CAST(day + 6 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM du)
+    SELECT f.day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_users_7d
+    FROM f, b WHERE f.day BETWEEN mn AND mx
+    GROUP BY f.day
+    """,
+)
+def mau_trailing7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding
+    COUNT(DISTINCT) that window frames cannot express (distinct is not
+    decomposable over a moving frame). The scalable formulation: shrink
+    to distinct (user, day) pairs FIRST (one exact-dedup shuffle), then
+    fan each pair out to the <=7 trailing days it contributes to
+    (sequence+explode — bounded 7x blowup of the already-deduped pairs,
+    not of raw events), then one count-distinct per day. At 100 TB the
+    7x sits on the small side of the funnel; the alternative — a
+    collect_set over a range window — holds per-day user sets in a
+    single task's memory and dies."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    mn_mx = du.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    f = du.select(
+        "user_id",
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("day"),
+    )
+    return (
+        f.crossJoin(F.broadcast(mn_mx))  # bounded: one row forever
+        .filter(F.col("day").between(F.col("mn"), F.col("mx")))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+    )

@@ -176,3 +176,26 @@ def test_top_provider_by_segment_one_row_per_segment(spark):
         assert r.top_provider
         assert r.top_total > 0
         assert r.n_providers >= 1
+
+
+def test_mau_trailing7_matches_bruteforce(spark):
+    """Cross-check the fan-out formulation against a per-day brute-force
+    distinct over the trailing window."""
+    rows = {r.day: r.active_users_7d
+            for r in entrymod.queries()["mau_trailing7"](spark, SF_SMOKE).collect()}
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    du = [(r.day, r.user_id) for r in ev.select(
+        F.col("ts").cast("date").alias("day"),
+        "user_id").distinct().collect()]
+    days = sorted({d for d, _ in du})
+    import datetime
+    for day in list(rows)[:10]:
+        want = len({u for d, u in du
+                    if day - datetime.timedelta(days=6) <= d <= day})
+        assert rows[day] == want
+    assert set(rows) == set(days) | {
+        d for d0, _ in du for d in
+        [d0 + datetime.timedelta(days=k) for k in range(7)]
+        if days[0] <= d <= days[-1]}
