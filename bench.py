@@ -56,6 +56,10 @@ HEADLINE = [
     # windowed trending top-k — the heaviest of the newest ops):
     "quality_bigram_lm",
     "stream_trending_topk",
+    # round-2 session-5 additions (deepest join tree in the catalog, and
+    # the one-scan Q21 multi-semijoin rewrite):
+    "market_share_by_year",
+    "late_supplier_ranking",
 ]
 
 

@@ -4220,3 +4220,495 @@ def mau_trailing7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("active_users_7d"))
     )
+
+
+# ===========================================================================
+# Classic decorrelated-subquery / deep-join shapes (TPC-H Q8/Q13/Q17/Q21/Q22
+# analogs on the driver schema — the reference's query_builder.py:60-179
+# parameterized listings compose exactly these sub-shapes)
+# ===========================================================================
+
+
+@query(
+    "cust_order_distribution",
+    oracle="""
+    WITH co AS (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — two-level aggregate with zero-preserving outer
+    join: visits-per-patient distribution INCLUDING never-admitted
+    patients (the reference's engagement histogram needs the zero
+    bucket, which an inner join silently drops). The filter on the
+    probe side (non-urgent only) lives in the join condition, so it
+    prunes orders before the shuffle; count(o_orderkey) over the null-
+    extended rows yields the zero bucket. Second aggregate is keyed by
+    c_count — at most a few hundred distinct values, so the final
+    shuffle is trivially small at any scale."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "part_qty_threshold",
+    oracle="""
+    WITH j AS (
+        SELECT l_partkey, l_quantity, l_extendedprice,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+                        OVER (PARTITION BY l_partkey) AS DOUBLE)
+                   / count(l_quantity) OVER (PARTITION BY l_partkey)
+                   AS avg_qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND p_size <= 10)
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               / CAST(7.0 AS DOUBLE) AS avg_yearly
+    FROM j WHERE l_quantity * CAST(5.0 AS DOUBLE) < avg_qty
+    """,
+)
+def part_qty_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — per-group correlated scalar subquery,
+    decorrelated: revenue from small-quantity orders of selected parts,
+    where 'small' means below 20% of THAT part's average quantity. The
+    correlated avg is a window over l_partkey on the already-joined
+    slice, reusing the join's hash partitioning — one shuffle total,
+    no second scan of lineitem (the textbook decorrelation Catalyst
+    cannot yet do for this pattern when written as a subquery).
+    Parity: `qty * 5 < avg` instead of `qty < 0.2 * avg` keeps the
+    comparison exact (5.0 multiplies small integers losslessly; 0.2 is
+    not representable in binary), and the window avg accumulates
+    decimal before one double division — both engines token-identical."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).over(w).cast("double")
+        / F.count("l_quantity").over(w)
+    )
+    return (
+        j.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") * F.lit(5.0) < F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@query(
+    "late_supplier_ranking",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS nsupp,
+               count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                   THEN l_suppkey END) AS nret,
+               max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+                   AS ret_supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY l_orderkey)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_order JOIN supplier ON ret_supp = s_suppkey
+    WHERE nsupp > 1 AND nret = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def late_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the EXISTS + NOT EXISTS double self-join
+    (suppliers solely responsible for a problem on a multi-supplier
+    order), rewritten as ONE aggregation: per order, count distinct
+    suppliers, count distinct offending suppliers (return flag R on a
+    finalized visit), and keep orders where exactly one supplier
+    offended among several. The naive formulation self-joins lineitem
+    twice (three scans + two shuffles of the biggest table); this runs
+    one scan and one shuffle, and the max(CASE) trick recovers the
+    single offender's key without collect_set. s_name is unique per
+    supplier, so ORDER BY (numwait DESC, s_name) + LIMIT is a total
+    order — deterministic top-100 on both engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    offender = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("nsupp"),
+            F.count_distinct(offender).alias("nret"),
+            F.max(offender).alias("ret_supp"),
+        )
+        .filter((F.col("nsupp") > 1) & (F.col("nret") == 1))
+    )
+    return (
+        per_order.join(s, per_order.ret_supp == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "inactive_rich_customers",
+    oracle="""
+    WITH pool AS (
+        SELECT c_custkey, c_acctbal,
+               substring(c_mktsegment, 1, 2) AS segcode
+        FROM customer
+        WHERE substring(c_mktsegment, 1, 2) IN ('AU', 'BU', 'FU')),
+    thr AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                   / count(c_acctbal) AS avg_bal
+        FROM pool WHERE c_acctbal > 0)
+    SELECT segcode, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               AS totacctbal
+    FROM pool, thr
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY segcode
+    """,
+)
+def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — global-scalar subquery + anti join + derived-
+    code rollup: patients in selected segment codes with above-average
+    positive balance and NO visit on record (the reference's outreach
+    listing — exactly the rows an inner join can never return). The
+    average is a 1-row aggregate broadcast into the filter (bounded
+    forever, the one broadcast hint that is always safe); the no-orders
+    test is a LEFT ANTI join that shuffles only custkeys; the final
+    rollup groups a handful of 2-char codes."""
+    pool = (
+        _t(spark, sf_dir, "customer")
+        .withColumn("segcode", F.substring("c_mktsegment", 1, 2))
+        .filter(F.col("segcode").isin("AU", "BU", "FU"))
+        .select("c_custkey", "c_acctbal", "segcode")
+    )
+    thr = pool.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("avg_bal"))
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        pool.crossJoin(F.broadcast(thr))  # 1-row scalar: bounded
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, pool.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("segcode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "market_share_by_year",
+    oracle="""
+    WITH vol AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(l_extendedprice
+                    * (CAST(1.0 AS DOUBLE) - l_discount) AS DOUBLE)
+                   AS volume,
+               sn.n_name = 'NATION_3' AS is_target
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA' AND p_type = 'PROMO')
+    SELECT o_year,
+           CAST(sum(CAST(CASE WHEN is_target THEN volume
+                              ELSE CAST(0.0 AS DOUBLE) END
+                         AS DECIMAL(18,4))) AS DOUBLE)
+               / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE)
+               AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — the deepest join tree in the catalog (fact +
+    7 relations, nation joined twice under different roles) feeding a
+    conditional-share aggregate: the target provider-nation's share of
+    promo revenue in one market region, per year. This is the join-
+    reordering showcase: written declaratively, Catalyst/AQE pushes the
+    region+type filters into the dim scans, picks broadcast for the
+    genuinely bounded sides (nation x2, region), and orders the
+    remaining shuffles by size stats — no hints on customer/part/
+    supplier, which scale with SF. The share is a ratio of two
+    conditional decimal sums in one aggregate pass (no second scan,
+    no join of two aggregates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    cn = _t(spark, sf_dir, "nation").alias("cn")
+    sn = _t(spark, sf_dir, "nation").alias("sn")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn.n_nationkey"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn.n_nationkey"))
+        .join(F.broadcast(r), F.col("cn.n_regionkey") == r.r_regionkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice")
+             * (F.lit(1.0) - F.col("l_discount"))).alias("volume"),
+            (F.col("sn.n_name") == "NATION_3").alias("is_target"),
+        )
+    )
+    target_vol = F.when(F.col("is_target"), F.col("volume")).otherwise(F.lit(0.0))
+    return vol.groupBy("o_year").agg(
+        (F.sum(target_vol.cast("decimal(18,4)")).cast("double")
+         / F.sum(F.col("volume").cast("decimal(18,4)")).cast("double")
+         ).alias("mkt_share")
+    )
+
+
+@query(
+    "scan_partitioned_dpp",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year
+    FROM orders
+    WHERE year(o_orderdate) IN (1997, 1998) AND o_totalprice > 50000
+    """,
+)
+def scan_partitioned_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-layout scan with dynamic partition pruning: orders
+    land partitioned by visit year (the natural 100 TB layout — time is
+    the universal partition key), and a query joining a filtered year
+    dimension reads ONLY the matching year directories. The dim filter
+    is not a literal the planner can see at compile time, so static
+    pruning can't help; Spark's DPP turns the broadcast dim into a
+    runtime partition filter on the fact scan
+    (`dynamicpruning#...` subquery in the plan — pinned in
+    tests/test_plan_shapes.py). At 100 TB this is the difference
+    between scanning 2 years and scanning 30."""
+    import os as _os
+
+    from ..config import SCRATCH_DIR
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_date"),
+    ).withColumn("o_year", F.year("o_date"))
+    path = _os.path.join(
+        SCRATCH_DIR,
+        f"orders_by_year_{_os.path.basename(sf_dir.rstrip('/'))}")
+    o.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    po = spark.read.parquet(path)
+    yr_dim = spark.range(1995, 2002).select(
+        F.col("id").cast("int").alias("dim_year"),
+        (F.col("id").isin(1997, 1998)).alias("recent"),
+    )
+    return (
+        po.join(
+            F.broadcast(yr_dim.filter("recent")),  # bounded: <=30 year rows
+            po.o_year == F.col("dim_year"),
+        )
+        .filter(F.col("o_totalprice") > 50000)
+        .select("o_orderkey", "o_totalprice",
+                F.col("o_year").cast("int").alias("o_year"))
+    )
+
+
+# ===========================================================================
+# Corpus curation reports (round-2 tail): per-source dedup pressure,
+# per-language length profile, embedding-norm outliers, cross-source overlap
+# ===========================================================================
+
+
+@query(
+    "corpus_dedup_stats",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+               / count(*) AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication pressure — the triage report that
+    decides WHERE to spend near-dup compute (a source with 40% exact
+    dups gets MinHash'd first; a clean one may skip it). One groupBy
+    with a distinct-aggregate on the content hash: Spark plans the
+    count-distinct as a two-phase partial dedup (expand + two
+    aggregates), so no per-source set ever materializes in one task —
+    the same reason this survives a source with 10^10 docs."""
+    from ..operators.skew import spread
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+        ((F.count(F.lit(1)) - F.count_distinct(F.md5("text")))
+         .cast("double") / F.count(F.lit(1))).alias("dup_rate"),
+    )
+
+
+@query(
+    "doc_length_profile",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+                   AS n_tokens
+        FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           quantile_cont(n_tokens, 0.1) AS p10_tokens,
+           quantile_cont(n_tokens, 0.5) AS p50_tokens,
+           quantile_cont(n_tokens, 0.9) AS p90_tokens,
+           CAST(max(n_tokens) AS INTEGER) AS max_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per language — the first plot anyone
+    makes before setting truncation/packing budgets (p90 drives the
+    context-window bucket, the p10 tail exposes boilerplate stubs).
+    Exact percentiles via one sort-based aggregate per language;
+    Spark `percentile` == DuckDB `quantile_cont` (linear
+    interpolation), so the oracle matches without rounding. At 100 TB
+    the per-lang groups are large but the aggregate is still one
+    shuffle; the approx_percentile twin (percentile_approx_p90
+    pattern) is the toggle when exactness stops mattering."""
+    from ..operators.skew import spread
+    from ..operators.text import token_count
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    t = d.select("lang", token_count(F.col("text")).alias("n_tokens"))
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile("n_tokens", F.lit(0.1)).alias("p10_tokens"),
+        F.percentile("n_tokens", F.lit(0.5)).alias("p50_tokens"),
+        F.percentile("n_tokens", F.lit(0.9)).alias("p90_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+@query(
+    "embedding_norm_outliers",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id,
+               sqrt(CAST(sum(CAST(v * v AS DECIMAL(18,8))) AS DOUBLE))
+                   AS l2_norm
+        FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings)
+        GROUP BY vec_id),
+    s AS (
+        SELECT CAST(sum(CAST(l2_norm AS DECIMAL(18,8))) AS DOUBLE)
+                   / count(*) AS mu,
+               sqrt(CAST(sum(CAST(l2_norm * l2_norm AS DECIMAL(18,8)))
+                         AS DOUBLE) / count(*)
+                    - (CAST(sum(CAST(l2_norm AS DECIMAL(18,8))) AS DOUBLE)
+                       / count(*))
+                      * (CAST(sum(CAST(l2_norm AS DECIMAL(18,8))) AS DOUBLE)
+                         / count(*))) AS sigma
+        FROM n)
+    SELECT vec_id, l2_norm,
+           l2_norm < mu - CAST(3.0 AS DOUBLE) * sigma
+               OR l2_norm > mu + CAST(3.0 AS DOUBLE) * sigma AS is_outlier
+    FROM n, s
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm screening of the embedding table: vectors whose norm sits
+    >3 sigma from the corpus mean are suspect (truncated inputs, zero
+    vectors, encoder failures) and poison cosine ANN — this is the
+    standard pre-index hygiene pass. Norms accumulate per-vector as
+    DECIMAL(18,8) through posexplode + groupBy (order-independent, so
+    distributed == single-threaded bit-for-bit); the corpus moments are
+    a second 1-row aggregate broadcast back as a scalar (bounded
+    forever). Both engines compose mean/sigma/sqrt in the same token
+    order — exact boolean parity without rounding."""
+    from ..operators.skew import spread
+
+    e = spread(_t(spark, sf_dir, "embeddings"), "vec_id")
+    x = e.select(
+        "vec_id", F.explode(F.col("embedding")).alias("vf"),
+    ).select("vec_id", F.col("vf").cast("double").alias("v"))
+    dec = lambda c: F.sum(c.cast("decimal(18,8)")).cast("double")  # noqa: E731
+    n = x.groupBy("vec_id").agg(
+        F.sqrt(dec(F.col("v") * F.col("v"))).alias("l2_norm"))
+    cnt = F.count(F.lit(1))
+    mu = dec(F.col("l2_norm")) / cnt
+    s = n.agg(
+        mu.alias("mu"),
+        F.sqrt(dec(F.col("l2_norm") * F.col("l2_norm")) / cnt
+               - mu * mu).alias("sigma"),
+    )
+    lo = F.col("mu") - F.lit(3.0) * F.col("sigma")
+    hi = F.col("mu") + F.lit(3.0) * F.col("sigma")
+    return (
+        n.crossJoin(F.broadcast(s))  # 1-row moments: bounded
+        .select(
+            "vec_id", "l2_norm",
+            ((F.col("l2_norm") < lo) | (F.col("l2_norm") > hi))
+            .alias("is_outlier"),
+        )
+    )
+
+
+@query(
+    "cross_source_overlap",
+    oracle="""
+    WITH fp AS (
+        SELECT DISTINCT source, md5(trim(lower(text))) AS fp
+        FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_docs
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between corpus sources — the
+    leakage/provenance matrix (two crawls sharing 30% of fingerprints
+    should be mixture-weighted as one source, and a benchmark source
+    overlapping a train source is contamination). Fingerprints are
+    normalized-content hashes deduped per source FIRST (one exact-dedup
+    shuffle shrinks the join input to unique docs), then a self-equi-
+    join on the hash — within a fingerprint bucket the pair count is
+    bounded by sources², not docs², so the join stays linear in corpus
+    size. Never an all-pairs document comparison."""
+    from ..operators.skew import spread
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    fp = d.select(
+        "source", F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    ).distinct()
+    a = fp.select(F.col("source").alias("source_a"), "fp")
+    b = fp.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_docs"))
+    )

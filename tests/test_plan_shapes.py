@@ -260,3 +260,60 @@ def test_calendar_spine_join_no_shuffle_of_daily_side_twice(spark):
     plan = _plan(spark, "timeseries_gapfill")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dpp_prunes_partitioned_fact_scan(spark):
+    """The year-dim join must reach the partitioned orders scan as a
+    runtime partition filter (dynamic partition pruning) — without it
+    the fact scan reads every year directory."""
+    plan = _plan(spark, "scan_partitioned_dpp")
+    assert "dynamicpruning" in plan, plan[:800]
+
+
+def test_q17_window_reuses_join_partitioning(spark):
+    """The per-part avg window runs on the join's existing l_partkey
+    hash partitioning: exactly one l_partkey exchange in the whole
+    plan, i.e. decorrelation costs no second shuffle."""
+    plan = _plan(spark, "part_qty_threshold")
+    assert plan.count("hashpartitioning(l_partkey") == 1, plan[:800]
+
+
+def test_q21_rewrite_scans_lineitem_once(spark):
+    """The EXISTS/NOT-EXISTS double self-join is rewritten as one
+    aggregation — the biggest table must appear exactly once."""
+    plan = _plan(spark, "late_supplier_ranking")
+    assert plan.count("lineitem.parquet") == 1, plan[:800]
+    assert "TakeOrderedAndProject" in plan  # top-100 without global sort
+
+
+def test_q22_anti_join_and_bounded_scalar_broadcast(spark):
+    plan = _plan(spark, "inactive_rich_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_only_bounded_dims_stay_broadcast(spark):
+    """With size-based auto-broadcast disabled, only the three forced
+    hints on genuinely bounded relations (nation x2, region) survive;
+    customer/part/supplier joins fall back to shuffle joins."""
+    with _no_auto_broadcast(spark):
+        plan = _plan(spark, "market_share_by_year")
+        assert plan.count("BroadcastHashJoin") == 3, plan[:800]
+
+
+def test_cross_source_overlap_dedups_before_join(spark):
+    """Fingerprints are distinct-ed before the self-join (the funnel
+    shrink), and the pairing is a key equi-join — never a nested loop."""
+    plan = _plan(spark, "cross_source_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # two aggregates for the distinct (partial+final) precede the join
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_norm_outliers_scalar_moments_broadcast(spark):
+    """The corpus moments are a 1-row aggregate joined by broadcast —
+    bounded forever; the per-vector side never re-shuffles for it."""
+    plan = _plan(spark, "embedding_norm_outliers")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
