@@ -4712,3 +4712,84 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared_docs"))
     )
+
+
+@query(
+    "merge_orders_cdc",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE year(o_orderdate) <= 1998),
+    s AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice
+        FROM orders WHERE year(o_orderdate) >= 1998)
+    SELECT t.* FROM t ANTI JOIN s USING (o_orderkey)
+    UNION ALL
+    SELECT s.* FROM s JOIN t USING (o_orderkey)
+    WHERE s.o_orderstatus <> 'P'
+    UNION ALL
+    SELECT s.* FROM s ANTI JOIN t USING (o_orderkey)
+    """,
+)
+def merge_orders_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO over a CDC batch (sources/sinks.py merge_into):
+    the 1998+ slice arrives as changes — matched pending visits
+    (status P) are deleted, other matches take the restated price,
+    unseen keys insert, untouched history survives. The whole decision
+    table runs in ONE full-outer co-shuffle on the key (the reference's
+    row-at-a-time ON CONFLICT loop, scripts/etl.py:116-132, cannot
+    delete and round-trips per row). The oracle states the same
+    semantics as three disjoint key-set selects — different plan, same
+    rows, which is the point of declaring MERGE logically."""
+    from ..sources.sinks import merge_into
+
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    t = o.filter(F.year("o_orderdate") <= 1998).select(*cols)
+    s = o.filter(F.year("o_orderdate") >= 1998).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"))
+    return merge_into(
+        t, s, ["o_orderkey"],
+        delete_cond=F.col("s.o_orderstatus") == "P",
+    )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader-side schema evolution: a table whose early files predate a
+    column (v1: key+name) and whose later files carry it (v2: +acctbal)
+    reads as ONE relation under parquet ``mergeSchema`` — old files
+    surface typed NULLs, no rewrite of historical data (the write-side
+    conform half is sources/sinks.py evolve_schema). At 100 TB schema
+    changes are append-only events, never migrations: the footer merge
+    happens once at planning time, scan cost is unchanged, and the
+    column-pruning/pushdown behavior of the evolved scan is identical
+    to a native one."""
+    import os as _os
+
+    from ..config import SCRATCH_DIR
+
+    c = _t(spark, sf_dir, "customer")
+    path = _os.path.join(
+        SCRATCH_DIR,
+        f"cust_evolved_{_os.path.basename(sf_dir.rstrip('/'))}")
+    v1 = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name")
+    v2 = c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_name", "c_acctbal")
+    v1.write.mode("overwrite").parquet(_os.path.join(path, "batch=1"))
+    v2.write.mode("overwrite").parquet(_os.path.join(path, "batch=2"))
+    return (
+        spark.read.option("mergeSchema", "true").parquet(path)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )

@@ -138,3 +138,56 @@ def evolve_schema(df: DataFrame, target: "T.StructType") -> DataFrame:
         else:
             out.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*out)
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    *,
+    update_cond=None,
+    delete_cond=None,
+) -> DataFrame:
+    """Full MERGE semantics (Delta/Iceberg ``MERGE INTO``) as ONE
+    distributed set operation:
+
+    - matched + ``delete_cond``            -> row removed
+    - matched + ``update_cond`` (or None)  -> source row replaces target
+    - matched, neither condition           -> target row kept
+    - source-only                          -> inserted
+    - target-only                          -> kept
+
+    Reference S4 analog: scripts/etl.py:116-132 upserts row-by-row and
+    cannot delete at all; ml_pipeline.py:350-361 likewise. Here the whole
+    decision table is evaluated in one full-outer co-shuffle on ``keys``
+    (both sides hash-partition once; no anti-join + union double pass),
+    so the cost is one shuffle of each side regardless of clause count.
+    Conditions are Column predicates over two struct columns ``t`` and
+    ``s`` (e.g. ``F.col("s.o_totalprice") > F.col("t.o_totalprice")``),
+    mirroring MERGE's ``WHEN MATCHED AND <cond>`` — evaluated only where
+    both sides exist. Delete-then-update precedence matches Delta's
+    first-matching-clause rule with the delete clause listed first.
+    """
+    cols = target.columns
+    t = target.select(
+        *keys, F.struct(*[F.col(c) for c in cols]).alias("t"))
+    s = source.select(
+        *keys, F.struct(*[F.col(c) for c in cols]).alias("s"))
+    j = t.join(s, keys, "full_outer")
+    matched = F.col("t").isNotNull() & F.col("s").isNotNull()
+    delete_hit = matched & (
+        delete_cond if delete_cond is not None else F.lit(False))
+    update_hit = matched & ~delete_hit & (
+        update_cond if update_cond is not None else F.lit(True))
+    picked = (
+        F.when(delete_hit, F.lit(None).cast(j.schema["t"].dataType))
+        .when(update_hit, F.col("s"))
+        .when(matched, F.col("t"))
+        .when(F.col("s").isNotNull(), F.col("s"))  # source-only: insert
+        .otherwise(F.col("t"))                     # target-only: keep
+    )
+    return (
+        j.select(picked.alias("r"))
+        .filter(F.col("r").isNotNull())
+        .select("r.*")
+    )

@@ -317,3 +317,14 @@ def test_norm_outliers_scalar_moments_broadcast(spark):
     plan = _plan(spark, "embedding_norm_outliers")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_merge_into_single_full_outer_coshuffle(spark):
+    """MERGE evaluates the whole decision table in ONE keyed full-outer
+    join — no anti-join + union double pass, no nested loop."""
+    import re
+
+    plan = _plan(spark, "merge_orders_cdc")
+    keyed = re.findall(r"(SortMergeJoin|ShuffledHashJoin).*FullOuter", plan)
+    assert len(keyed) == 1, plan[:600]
+    assert "BroadcastNestedLoopJoin" not in plan

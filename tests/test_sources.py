@@ -185,3 +185,53 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     filtered = back.filter(back.o_totalprice > 100000)
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_totalprice" in plan
+
+
+def test_merge_into_full_decision_table(spark):
+    """Every MERGE branch in one batch: delete-matched, update-matched
+    (conditional), keep-matched (condition false), insert source-only,
+    keep target-only."""
+    from healthcare_data_warehouse_spark.sources.sinks import merge_into
+
+    t = spark.createDataFrame(
+        [(1, "keep-me", 10.0), (2, "update-me", 20.0),
+         (3, "delete-me", 30.0), (4, "no-clause-hit", 40.0)],
+        "k int, name string, v double")
+    s = spark.createDataFrame(
+        [(2, "updated", 99.0),        # update_cond true (99 > 20)
+         (3, "whatever", -1.0),       # delete_cond true (negative)
+         (4, "too-small", 5.0),       # neither: target row survives
+         (5, "inserted", 50.0)],      # source-only: insert
+        "k int, name string, v double")
+    out = merge_into(
+        t, s, ["k"],
+        delete_cond=F.col("s.v") < 0,
+        update_cond=F.col("s.v") > F.col("t.v"),
+    )
+    got = {r["k"]: (r["name"], r["v"]) for r in out.collect()}
+    assert got == {
+        1: ("keep-me", 10.0),
+        2: ("updated", 99.0),
+        4: ("no-clause-hit", 40.0),
+        5: ("inserted", 50.0),
+    }
+
+
+def test_merge_into_unconditional_update_is_upsert(spark):
+    from healthcare_data_warehouse_spark.sources.sinks import merge_into, upsert
+
+    t = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double")
+    s = spark.createDataFrame([(2, 9.0), (3, 3.0)], "k int, v double")
+    a = {(r["k"], r["v"]) for r in merge_into(t, s, ["k"]).collect()}
+    b = {(r["k"], r["v"]) for r in upsert(t, s, ["k"]).collect()}
+    assert a == b == {(1, 1.0), (2, 9.0), (3, 3.0)}
+
+
+def test_schema_evolution_scan_types_and_nulls(spark):
+    from healthcare_data_warehouse_spark.plans import catalog
+
+    df = catalog.queries()["scan_schema_evolution"](spark, SF_SMOKE)
+    assert dict(df.dtypes)["c_acctbal"] == "double"
+    nulls = df.filter(F.col("c_acctbal").isNull()).count()
+    evens = df.filter(F.col("c_custkey") % 2 == 0).count()
+    assert nulls == evens and evens > 0
