@@ -4516,6 +4516,9 @@ def scan_partitioned_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice",
         F.col("o_orderdate").cast("date").alias("o_date"),
     ).withColumn("o_year", F.year("o_date"))
+    if o.isEmpty():  # partitionBy of 0 rows writes no dirs -> unreadable
+        return o.select("o_orderkey", "o_totalprice",
+                        F.col("o_year").cast("int").alias("o_year")).limit(0)
     path = _os.path.join(
         SCRATCH_DIR,
         f"orders_by_year_{_os.path.basename(sf_dir.rstrip('/'))}")

@@ -39,6 +39,12 @@ RISKY = [
     "trend_slope_per_customer", # closed-form OLS on empty groups
     "cdc_orders_diff",          # full-outer diff of two empty snapshots
     "stream_trending_topk",     # rank over empty windows
+    "scan_partitioned_dpp",     # partitionBy(0 rows) writes no dirs
+    "scan_schema_evolution",    # two empty parquet batches + mergeSchema
+    "merge_orders_cdc",         # full-outer merge of two empty snapshots
+    "embedding_norm_outliers",  # 1-row moments scalar on empty corpus
+    "doc_length_profile",       # per-group percentiles over empty corpus
+    "late_supplier_ranking",    # count-distinct rewrite over empty fact
 ]
 
 # Global aggregates legitimately return ONE row on empty input (SQL
@@ -48,6 +54,7 @@ GLOBAL_AGG = [
     "agg_grouping_sets",        # the () grouping set emits a grand-total row
     "kpi_block",                # multi-KPI single pass
     "scalar_subquery",          # 1-row scalar cross join
+    "part_qty_threshold",       # global agg over threshold-filtered join
 ]
 
 
