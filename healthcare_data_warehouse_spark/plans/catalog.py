@@ -4796,3 +4796,80 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.option("mergeSchema", "true").parquet(path)
         .select("c_custkey", "c_name", "c_acctbal")
     )
+
+
+@query(
+    "window_relative_standing",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           s_acctbal - lag(s_acctbal) OVER w AS gap_to_prev,
+           first_value(s_acctbal) OVER w AS best_bal,
+           nth_value(s_acctbal, 2) OVER (PARTITION BY s_nationkey
+               ORDER BY s_acctbal DESC, s_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS runnerup_bal
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey
+                 ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def window_relative_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window suite — PERCENT_RANK / CUME_DIST /
+    LAG-delta / FIRST_VALUE / NTH_VALUE(2) in one keyed window pass
+    (provider balance standing within nation). percent_rank is
+    (rank-1)/(rows-1) in both engines — exact double division of two
+    small ints, so no rounding is needed; the s_suppkey tiebreak makes
+    every ranking function total-order deterministic. nth_value needs
+    the full-partition frame explicitly (the default frame stops at
+    CURRENT ROW and would return NULL until row 2 — same rule, both
+    engines). One shuffle on the partition key; all five functions
+    share it."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return s.select(
+        "s_suppkey", "s_nationkey", "s_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        (F.col("s_acctbal") - F.lag("s_acctbal").over(w)).alias("gap_to_prev"),
+        F.first("s_acctbal").over(w).alias("best_bal"),
+        F.nth_value("s_acctbal", 2).over(wf).alias("runnerup_bal"),
+    )
+
+
+@query(
+    "agg_priority_listagg",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+               AS priorities_seen,
+           CAST(count(*) AS BIGINT) AS n_visits
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_priority_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg — the 'summarize a small set as one cell'
+    aggregate (reference export_utils builds exactly these cells in
+    pandas). Deterministic only under an explicit ORDER BY: Spark
+    collects the distinct set and sorts it BEFORE joining
+    (array_join(array_sort(collect_set(...)))) — collect_set order is
+    partition-dependent, the sort fixes it, matching DuckDB's
+    string_agg(DISTINCT ... ORDER BY). Safe at scale ONLY because the
+    aggregated domain (priority levels) is bounded; for unbounded
+    domains the honest tool is a top-k or a sketch, never listagg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities_seen"),
+            F.count(F.lit(1)).alias("n_visits"),
+        )
+    )
