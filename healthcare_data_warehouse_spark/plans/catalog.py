@@ -4873,3 +4873,382 @@ def agg_priority_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_visits"),
         )
     )
+
+
+# ===========================================================================
+# Classic decorrelated shapes, round-2 session 6: min-cost supplier (Q2),
+# value concentration (Q11), top-revenue view (Q15), disjunctive join
+# predicate (Q19), majority-share semi-join chain (Q20) — plus the
+# LSH-verify→cluster→canonical dedup pipeline and a Z-order layout probe.
+# ===========================================================================
+
+
+@query(
+    "min_cost_supplier",
+    oracle="""
+    WITH eur AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+    ps AS (
+        SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem
+        JOIN eur ON l_suppkey = s_suppkey
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'STANDARD' AND p_size <= 5
+        GROUP BY p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name),
+    rk AS (
+        SELECT *, row_number() OVER (PARTITION BY p_partkey
+                                     ORDER BY unit_cost, s_suppkey) AS rn
+        FROM ps)
+    SELECT p_partkey, p_name, s_name, s_acctbal, n_name, unit_cost
+    FROM rk WHERE rn = 1
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the correlated min-subquery (cheapest qualified
+    provider per selected part, within one region), decorrelated into a
+    two-level aggregate with NO join-back: level 1 computes each
+    (part, supplier) unit cost; level 2 takes ``min(struct(unit_cost,
+    s_suppkey, ...))`` per part, so the argmin and all its payload
+    columns arrive in the same shuffle — where the textbook plan
+    re-joins the min back to the detail (a third shuffle), the struct
+    ordering (cost asc, then suppkey asc for ties) does it in the
+    aggregate itself. Region/nation are bounded → broadcast hints;
+    part is filtered but SCALES with SF → no hint, AQE picks the
+    strategy from runtime size."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 5)
+    ).select("p_partkey", "p_name")
+    eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        li.join(eur, li.l_suppkey == eur.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name", "s_suppkey",
+                 "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+             .alias("unit_cost"))
+    )
+    best = (
+        ps.groupBy("p_partkey", "p_name")
+        .agg(F.min(F.struct("unit_cost", "s_suppkey", "s_name",
+                            "s_acctbal", "n_name")).alias("b"))
+    )
+    return best.select(
+        "p_partkey", "p_name",
+        F.col("b.s_name").alias("s_name"),
+        F.col("b.s_acctbal").alias("s_acctbal"),
+        F.col("b.n_name").alias("n_name"),
+        F.col("b.unit_cost").alias("unit_cost"),
+    )
+
+
+@query(
+    "supplier_value_share",
+    oracle=f"""
+    WITH g AS (
+        SELECT s_suppkey, s_name,
+               {_osum('l_extendedprice * (1 - l_discount)')} AS supp_value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2')
+        GROUP BY s_suppkey, s_name)
+    SELECT s_suppkey, s_name, supp_value
+    FROM g, (SELECT {_osum('supp_value')} AS tot FROM g) t
+    WHERE supp_value * 1024 > tot
+    """,
+)
+def supplier_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — group HAVING against a global-scalar subquery
+    over the SAME aggregate (providers holding an outsized share of the
+    selected nations' billed value). The grouped relation is computed
+    once and reused for both the per-supplier rows and the 1-row total
+    (self-referential CTE in the oracle; in Spark the same DataFrame
+    feeds both sides, and the 1-row total is a bounded broadcast).
+    Exactness: the share threshold is value × 1024 > total — a
+    power-of-two multiplier is lossless in binary floating point, where
+    the textbook `value > total × 0.0001` would round."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2"))
+    g = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("supp_value"))
+    )
+    tot = g.agg(dsum("supp_value").alias("tot"))
+    return (
+        g.crossJoin(F.broadcast(tot))  # 1-row scalar: bounded
+        .filter(F.col("supp_value") * F.lit(1024.0) > F.col("tot"))
+        .select("s_suppkey", "s_name", "supp_value")
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS s_suppkey,
+               {_osum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, s_acctbal, total_revenue
+    FROM rev JOIN supplier USING (s_suppkey),
+         (SELECT max(total_revenue) AS mx FROM rev) m
+    WHERE total_revenue = mx
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the revenue VIEW + `= (SELECT max(...))` filter
+    (top provider of a quarter, ties preserved — the reason this is not
+    a LIMIT 1). The view is one partial-agg shuffle of the date-pruned
+    fact slice; the max is a 1-row bounded broadcast; supplier enrich
+    joins AFTER the equality filter, so only the winners' keys reach
+    the supplier join (at most a handful of rows) rather than every
+    supplier's quarter revenue."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01"))
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        rev.crossJoin(F.broadcast(mx))  # 1-row scalar: bounded
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(s, "s_suppkey")
+        .select("s_suppkey", "s_name", "s_acctbal", "total_revenue")
+    )
+
+
+@query(
+    "promo_disjunctive_revenue",
+    oracle=f"""
+    SELECT {_osum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size <= 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size <= 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size <= 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def promo_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — a join whose residual predicate is a DISJUNCTION
+    of brand/size/quantity conjunctions (the classic 'OR-of-ANDs'
+    pricing rule). Written as one join condition: Catalyst extracts the
+    common `l_partkey = p_partkey` equi-key for the hash join, keeps
+    the OR as a residual filter, and derives pushable per-side
+    supersets from the disjunction (brand IN (...) OR-reduction on the
+    part scan, quantity range union on the fact scan) — so both scans
+    prune before the shuffle even though no single conjunct is common."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (li.l_partkey == p.p_partkey) & (
+        ((p.p_brand == "Brand#12") & (p.p_size <= 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((p.p_brand == "Brand#23") & (p.p_size <= 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((p.p_brand == "Brand#34") & (p.p_size <= 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return li.join(p, cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "excess_qty_suppliers",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+               CAST(sum(sum(CAST(l_quantity AS DECIMAL(18,4))))
+                        OVER (PARTITION BY l_partkey) AS DOUBLE) AS part_total
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND p_name LIKE 'small%'
+        GROUP BY l_partkey, l_suppkey)
+    SELECT s_suppkey, s_name,
+           CAST(count(*) AS BIGINT) AS n_parts_dominated
+    FROM ps JOIN supplier ON s_suppkey = l_suppkey
+    WHERE qty * 2 > part_total
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — the nested semi-join chain ('suppliers who
+    shipped more than half of a selected part family's annual volume'),
+    decorrelated: per-(part, supplier) quantity in ONE partial-agg
+    shuffle, the per-part total as a window sum over that SAME
+    aggregate — the window reuses the groupBy's hash partitioning
+    (l_partkey is a prefix of the grouping key), so the correlated
+    total costs zero extra shuffles, where the textbook form rescans
+    lineitem for the inner SUM. The majority test `qty × 2 >
+    part_total` is lossless (power-of-two multiplier). Supplier enrich
+    happens after the dominance filter — a few rows, not every pair."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")).select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ps = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("__dq"))
+    )
+    w = Window.partitionBy("l_partkey")
+    ps = ps.select(
+        "l_partkey", "l_suppkey",
+        F.col("__dq").cast("double").alias("qty"),
+        F.sum("__dq").over(w).cast("double").alias("part_total"),
+    )
+    return (
+        ps.filter(F.col("qty") * F.lit(2.0) > F.col("part_total"))
+        .join(s, ps.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
+    )
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents)
+        WHERE doc_id % 7 = 0 AND len(toks) >= 3),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+        ) SELECT * FROM r),
+    comp AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+        FROM reach GROUP BY a)
+    SELECT c.doc_id, c.cluster_rep, s.cluster_size,
+           c.doc_id = c.cluster_rep AS is_canonical
+    FROM comp c
+    JOIN (SELECT cluster_rep, count(*) AS cluster_size
+          FROM comp GROUP BY 1) s USING (cluster_rep)
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup KEEP/DROP decision, end to end: verify-stage
+    Jaccard pairs (threshold 0.5) → connected components (min-label
+    propagation, operators/graph.py) → canonical representative = min
+    doc id per cluster. This is the stage that turns pairwise evidence
+    into the corpus-level verdict — a doc transitively similar to a
+    kept doc must be dropped even if the direct pair was never scored,
+    which is exactly what component closure provides. Production input
+    is LSH candidates (dedup_minhash_lsh); the deterministic id-sample
+    here makes the same pipeline oracle-checkable against a
+    recursive-CTE closure in DuckDB."""
+    from ..operators.dedup import jaccard_pairs
+    from ..operators.graph import dedup_cluster_assignments
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = (
+        jaccard_pairs(d, F.col("doc_id") % 7 == 0)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    cl = dedup_cluster_assignments(pairs)
+    return cl.select(
+        "doc_id", "cluster_rep", "cluster_size",
+        (F.col("doc_id") == F.col("cluster_rep")).alias("is_canonical"),
+    )
+
+
+@query(
+    "layout_zorder",
+    oracle="""
+    WITH xy AS (
+        SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+        FROM orders),
+    z AS (
+        SELECT o_orderkey, x, y,
+               CAST(sum((((x >> i) & 1) << (2*i+1))
+                        + (((y >> i) & 1) << (2*i))) AS BIGINT) AS zval
+        FROM xy CROSS JOIN range(0, 16) t(i)
+        GROUP BY o_orderkey, x, y)
+    SELECT zval >> 14 AS zblock,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(x) AS min_cust, max(x) AS max_cust,
+           min(y) AS min_day, max(y) AS max_day
+    FROM z GROUP BY 1
+    """,
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) interleaving of two clustering dimensions —
+    the multi-column data-layout primitive behind Delta/Iceberg
+    OPTIMIZE ZORDER: bit-interleave (customer, day) so that a range
+    predicate on EITHER column touches a bounded set of z-blocks,
+    where a lexicographic sort serves only its leading column. The
+    z-value is a pure native expression (aggregate over a 16-bit
+    sequence with shiftleft/shiftright — no UDF, stays in codegen);
+    at scale it feeds repartitionByRange(zval) before the write, and
+    this query reports per-block extents — the min/max pruning stats
+    a reader would use — demonstrating both dimensions stay bounded
+    within every block. Sixteen bits per dimension = 4 G cells; block
+    id = zval >> 14 keeps block count scale-free."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("x"),
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1995-01-01").cast("date")).cast("long").alias("y"),
+    )
+    z = o.withColumn(
+        "zval",
+        F.expr("""aggregate(sequence(0, 15), 0L, (acc, i) ->
+                  acc + shiftleft(shiftright(x, i) & 1L, 2*i + 1)
+                      + shiftleft(shiftright(y, i) & 1L, 2*i))"""),
+    )
+    return (
+        z.groupBy(F.expr("shiftright(zval, 14)").alias("zblock"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_cust"), F.max("x").alias("max_cust"),
+            F.min("y").alias("min_day"), F.max("y").alias("max_day"),
+        )
+    )

@@ -26,7 +26,12 @@ from ..functions.expressions import dsum
 
 EVENT_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # nanos-as-long; converted below
+    # The file-source stream handles the table's nanosecond parquet
+    # timestamps natively, truncating to NTZ micros — unlike the batch
+    # reader, it IGNORES spark.sql.legacy.parquet.nanosAsLong, so a
+    # LongType pin here would silently yield micros-as-long (off by
+    # 1000 from the batch path's nanos-as-long).
+    T.StructField("ts", T.TimestampNTZType()),
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
@@ -38,7 +43,6 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned — a
     streaming source can't infer). At scale this is the same code over a
     cloud-storage path with maxFilesPerTrigger tuned."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # File-source streams take a directory; the glob narrows it to the
     # events table (a single-file "table" in the driver layout).
     stream = (
@@ -46,12 +50,12 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # LTZ (not NTZ): watermarks require tz-aware event time
-    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). Outputs convert
-    # window bounds back to NTZ for parity with the batch/oracle side.
-    # `div` (integer division): truncate to the microsecond exactly like
-    # native-nanos readers; float `/` would round and drift 1µs.
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ → LTZ cast: watermarks require tz-aware event time
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). The session TZ is
+    # pinned to UTC (session.tune_session), so the cast is an exact
+    # epoch-preserving identity on the wall clock and the window bounds
+    # downstream convert back to NTZ losslessly for batch/oracle parity.
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ---------------------------------------------------------------------------

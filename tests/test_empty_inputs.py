@@ -45,6 +45,11 @@ RISKY = [
     "embedding_norm_outliers",  # 1-row moments scalar on empty corpus
     "doc_length_profile",       # per-group percentiles over empty corpus
     "late_supplier_ranking",    # count-distinct rewrite over empty fact
+    "min_cost_supplier",        # struct-argmin over empty two-level agg
+    "supplier_value_share",     # 1-row (null) total crossJoin filter
+    "top_revenue_supplier",     # max-scalar seed over empty view
+    "excess_qty_suppliers",     # window over empty aggregated pairs
+    "dedup_cluster_canonical",  # CC propagation loop over zero edges
 ]
 
 # Global aggregates legitimately return ONE row on empty input (SQL
@@ -55,6 +60,7 @@ GLOBAL_AGG = [
     "kpi_block",                # multi-KPI single pass
     "scalar_subquery",          # 1-row scalar cross join
     "part_qty_threshold",       # global agg over threshold-filtered join
+    "promo_disjunctive_revenue",  # global agg over disjunctive join
 ]
 
 

@@ -328,3 +328,55 @@ def test_merge_into_single_full_outer_coshuffle(spark):
     keyed = re.findall(r"(SortMergeJoin|ShuffledHashJoin).*FullOuter", plan)
     assert len(keyed) == 1, plan[:600]
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_argmin_no_join_back(spark):
+    """The per-part argmin is min(struct(...)) in the aggregate itself —
+    no re-join of the min back onto the detail, so the biggest table
+    appears once and nothing degenerates to a nested loop."""
+    plan = _plan(spark, "min_cost_supplier")
+    assert plan.count("lineitem.parquet") == 1, plan[:800]
+    assert "CartesianProduct" not in plan
+    assert "min(struct(unit_cost" in plan
+
+
+def test_q19_disjunction_pushes_per_side_supersets(spark):
+    """The OR-of-ANDs join residual must yield pushable supersets on
+    BOTH scans: brand/size OR-reduction on part, quantity range union
+    on lineitem — neither side may scan unfiltered."""
+    plan = _plan(spark, "promo_disjunctive_revenue")
+    assert "PushedFilters: [IsNotNull(p_partkey), Or(Or(And(EqualTo(p_brand,Brand#12)" in plan
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+
+
+def test_q20_window_over_aggregated_pairs_only(spark):
+    """The per-part total is a window over the ALREADY-AGGREGATED
+    (part, supplier) relation — the l_partkey re-shuffle moves pair
+    rows, never raw lineitem; supplier enrich joins after the
+    dominance filter."""
+    import re
+
+    plan = _plan(spark, "excess_qty_suppliers")
+    assert plan.count("lineitem.parquet") == 1, plan[:800]
+    # exactly one SINGLE-key l_partkey exchange (the window's), fed by
+    # the composite-key aggregate — pair rows, not raw lineitem
+    single = re.findall(r"hashpartitioning\(l_partkey#\d+L, \d+\)", plan)
+    assert len(single) == 1, plan[:800]
+
+
+def test_zorder_is_pure_codegen(spark):
+    """The Morton interleave must stay native (higher-order aggregate
+    over a bit sequence) — no Python evaluation anywhere in the plan."""
+    plan = _plan(spark, "layout_zorder")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "shiftleft" in plan
+
+
+def test_dedup_canonical_no_quadratic_join(spark):
+    """Pair generation and component propagation are keyed equi-joins
+    end to end — a corpus-scale nested loop anywhere here is the
+    difference between hours and never-finishes."""
+    plan = _plan(spark, "dedup_cluster_canonical")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
