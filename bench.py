@@ -60,6 +60,11 @@ HEADLINE = [
     # the one-scan Q21 multi-semijoin rewrite):
     "market_share_by_year",
     "late_supplier_ranking",
+    # round-2 session-6 additions (Q5's local-commerce star, Q7's
+    # bilateral symmetric-OR, Q10's grouped top-k):
+    "regional_nation_revenue",
+    "bilateral_trade_volume",
+    "returns_revenue_topk",
 ]
 
 

@@ -5252,3 +5252,166 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("y").alias("min_day"), F.max("y").alias("max_day"),
         )
     )
+
+
+@query(
+    "regional_nation_revenue",
+    oracle=f"""
+    SELECT n_name,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND s_nationkey = c_nationkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def regional_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the full star with the LOCAL-commerce twist:
+    the supplier join carries the extra `s_nationkey = c_nationkey`
+    equality (provider and patient in the same nation), which is what
+    separates this from a plain snowflake rollup — the constraint can
+    only be evaluated after both arms meet, so join ORDER decides
+    whether it prunes early (supplier joined to the fact while the
+    customer nation is already bound) or explodes first. Declared
+    flat; Catalyst + AQE order it from sizes. Only nation/region are
+    bounded → broadcast hints; customer/supplier scale → none."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey)
+                 & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+    )
+
+
+@query(
+    "bilateral_trade_volume",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS volume
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY sn.n_name, cn.n_name, l_year
+    """,
+)
+def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral flows between two nations with the
+    SYMMETRIC-OR residual (either direction of the pair qualifies).
+    The disjunction spans the two nation roles, so it can't bind to
+    either join alone — but each side's superset (n_name IN the pair,
+    on both nation scans) IS pushable, and since nation is a bounded
+    broadcast, the residual evaluates broadcast-local: zero extra
+    shuffles beyond the fact joins. Grouped by direction + ship year
+    — the classic 'trade balance by year' report."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pair = ("NATION_1", "NATION_2")
+    sn = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*pair)).alias("sn")
+    cn = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*pair)).alias("cn")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn.n_nationkey"))
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn.n_nationkey"))
+        .filter(
+            ((F.col("sn.n_name") == pair[0]) & (F.col("cn.n_name") == pair[1]))
+            | ((F.col("sn.n_name") == pair[1]) & (F.col("cn.n_name") == pair[0]))
+        )
+    )
+    return (
+        j.select(
+            F.col("sn.n_name").alias("supp_nation"),
+            F.col("cn.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+            "l_extendedprice", "l_discount",
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("volume"))
+    )
+
+
+@query(
+    "returns_revenue_topk",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_returned_lines
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returns_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — 'which patients generated the most disputed
+    billing last half-year': grouped revenue over the returned-lines
+    slice, top 20. The ORDER BY carries c_custkey as a tiebreak so the
+    LIMIT boundary is deterministic (revenue alone can collide across
+    engines at equal values); physically this is TakeOrderedAndProject
+    — per-partition heaps of 20 rows, never a global sort of every
+    customer's revenue."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_returned_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -50,6 +50,9 @@ RISKY = [
     "top_revenue_supplier",     # max-scalar seed over empty view
     "excess_qty_suppliers",     # window over empty aggregated pairs
     "dedup_cluster_canonical",  # CC propagation loop over zero edges
+    "regional_nation_revenue",  # same-nation residual over empty star
+    "bilateral_trade_volume",   # symmetric-OR residual over empty fact
+    "returns_revenue_topk",     # top-k heap over empty groups
 ]
 
 # Global aggregates legitimately return ONE row on empty input (SQL

@@ -380,3 +380,30 @@ def test_dedup_canonical_no_quadratic_join(spark):
     plan = _plan(spark, "dedup_cluster_canonical")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_topk_is_heap_not_global_sort(spark):
+    """Top-20 disputed-billing customers must be per-partition heaps
+    (TakeOrderedAndProject), never a full sort of the grouped output."""
+    plan = _plan(spark, "returns_revenue_topk")
+    assert "TakeOrderedAndProject" in plan, plan[:600]
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q7_symmetric_or_stays_broadcast_local(spark):
+    """The bilateral OR residual spans both nation roles but each
+    side's IN-superset pushes to the bounded nation scans — the
+    residual must evaluate on broadcast joins, adding no shuffle."""
+    plan = _plan(spark, "bilateral_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    # nation scans are pre-filtered to the pair before broadcast
+    assert "In(n_name, [NATION_1,NATION_2])" in plan, plan[:800]
+
+
+def test_q5_local_commerce_constraint_no_nested_loop(spark):
+    """The extra s_nationkey = c_nationkey equality rides the supplier
+    equi-join as a residual — the plan must stay all-equi-join."""
+    plan = _plan(spark, "regional_nation_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
