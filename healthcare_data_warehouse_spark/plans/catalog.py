@@ -5415,3 +5415,16 @@ def returns_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query("ann_pq_topk")  # approximate (quantized codes) — rows-only
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k with exact re-rank — the
+    memory-bound ANN path: m-byte codes instead of full vectors, the
+    query's m×k distance table baked into the plan as literals, refine
+    by exact cosine. Codes are an ingest-time array<int> column at
+    scale (operators/similarity.py pq_topk docstring)."""
+    from ..operators.similarity import pq_topk
+
+    return pq_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10,
+                   refine=100)

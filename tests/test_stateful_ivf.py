@@ -79,3 +79,38 @@ def test_ivf_indexed_matches_on_the_fly_and_prunes_partitions(spark, tmp_path):
     }
     dirs = {f.split("list_id=")[1].split("/")[0] for f in files}
     assert dirs == {str(p) for p in probe}  # only the probed directories read
+
+
+def test_pq_topk_exact_rerank_scores_and_recall(spark):
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = brute_force_topk(emb, query_vec_id=0, k=10).collect()
+    approx = pq_topk(emb, query_vec_id=0, k=10, refine=150).collect()
+    assert 0 < len(approx) <= 10
+    # re-ranked scores are EXACT cosines (ADC only selects candidates)
+    exact_sims = {r["vec_id"]: r["cosine_sim"]
+                  for r in brute_force_topk(emb, query_vec_id=0, k=10**6).collect()}
+    for r in approx:
+        assert abs(r["cosine_sim"] - exact_sims[r["vec_id"]]) < 1e-12
+    # uniform-random 64-dim vectors are PQ's worst case (quantization
+    # noise ~ signal); a 30% refine still recovers most of top-10
+    # (measured 0.9 at this seed — 0.6 leaves nondeterminism margin)
+    recall = len({r["vec_id"] for r in approx} & {r["vec_id"] for r in exact}) / 10
+    assert recall >= 0.6
+
+
+def test_pq_topk_empty_and_missing_query(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from healthcare_data_warehouse_spark.operators.similarity import pq_topk
+
+    s = pq_.read_schema(SF_SMOKE + "/embeddings.parquet")
+    empty = pa.table({c: pa.array([], type=s.field(c).type) for c in s.names},
+                     schema=s)
+    pq_.write_table(empty, str(tmp_path / "embeddings.parquet"))
+    df = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+    assert pq_topk(df, query_vec_id=0, k=10).collect() == []
