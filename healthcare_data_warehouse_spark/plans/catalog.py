@@ -3775,21 +3775,32 @@ def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity stand-in used as a pre-training quality signal (docs made
     of globally common word transitions score high; gibberish scores
     low). P(w2|w1) = count(w1 w2) / count(w1-as-bigram-start), averaged
-    per document. Plan: the corpus explodes twice (once into the bigram
-    count, once for the per-occurrence join); the start-word denominator
-    is NOT a third corpus pass — count(w1) = sum of c_bi over grams
-    sharing w1, a vocabulary-sized aggregate of the count table itself,
-    so the per-gram rate table is built entirely from vocab-sized inputs
-    and joined back in one corpus-side hash join (AQE decides broadcast
-    vs shuffle from the vocabulary's size). No pairwise work; log-free
-    so the score is bit-reproducible (each term is a single double
-    division, summed via DECIMAL(24,12))."""
+    per document (over occurrences).
+
+    Plan: the corpus explodes ONCE, immediately collapsing to
+    (doc_id, gram, n_occ) — the only occurrence-level shuffle in the
+    query; every later stage (global gram counts, the start-word
+    denominator, the rate join-back, the per-doc rollup) moves
+    distinct-gram rows, which Zipfian text shrinks ~an order of
+    magnitude below occurrences. The denominator is NOT another corpus
+    pass — count(w1) = sum of c_bi over grams sharing w1, a
+    vocabulary-sized aggregate of the count table itself. AQE decides
+    broadcast vs shuffle for the rate join from the vocabulary's size.
+
+    Exactness: the per-occurrence DECIMAL(24,12) sum the oracle
+    computes equals n_occ × the rounded term exactly (a decimal times
+    an integer is exact), so the weighted form is bit-identical while
+    summing far fewer rows."""
     from ..operators.skew import spread
     from ..operators.text import ngrams
 
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
-    w = d.select("doc_id", F.explode(ngrams("text", 2)).alias("gram"))
-    cb = w.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bi"))
+    wd = (
+        d.select("doc_id", F.explode(ngrams("text", 2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    cb = wd.groupBy("gram").agg(F.sum("n_occ").alias("c_bi"))
     cs = (
         cb.groupBy(F.split("gram", " ")[0].alias("w1"))
         .agg(F.sum("c_bi").alias("c_start"))
@@ -3800,12 +3811,18 @@ def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.col("c_start").cast("double")).alias("term"),
     )
     return (
-        w.join(rate, "gram")
+        wd.join(rate, "gram")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (F.sum(F.col("term").cast("decimal(24,12)")).cast("double")
-             / F.count(F.lit(1))).alias("familiarity"),
+            F.sum("n_occ").alias("n_bigrams"),
+            # n_occ as DECIMAL(10,0), not bare long: decimal(24,12) ×
+            # long promotes to precision 45 > 38 and Spark rescues it by
+            # TRUNCATING THE SCALE (precision-loss rule) — (35,12) stays
+            # exact, keeping the weighted sum bit-equal to the oracle's
+            # per-occurrence sum
+            (F.sum(F.col("term").cast("decimal(24,12)")
+                   * F.col("n_occ").cast("decimal(10,0)"))
+             .cast("double") / F.sum("n_occ")).alias("familiarity"),
         )
     )
 
@@ -5428,3 +5445,51 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return pq_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10,
                    refine=100)
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH tr AS (
+        SELECT event_type AS from_event,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_event
+        FROM events),
+    c AS (
+        SELECT from_event, to_event, count(*) AS n_transitions
+        FROM tr WHERE to_event IS NOT NULL
+        GROUP BY from_event, to_event)
+    SELECT from_event, to_event, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+               / CAST(sum(n_transitions) OVER (PARTITION BY from_event)
+                      AS DOUBLE) AS p_transition
+    FROM c
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream — the
+    'what do users do next' model behind next-action prediction and
+    anomalous-session scoring. Per-user successor via LEAD (partitioned
+    by user — parallel at any scale, with event_id as the deterministic
+    tiebreak for equal timestamps); the conditional probability divides
+    by the from-state total via a window over the AGGREGATED matrix,
+    whose size is the event-type-domain squared — bounded, so the
+    single-key window is safe forever. Integer counts divide as doubles
+    → bit-reproducible, no libm."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts",
+                                            "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.withColumn("to_event", F.lead("event_type").over(w))
+        .filter(F.col("to_event").isNotNull())
+        .select(F.col("event_type").alias("from_event"), "to_event")
+    )
+    c = tr.groupBy("from_event", "to_event").agg(
+        F.count(F.lit(1)).alias("n_transitions"))
+    wf = Window.partitionBy("from_event")
+    return c.select(
+        "from_event", "to_event", "n_transitions",
+        (F.col("n_transitions").cast("double")
+         / F.sum("n_transitions").over(wf).cast("double"))
+        .alias("p_transition"),
+    )
