@@ -5493,3 +5493,47 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.sum("n_transitions").over(wf).cast("double"))
         .alias("p_transition"),
     )
+
+
+@query(
+    "stream_funnel_outcomes",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events),
+    wm AS (
+        SELECT least(max(CASE WHEN event_type = 'click' THEN ts END),
+                     max(CASE WHEN event_type = 'purchase' THEN ts END))
+                   - INTERVAL 2 HOUR AS w
+        FROM e),
+    c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
+                 ts AS purchase_ts
+          FROM e WHERE event_type = 'purchase'),
+    j AS (
+        SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id
+        FROM c LEFT JOIN p
+          ON c.user_id = p_user_id
+         AND purchase_ts >= click_ts
+         AND purchase_ts <= click_ts + INTERVAL 1 HOUR)
+    SELECT user_id, click_id, purchase_id,
+           purchase_id IS NOT NULL AS converted
+    FROM j, wm
+    WHERE purchase_id IS NOT NULL OR click_ts + INTERVAL 1 HOUR < w
+    """,
+)
+def stream_funnel_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion OUTCOMES — batch twin of the stream-stream LEFT OUTER
+    interval join (streaming.pipelines.streaming_funnel_outcomes): pairs
+    plus null-padded abandoned clicks, restricted to clicks the stream's
+    final watermark would have resolved (unresolved in-flight state is
+    excluded on both sides — that's the outer join's emission rule, not
+    a simplification). The stream/batch equality is pinned in
+    tests/test_streaming.py; this entry certifies the shared semantics
+    against DuckDB, truncating ns→µs in the oracle exactly as the scan
+    does."""
+    from ..sources.loaders import load_table
+    from ..streaming.pipelines import funnel_outcomes
+
+    return funnel_outcomes(load_table(spark, sf_dir, "events"))

@@ -278,3 +278,89 @@ def streaming_trending_topk(spark: SparkSession, sf_dir: str, out_path: str,
     )
     q.awaitTermination(120)
     return spark.read.parquet(out_path)
+
+
+def funnel_outcomes(events: DataFrame, horizon: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Batch twin of the streaming LEFT OUTER interval join: every
+    converted (click, purchase) pair, PLUS a null-padded row for each
+    unconverted click whose join state the stream's final watermark
+    would have expired.
+
+    The cutoff reproduces Structured Streaming's outer-join emission
+    rule: the global watermark is min over both inputs of max(event
+    time) minus the delay, and a click's null row may emit only once no
+    future purchase could still match it — click_ts + horizon below
+    that watermark. Clicks newer than the cutoff are unresolved
+    in-flight state in the stream, so the batch twin must exclude them
+    to compare equal (pinned by tests/test_streaming.py)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"))
+    wm = events.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        ).alias("__max_ts")
+    ).select((F.col("__max_ts") - F.expr(f"INTERVAL {watermark}")).alias("__wm"))
+    j = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    )
+    return (
+        j.crossJoin(F.broadcast(wm))  # 1-row scalar: bounded
+        .filter(
+            F.col("purchase_id").isNotNull()
+            | (F.col("click_ts") + F.expr(f"INTERVAL {horizon}") < F.col("__wm"))
+        )
+        .select(
+            "user_id", "click_id", "purchase_id",
+            F.col("purchase_id").isNotNull().alias("converted"),
+        )
+    )
+
+
+def streaming_funnel_outcomes(spark: SparkSession, sf_dir: str,
+                              horizon: str = "1 hour",
+                              watermark: str = "2 hours") -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join — the conversion-OUTCOME
+    stream (inner pairs tell you who converted; the null side is the
+    abandonment signal remarketing actually wants). Outer state differs
+    from the inner join's: a click row can only emit its null once the
+    watermark proves no matching purchase can still arrive (click_ts +
+    horizon below the global watermark), so unmatched rows emit with
+    watermark latency — the price of exactly-once null emission."""
+    ev = read_event_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+            "left_outer",
+        )
+        .select(
+            "user_id", "click_id", "purchase_id",
+            F.col("purchase_id").isNotNull().alias("converted"),
+        )
+    )

@@ -183,3 +183,23 @@ def test_streaming_trending_topk_matches_batch(spark, tmp_path):
         "window_start", F.col("window_start").cast("timestamp_ntz"))
     assert canon(got.collect()) == canon(want.collect())
     assert all(r.rnk <= 3 for r in stream_result.collect())
+
+
+def test_funnel_outer_stream_matches_batch_twin(spark):
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+    from healthcare_data_warehouse_spark.streaming.pipelines import (
+        funnel_outcomes,
+        run_stream_to_memory,
+        streaming_funnel_outcomes,
+    )
+
+    stream = run_stream_to_memory(
+        streaming_funnel_outcomes(spark, SF_SMOKE), "t_funnel_outer",
+        output_mode="append",
+    )
+    batch = funnel_outcomes(load_table(spark, SF_SMOKE, "events"))
+    s = {tuple(r) for r in stream.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+    # both outcome classes are present, or the twin is vacuous
+    assert any(r[3] for r in s) and any(not r[3] for r in s)
