@@ -5537,3 +5537,90 @@ def stream_funnel_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipelines import funnel_outcomes
 
     return funnel_outcomes(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "serving_limited",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(o_orderdate AS DATE) AS visit_date
+    FROM orders
+    WHERE o_totalprice > 450000
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 5
+    """,
+)
+def serving_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 through the REAL serving path: QueryService.run with a typed
+    float parameter and the universal result-cap ``limit`` (the
+    reference's {cost_threshold}/{limit} str.format placeholders,
+    query_builder.py:133 — here validated/coerced params bound into the
+    plan as literals, with the READ audit side-effect). limit-after-
+    orderBy keeps TakeOrderedAndProject semantics, so the cap is
+    deterministic (tiebreak on the key), certifying the service wrapper
+    end to end, not just the catalog function it wraps."""
+    from .serving import QueryService
+
+    svc = QueryService(spark, sf_dir, user="driver_check")
+    return svc.run("topk_highcost", limit=5, cost_threshold=450000.0, k=20)
+
+
+@query(
+    "ddl_star_schema",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('dim_customer', 1, 'customer_key',      'bigint'),
+        ('dim_customer', 2, 'c_custkey',         'bigint'),
+        ('dim_customer', 3, 'anonymized_name',   'string'),
+        ('dim_customer', 4, 'balance_group',     'string'),
+        ('dim_customer', 5, 'c_nationkey',       'int'),
+        ('dim_customer', 6, 'c_mktsegment',      'string'),
+        ('dim_customer', 7, 'valid_from',        'timestamp'),
+        ('dim_customer', 8, 'valid_to',          'timestamp'),
+        ('dim_customer', 9, 'is_current',        'boolean'),
+        ('dim_supplier', 1, 'supplier_key',      'bigint'),
+        ('dim_supplier', 2, 's_suppkey',         'bigint'),
+        ('dim_supplier', 3, 's_name',            'string'),
+        ('dim_supplier', 4, 's_nationkey',       'int'),
+        ('dim_supplier', 5, 'valid_from',        'timestamp'),
+        ('dim_supplier', 6, 'valid_to',          'timestamp'),
+        ('dim_supplier', 7, 'is_current',        'boolean'),
+        ('fact_orders',  1, 'order_key',         'bigint'),
+        ('fact_orders',  2, 'o_orderkey',        'bigint'),
+        ('fact_orders',  3, 'o_custkey',         'bigint'),
+        ('fact_orders',  4, 'customer_key',      'bigint'),
+        ('fact_orders',  5, 'o_orderstatus',     'string'),
+        ('fact_orders',  6, 'o_totalprice',      'double'),
+        ('fact_orders',  7, 'o_orderdate',       'timestamp_ntz'),
+        ('fact_orders',  8, 'o_orderpriority',   'string'),
+        ('fact_orders',  9, 'cost_with_privacy', 'double'),
+        ('fact_orders', 10, 'order_year',        'int')
+    ) t(table_name, ordinal, column_name, data_type)
+    """,
+)
+def ddl_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 as a driver-certifiable row: run the real DDL (CREATE DATABASE
+    + the three star tables, sources/ddl.py — init.sql parity including
+    the year-partitioned fact), then emit the resulting catalog schema
+    as (table, ordinal, column, type) rows and drop the scratch
+    database. The oracle pins the expected schema literally, so any
+    drift in the DDL (added column, changed type, lost partition
+    column) fails the hash — schema-as-data regression testing."""
+    import os as _os
+
+    from ..config import SCRATCH_DIR
+    from ..sources.ddl import create_star_schema
+
+    db = "hdw_ddl_check"
+    try:
+        create_star_schema(
+            spark, db=db, location=_os.path.join(SCRATCH_DIR, db + ".db"))
+        rows = []
+        for tbl in ("dim_customer", "dim_supplier", "fact_orders"):
+            for i, c in enumerate(spark.catalog.listColumns(f"{db}.{tbl}"), 1):
+                rows.append((tbl, i, c.name, c.dataType))
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    return spark.createDataFrame(
+        rows, "table_name string, ordinal int, column_name string, data_type string"
+    )

@@ -12,9 +12,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def create_star_schema(spark: SparkSession, db: str = "hdw") -> None:
-    """Create the warehouse database + empty star-schema tables."""
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+def create_star_schema(spark: SparkSession, db: str = "hdw",
+                       location: str | None = None) -> None:
+    """Create the warehouse database + empty star-schema tables.
+
+    ``location`` overrides the database path — the default resolves
+    against ``spark.sql.warehouse.dir`` (cwd-relative in a bare
+    session), which an embedding harness may not be able to write;
+    side-effect queries pass a SCRATCH_DIR path instead."""
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}{loc}")
     spark.sql(
         f"""
         CREATE TABLE IF NOT EXISTS {db}.dim_customer (
