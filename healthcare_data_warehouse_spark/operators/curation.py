@@ -316,3 +316,36 @@ def mixture_stats(df: DataFrame, stratum_col: str = "lang",
         (F.col("token_count").cast("double")
          / F.sum("token_count").over(total_w)).alias("token_share"),
     )
+
+
+def weighted_sample(df: DataFrame, weight_col: str, n_per_group: int,
+                    group_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws priority u^(1/w) with u
+    uniform from the md5 of its id and w its weight; the top-n
+    priorities per group are an exact without-replacement weighted
+    sample. Quality-weighted corpus subsampling with reproducible
+    output (same ids in, same sample out — no RNG state, no
+    partitioning sensitivity).
+
+    One shuffle (the per-group top-n window); at 100 TB prefer a
+    two-phase top-n (per-partition heads then merge) — same semantics,
+    which is exactly what TakeOrderedAndProject does when the group
+    count is 1. Rows-only certification: u^(1/w) rides libm pow, whose
+    last-ulp variance across engines makes value-hash parity against
+    another engine dishonest (the md5 → uniform step itself is exact —
+    see stratified_sample for the hash-parity variant)."""
+    from pyspark.sql import Window
+
+    # 60 bits of md5 → uniform (0, 1]; +1 avoids u=0 (pow(0, x) = 0
+    # would give all zero-weight-independent priorities)
+    u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                16, 10).cast("double") + 1.0) / float(1 << 60)
+    prio = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("__prio"), F.asc(id_col))
+    return (
+        df.withColumn("__prio", prio)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__prio", "__rn")
+    )

@@ -5624,3 +5624,45 @@ def ddl_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, ordinal int, column_name string, data_type string"
     )
+
+
+@query("sample_weighted")  # libm pow priorities — rows-only + property pytest
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subsample (Efraimidis–Spirakis priorities,
+    operators/curation.py weighted_sample): longer documents — the
+    n_chars stand-in for a quality score — are proportionally likelier
+    to survive, per language, without replacement, bit-reproducible
+    across runs. The 'keep the best 20 per language' curation step."""
+    from ..operators.curation import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(d, weight_col="n_chars", n_per_group=20,
+                           group_col="lang")
+
+
+@query(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+               trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+               ' +', ' ', 'g') AS norm_text,
+           md5(regexp_replace(
+               trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+               ' +', ' ', 'g')) AS norm_fingerprint
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization ahead of exact dedup: lowercase, strip
+    non-alphanumerics to spaces, collapse runs, trim — so 'Hello,
+    World!' and 'hello world' collide on the SAME md5 fingerprint
+    (exact-dedup recall depends entirely on this step; the fingerprint
+    column feeds dedup_exact / cross_source_overlap directly). Pure
+    native string expressions — scan-parallel, no shuffle at all."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " ")),
+        " +", " ")
+    return d.select("doc_id", norm.alias("norm_text"),
+                    F.md5(norm).alias("norm_fingerprint"))

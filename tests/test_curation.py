@@ -241,3 +241,23 @@ def test_common_phrase_report_flags_boilerplate(spark):
     assert all(rows[i].n_common > 0 for i in range(5))
     assert rows[99].n_common == 0 and rows[99].common_share == 0.0
     assert all(0.0 < rows[i].common_share < 1.0 for i in range(5))
+
+
+def test_weighted_sample_prefers_heavy_docs_and_is_deterministic(spark):
+    from healthcare_data_warehouse_spark.operators.curation import weighted_sample
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "n_chars")
+    s1 = weighted_sample(d, "n_chars", n_per_group=20, group_col="lang")
+    s2 = weighted_sample(d, "n_chars", n_per_group=20, group_col="lang")
+    r1 = sorted(tuple(r) for r in s1.collect())
+    assert r1 == sorted(tuple(r) for r in s2.collect())  # no RNG state
+    # per-group cap respected
+    caps = s1.groupBy("lang").count().collect()
+    assert all(r["count"] <= 20 for r in caps)
+    # weighting works: the sample is longer-doc-biased vs the corpus
+    mean_all = d.agg(F.avg("n_chars")).first()[0]
+    mean_smp = s1.agg(F.avg("n_chars")).first()[0]
+    assert mean_smp > mean_all
