@@ -5666,3 +5666,204 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         " +", " ")
     return d.select("doc_id", norm.alias("norm_text"),
                     F.md5(norm).alias("norm_fingerprint"))
+
+
+@query(
+    "unshipped_priority_topk",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-03-15'
+      AND l_shipdate  > TIMESTAMP '1996-03-15'
+    GROUP BY l_orderkey, order_date, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def unshipped_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the shipping-priority report: revenue still in
+    flight (ordered before, shipped after the cutoff) for one market
+    segment, top 10 orders. Both date predicates push into their own
+    scans BEFORE the join (order side prunes on o_orderdate, line side
+    on l_shipdate); the group key includes the pre-aggregation
+    functional dependencies so no second pass re-joins them; top-10 is
+    TakeOrderedAndProject with the key tiebreak."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1996-03-15"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1996-03-15"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "nation_profit_by_year",
+    oracle=f"""
+    SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           {_osum('l_extendedprice * (1 - l_discount) '
+                  '- l_quantity * p_retailprice')} AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY supp_nation, o_year
+    """,
+)
+def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit attribution: revenue minus input cost
+    (retail price × quantity standing in for ps_supplycost, which the
+    driver schema doesn't carry), per supplier nation per order year,
+    over a product-name slice. The measure combines columns from THREE
+    relations (lineitem, part, orders), so it can only fold after the
+    joins — the classic 'wide measure' that forces join order to keep
+    the fact narrow: part's LIKE filter prunes first, nation is a
+    bounded broadcast, and the single aggregate groups a two-level key
+    whose cardinality (nations × years) is tiny forever."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")).select("p_partkey", "p_retailprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_quantity") * F.col("p_retailprice")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("supp_nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit).alias("profit"))
+    )
+
+
+@query(
+    "priority_shipping_stats",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def priority_shipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional-count pivot: per line status (the
+    shipmode stand-in), how many lines belong to high- vs low-priority
+    orders. The two counts are CASE sums inside ONE aggregate over one
+    join — the naive two-queries-and-a-union doubles the fact scan. The
+    date window prunes the fact scan before the join."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(100.0 AS DOUBLE)
+               * {_osum("CASE WHEN p_type = 'PROMO' "
+                        "THEN l_extendedprice * (1 - l_discount) "
+                        "ELSE 0 END")}
+               / {_osum('l_extendedprice * (1 - l_discount)')}
+               AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional share in one pass: promo revenue
+    over total revenue for a month, both sums folding in the SAME
+    aggregate (no second scan, no join of two aggregates — the ratio of
+    two conditional decimal sums). ×100 is exact in binary; the month
+    filter prunes the fact scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg((F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_pct"))
+    )
+
+
+@query(
+    "part_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO' AND p_size IN (1, 5, 9, 13)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — supplier variety per product attribute with a
+    NOT-IN exclusion subquery (complaint suppliers — negative balance —
+    excluded). NOT IN over a non-nullable key is a LEFT ANTI join here
+    (the exclusion list is a filtered scan, never collected to the
+    driver); COUNT(DISTINCT supplier) then dedups inside the aggregate.
+    Both part filters reach the part scan; the anti join runs before
+    the count so excluded suppliers never inflate the distinct state."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 5, 9, 13)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -53,6 +53,12 @@ RISKY = [
     "regional_nation_revenue",  # same-nation residual over empty star
     "bilateral_trade_volume",   # symmetric-OR residual over empty fact
     "returns_revenue_topk",     # top-k heap over empty groups
+    "unshipped_priority_topk",  # top-k heap over empty 3-way join
+    "nation_profit_by_year",    # wide-measure agg over empty star
+    "priority_shipping_stats",  # conditional-count pivot over empty join
+    "part_supplier_variety",    # anti join + count-distinct over empty
+    "text_normalize",           # pure projection over empty corpus
+    "sample_weighted",          # weighted top-n window over empty groups
 ]
 
 # Global aggregates legitimately return ONE row on empty input (SQL
@@ -64,6 +70,7 @@ GLOBAL_AGG = [
     "scalar_subquery",          # 1-row scalar cross join
     "part_qty_threshold",       # global agg over threshold-filtered join
     "promo_disjunctive_revenue",  # global agg over disjunctive join
+    "promo_revenue_share",        # one-pass conditional-share ratio
 ]
 
 

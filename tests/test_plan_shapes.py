@@ -407,3 +407,22 @@ def test_q5_local_commerce_constraint_no_nested_loop(spark):
     plan = _plan(spark, "regional_nation_revenue")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_not_in_is_anti_join_before_distinct(spark):
+    """The NOT-IN exclusion list must compile to a LEFT ANTI join (never
+    a collected driver-side list), running BEFORE the count-distinct so
+    excluded suppliers never enter the distinct state."""
+    plan = _plan(spark, "part_supplier_variety")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_remaining_tpch_shapes_all_equi_join(spark):
+    """Q3/Q9/Q12/Q14 analogs: all joins keyed, dates pruned at the scan."""
+    for name in ("unshipped_priority_topk", "nation_profit_by_year",
+                 "priority_shipping_stats", "promo_revenue_share"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "TakeOrderedAndProject" in _plan(spark, "unshipped_priority_topk")
