@@ -5867,3 +5867,54 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "search_conjunctive",
+    oracle=r"""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS term
+              FROM documents)
+        WHERE term IN ('join', 'hash')
+        GROUP BY doc_id, term)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+    FROM tf
+    GROUP BY doc_id
+    HAVING count(DISTINCT term) = 2
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def search_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) term search with term-frequency ranking — the
+    query side of the inverted_index build: docs containing EVERY query
+    term, scored by summed tf, top 10. The query-term filter lands
+    immediately after the tokenizer, so only matching term occurrences
+    (a vanishing fraction of the corpus) ever reach a shuffle; the
+    ALL-terms test is HAVING count(distinct term) = |query| on the
+    per-doc aggregate — no per-term self-joins (the posting-list
+    intersection a row store would do becomes one grouped pass). At
+    index-backed scale the same plan reads the postings table instead
+    of re-tokenizing; scoring and intersection are identical."""
+    from ..operators.skew import spread
+    from ..operators.text import tokens
+
+    terms = ["join", "hash"]
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(F.sum("tf").alias("score"),
+             F.countDistinct("term").alias("__nt"))
+        .filter(F.col("__nt") == len(terms))
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
