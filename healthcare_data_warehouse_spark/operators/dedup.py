@@ -353,3 +353,58 @@ def jaccard_pairs(df: DataFrame, pair_filter: Column, text_col: str = "text",
     return pairs.select(
         "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
     )
+
+
+def rare_feature_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       max_df: int = 3) -> DataFrame:
+    """COMPLETE candidate generation by rare-feature blocking — the
+    prefix-filtering principle behind PPJoin (Xiao et al., WWW'08):
+    a pair of near-duplicate documents must share at least one
+    LOW-frequency feature, so only shingles with document frequency in
+    [2, max_df] generate candidates, and each such shingle contributes
+    at most max_df·(max_df−1)/2 pairs — the quadratic blowup of
+    common-shingle blocking is excluded BY CONSTRUCTION, not by a cap.
+    Complements the probabilistic generators (MinHash banding, SimHash
+    chunks) with a deterministic one: no hash luck involved, recall is
+    1.0 for any pair sharing a rare shingle.
+
+    Stages (all keyed shuffles): per-doc distinct shingles → global
+    document frequency (one aggregate) → rare-shingle explode →
+    within-shingle pair join (bucket ≤ max_df) → pair distinct → exact
+    Jaccard verify over the full hashed shingle sets. Candidate
+    generation uses shingle STRINGS (row membership must be
+    collision-free to match the oracle); the verify arrays are
+    xxhash64'd (only set sizes feed the ratio)."""
+    from .skew import spread
+
+    t = spread(
+        df.filter(F.size(tokens(text_col)) >= n), id_col
+    ).select(
+        F.col(id_col),
+        shingles(text_col, n).alias("__sh_str"),
+        F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias("__sh"),
+    )
+    ds = t.select(F.col(id_col), F.explode("__sh_str").alias("f"))
+    rare = (
+        ds.groupBy("f").agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+        .select("f")
+    )
+    rd = ds.join(rare, "f")
+    a, b = rd.alias("a"), rd.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.f") == F.col("b.f"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = t.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    sb = t.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
+    )

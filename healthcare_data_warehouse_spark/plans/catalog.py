@@ -5918,3 +5918,42 @@ def search_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "dedup_rare_shingle_pairs",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3),
+    ds AS (SELECT doc_id, unnest(sh) AS f FROM t),
+    rare AS (
+        SELECT f FROM ds GROUP BY f
+        HAVING count(*) BETWEEN 2 AND 3),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ds a JOIN ds b ON a.f = b.f AND a.doc_id < b.doc_id
+        WHERE a.f IN (SELECT f FROM rare))
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(ta.sh, tb.sh))) AS jaccard
+    FROM pairs
+    JOIN t ta ON ta.doc_id = id_a
+    JOIN t tb ON tb.doc_id = id_b
+    """,
+)
+def dedup_rare_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic COMPLETE near-dup candidates via rare-feature
+    blocking (operators/dedup.py rare_feature_pairs — the PPJoin prefix
+    filter principle): every pair sharing a shingle seen in ≤3 docs,
+    exact-Jaccard-verified. Unlike the MinHash/SimHash generators there
+    is no probabilistic recall here, and unlike the %-sample verify the
+    coverage is the whole corpus — the bucket size bound (≤3) is what
+    makes it affordable: candidates ∝ rare-shingle count, never n²."""
+    from ..operators.dedup import rare_feature_pairs
+
+    return rare_feature_pairs(_t(spark, sf_dir, "documents"))

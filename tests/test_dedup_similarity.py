@@ -147,3 +147,25 @@ def test_lsh_topk_scores_are_exact_cosines(spark):
              brute_force_topk(emb, query_vec_id=0, k=10**6).collect()}
     for r in rows:
         assert abs(r["cosine_sim"] - exact[r["vec_id"]]) < 1e-12
+
+
+def test_rare_feature_pairs_blocking_boundary(spark):
+    """A pair sharing a RARE shingle is always found (deterministic
+    recall, jaccard exact); a pair sharing only corpus-common shingles
+    is excluded by construction — the blocking boundary that keeps the
+    candidate set linear in rare-feature count."""
+    from healthcare_data_warehouse_spark.operators.dedup import rare_feature_pairs
+
+    common = "alpha beta gamma delta epsilon"   # shared by MANY docs
+    rows = [(i, f"{common} filler{i} x{i} y{i}") for i in range(10)]
+    rows += [(100, common + " unique marker phrase one"),
+             (101, common + " unique marker phrase two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in rare_feature_pairs(df, max_df=3).collect()}
+    # 100/101 share rare shingles ("unique marker phrase", ...) -> found
+    assert (100, 101) in got
+    assert 0 < got[(100, 101)] < 1
+    # docs 0..9 share only the common prefix shingles (df=12 > max_df):
+    # no pair among them survives the rare filter
+    assert not any(a < 100 and b < 100 for a, b in got)
