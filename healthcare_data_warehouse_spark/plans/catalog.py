@@ -5970,3 +5970,85 @@ def dedup_rare_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import rare_feature_pairs
 
     return rare_feature_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "session_paths",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, event_type
+        FROM events),
+    p AS (
+        SELECT user_id, day,
+               array_to_string(list(event_type ORDER BY ts, event_id), '>')
+                   AS path
+        FROM e GROUP BY user_id, day)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_user_days
+    FROM p GROUP BY path
+    ORDER BY n_user_days DESC, path
+    LIMIT 20
+    """,
+)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the ordered event-type path of each user-day,
+    ranked by frequency — the 'what do sessions look like' report
+    behind funnel design. Ordering inside a group needs no window sort:
+    events collect as (ts, event_id, type) structs and array_sort puts
+    them in event order AFTER the shuffle (struct order = field order,
+    with event_id breaking timestamp ties deterministically) — one
+    grouped pass, then a tiny path-frequency aggregate; top-20 is a
+    heap. Path strings are bounded by the per-user-day event count, not
+    the corpus."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day"),
+        "ts", "event_id", "event_type")
+    paths = (
+        ev.groupBy("user_id", "day")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("ts", "event_id", "event_type"))).alias("__evs"))
+        .select(F.array_join(
+            F.transform(F.col("__evs"), lambda s: s["event_type"]), ">"
+        ).alias("path"))
+    )
+    return (
+        paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy(F.desc("n_user_days"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@query(
+    "ann_filtered_topk",
+    oracle="""
+    SELECT vec_id, label,
+           list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[])
+                FROM embeddings WHERE vec_id = 0)) AS cosine_sim
+    FROM embeddings
+    WHERE vec_id <> 0 AND label = 3
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k cosine neighbors restricted to a
+    metadata predicate (label = 3), the retrieval pattern every vector
+    store is judged on: pre-filter THEN score, so the similarity math
+    runs only on qualifying vectors (post-filtering a global top-k
+    under-fills the result when the filter is selective — the classic
+    correctness trap this query pins). The label predicate pushes to
+    the scan; scoring is one pass; top-k is a heap. At ingest scale the
+    label becomes a partition column and the filter becomes pruning
+    (same pattern as IVF's list_id)."""
+    from ..operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv"))
+    return (
+        emb.filter((F.col("vec_id") != 0) & (F.col("label") == 3))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label",
+                cosine(F.col("embedding"), F.col("__qv")).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
