@@ -6052,3 +6052,140 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=r"""
+    WITH lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+            FROM (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(trim(text), '\s+')) AS term
+                      FROM documents)
+                WHERE term IN ('join', 'hash')
+                GROUP BY doc_id, term)
+            GROUP BY doc_id)
+        QUALIFY r <= 50),
+    vec AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY s DESC, vec_id) AS r
+        FROM (
+            SELECT vec_id,
+                   list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)) AS s
+            FROM embeddings WHERE vec_id <> 0)
+        QUALIFY r <= 50)
+    SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+           CAST(COALESCE(1.0 / (60 + lex.r), 0)
+                + COALESCE(1.0 / (60 + vec.r), 0) AS DOUBLE) AS rrf_score
+    FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    SIGIR'09): a lexical ranking (summed tf over the query terms) and a
+    vector ranking (cosine to the query embedding) fuse as
+    Σ 1/(60 + rank) — rank-based, so the two scorers need no score
+    calibration, and 1/(60+r) is an exact double (no libm). Each ranker
+    independently produces its top-50 (a heap + one tiny window over 50
+    rows — the global row_number runs on an already-truncated input,
+    never the corpus); the fusion is a 50-row full outer join. The
+    missing-from-one-ranker case takes only the present ranker's
+    contribution — exactly RRF's robustness story."""
+    from ..operators.similarity import cosine
+    from ..operators.skew import spread
+    from ..operators.text import tokens
+
+    terms = ["join", "hash"]
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    lex_scores = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("doc_id").agg(F.sum("tf").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
+    )
+    wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))  # 50 rows: safe
+    lex = lex_scores.select("doc_id", F.row_number().over(wl).alias("r_lex"))
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv"))
+    vec_scores = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"),
+                cosine(F.col("embedding"), F.col("__qv")).alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id")).limit(50)
+    )
+    wv = Window.orderBy(F.desc("s"), F.asc("doc_id"))  # 50 rows: safe
+    vec = vec_scores.select("doc_id", F.row_number().over(wv).alias("r_vec"))
+
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+             + F.coalesce(1.0 / (60 + F.col("r_vec")), F.lit(0.0))
+             ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
+
+
+@query("bm25_topk")  # ln() idf — libm last-ulp variance → rows-only + replica pytest
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (k1=1.2, b=0.75) — the lexical-retrieval baseline
+    every hybrid stack starts from. Corpus statistics (N, avgdl, per-
+    term df) are one tiny aggregate each, broadcast as 1-or-|query|-row
+    scalars; per-doc tf comes from the same filtered-tokenizer pass as
+    search_conjunctive, so only query-term occurrences shuffle. The
+    idf is the Robertson-Sparck-Jones ln form — libm, hence rows-only
+    certification; the pytest replays the exact formula in numpy and
+    pins ranking equality. Top-10 is a heap."""
+    from ..operators.skew import spread
+    from ..operators.text import tokens
+
+    terms, k1, b = ["join", "hash"], 1.2, 0.75
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select("doc_id", F.size(tokens("text")).alias("dl"),
+                    F.explode(tokens("text")).alias("term"))
+    tf = (
+        toks.filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = d.select(F.size(tokens("text")).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df_map = (
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_map), "term")  # |query| rows: bounded
+        .crossJoin(F.broadcast(stats))        # 1 row: bounded
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf")
+                   + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id").agg(F.sum("term_score").alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )

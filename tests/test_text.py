@@ -76,3 +76,41 @@ def test_redact_pii_planted(spark):
     assert counts[2]["n_ssn"] == 1 and counts[2]["n_phone"] == 1
     assert counts[2]["n_ipv4"] == 1 and counts[1]["n_email"] == 1
     assert counts[3]["n_phone"] == 2 and counts[4]["n_phone"] == 0
+
+
+def test_bm25_matches_numpy_replica(spark):
+    """The Spark BM25 plan must reproduce a straight-line numpy replay
+    of the same formula on the same corpus: identical top-10 ids and
+    scores to 1e-9 (ln/divisions only — no order-dependent sums)."""
+    import math
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from conftest import SF_SMOKE
+
+    got = entrymod.queries()["bm25_topk"](spark, SF_SMOKE).collect()
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, trim(text) AS t FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')").fetchall()
+    terms, k1, b = ["join", "hash"], 1.2, 0.75
+    docs = {i: re.split(r"\s+", t) if t else [] for i, t in rows}
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    tf = {i: Counter(w for w in v if w in terms) for i, v in docs.items()}
+    df = Counter(t for c in tf.values() for t in c)
+    scores = {}
+    for i, c in tf.items():
+        s = 0.0
+        for t, f in c.items():
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * (f * (k1 + 1)) / (f + k1 * (1 - b + b * len(docs[i]) / avgdl))
+        if c:
+            scores[i] = s
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [r["doc_id"] for r in got] == [i for i, _ in top]
+    for r, (_, s) in zip(got, top):
+        assert abs(r["bm25"] - s) < 1e-9
