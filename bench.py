@@ -65,6 +65,13 @@ HEADLINE = [
     "regional_nation_revenue",
     "bilateral_trade_volume",
     "returns_revenue_topk",
+    # round-2 session-6 retrieval + blocking additions (the heaviest of
+    # the newest ops - complete rare-feature candidate generation and
+    # the two-ranker hybrid stack):
+    "dedup_rare_shingle_pairs",
+    "bm25_topk",
+    "hybrid_search_rrf",
+    "session_paths",
 ]
 
 
