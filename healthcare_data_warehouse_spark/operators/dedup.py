@@ -375,7 +375,15 @@ def rare_feature_pairs(df: DataFrame, text_col: str = "text",
     Jaccard verify over the full hashed shingle sets. Candidate
     generation uses shingle STRINGS (row membership must be
     collision-free to match the oracle); the verify arrays are
-    xxhash64'd (only set sizes feed the ratio)."""
+    xxhash64'd (only set sizes feed the ratio).
+
+    The shingle relation feeds FOUR consumers (df-count, rare explode,
+    and both verify sides), so it is materialized once
+    (localCheckpoint) — without it Spark re-tokenizes and re-shingles
+    the corpus per consumer, which benchmarking showed dominates the
+    whole operator (~6× the useful work). One row per doc with two
+    bounded arrays — the same checkpoint-the-fan-out rule the
+    connected-components loop uses."""
     from .skew import spread
 
     t = spread(
@@ -383,8 +391,9 @@ def rare_feature_pairs(df: DataFrame, text_col: str = "text",
     ).select(
         F.col(id_col),
         shingles(text_col, n).alias("__sh_str"),
-        F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias("__sh"),
-    )
+    ).withColumn(
+        "__sh", F.transform(F.col("__sh_str"), lambda s: F.xxhash64(s))
+    ).localCheckpoint(eager=True)
     ds = t.select(F.col(id_col), F.explode("__sh_str").alias("f"))
     rare = (
         ds.groupBy("f").agg(F.count(F.lit(1)).alias("__df"))
