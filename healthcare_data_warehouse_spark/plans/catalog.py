@@ -6189,3 +6189,52 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "weighted_median_by_flag",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag, l_extendedprice / l_quantity AS unit_price,
+               l_quantity,
+               sum(l_quantity) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice / l_quantity, l_orderkey,
+                            l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cum_qty,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_qty
+        FROM lineitem)
+    SELECT l_returnflag, min(unit_price) AS weighted_median_price
+    FROM t WHERE cum_qty * 2 >= tot_qty
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median — the quantity-weighted 50th-percentile unit
+    price per return flag. Spark has no weighted percentile built-in;
+    the exact formulation is a cumulative-weight window over the
+    in-group price order (deterministic total order via the line's
+    natural key as tiebreak) and the answer is the smallest price whose
+    cumulative weight reaches half the group total (`cum × 2 ≥ total` —
+    power-of-two, lossless). Both windows share one partition order, so
+    the whole thing is ONE shuffle on the group key, parallel across
+    groups; the `min` aggregate then reduces each group's qualifying
+    suffix to its first row. Weights stay integral-valued doubles —
+    cumulative sums are exact."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    wo = (Window.partitionBy("l_returnflag")
+          .orderBy("unit_price", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy("l_returnflag")
+    t = li.select(
+        "l_returnflag", "unit_price",
+        F.sum("l_quantity").over(wo).alias("cum_qty"),
+        F.sum("l_quantity").over(wt).alias("tot_qty"),
+    )
+    return (
+        t.filter(F.col("cum_qty") * 2 >= F.col("tot_qty"))
+        .groupBy("l_returnflag")
+        .agg(F.min("unit_price").alias("weighted_median_price"))
+    )
