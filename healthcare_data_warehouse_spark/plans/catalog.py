@@ -6238,3 +6238,56 @@ def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("unit_price").alias("weighted_median_price"))
     )
+
+
+@query(
+    "gini_by_segment",
+    oracle="""
+    WITH r AS (
+        SELECT c_mktsegment, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS i,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment,
+           CAST(sum(CAST((2 * i - n - 1) * c_acctbal
+                         AS DECIMAL(24,4))) AS DOUBLE)
+               / (n * CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE))
+               AS gini,
+           CAST(max(n) AS BIGINT) AS n_accounts
+    FROM r GROUP BY c_mktsegment, n
+    """,
+)
+def gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of positive account balances per market
+    segment — the inequality/concentration report (is one segment's
+    value held by a few whales?). Exact rank formulation
+    Σ(2i−n−1)·xᵢ / (n·Σxᵢ) over the in-group sort with the key as
+    tiebreak: one shuffle on the group key serves the rank window, the
+    count window, AND the final aggregate (all share the partition
+    key). Each product is one IEEE multiply (identical in any engine);
+    the sums accumulate in DECIMAL so 32-way partial aggregation is
+    order-insensitive — bit-equal to the single-threaded oracle."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    wr = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    r = c.select(
+        "c_mktsegment", "c_acctbal",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    num = F.sum(((2 * F.col("i") - F.col("n") - 1) * F.col("c_acctbal"))
+                .cast("decimal(24,4)")).cast("double")
+    den = F.col("n") * F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+    return (
+        r.groupBy("c_mktsegment", "n")
+        .agg(num.alias("__num"),
+             F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+             .cast("double").alias("__den"),
+             F.max("n").alias("n_accounts"))
+        .select(
+            "c_mktsegment",
+            (F.col("__num") / (F.col("n") * F.col("__den"))).alias("gini"),
+            "n_accounts",
+        )
+    )
