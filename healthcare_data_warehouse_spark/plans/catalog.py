@@ -6291,3 +6291,62 @@ def gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_accounts",
         )
     )
+
+
+@query(
+    "funnel_three_step",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               list_min(list(ts) FILTER (event_type = 'signup')) AS t1
+        FROM events GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, u.t1,
+               min(e.ts) FILTER (e.event_type = 'click' AND e.ts > u.t1) AS t2
+        FROM events e JOIN u ON e.user_id = u.user_id
+        GROUP BY e.user_id, u.t1),
+    p AS (
+        SELECT e.user_id, c.t1, c.t2,
+               min(e.ts) FILTER (e.event_type = 'purchase' AND e.ts > c.t2) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        GROUP BY e.user_id, c.t1, c.t2)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t1) AS BIGINT) AS n_signup,
+           CAST(count(t2) AS BIGINT) AS n_click_after_signup,
+           CAST(count(t3) AS BIGINT) AS n_purchase_after_click,
+           CAST(count(t3) AS DOUBLE) / count(t1) AS full_funnel_rate
+    FROM p
+    """,
+)
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-ORDER three-step funnel (signup → click → purchase, each
+    step strictly after the previous one's FIRST occurrence) — the
+    product-analytics staple that a naive type-count funnel gets wrong
+    (a purchase before signup must not count). ONE grouped pass
+    collects each user's per-step timestamp arrays; the step chaining
+    is pure array algebra on the grouped row (min of the filtered
+    array, each filter bound to the previous step's min) — no
+    re-joining the event table per step, so the fact scans once and
+    shuffles once on user_id. Per-user arrays are activity-bounded,
+    not corpus-bounded."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.collect_list(F.when(F.col("event_type") == t, F.col("ts")))
+            .alias(f"__{t}")
+            for t in ("signup", "click", "purchase")
+        ]
+    )
+    t1 = F.array_min("__signup")
+    t2 = F.array_min(F.filter("__click", lambda c: c > t1))
+    t3 = F.array_min(F.filter("__purchase", lambda p: p > t2))
+    staged = per_user.select(
+        t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_click_after_signup"),
+        F.count("t3").alias("n_purchase_after_click"),
+        (F.count("t3").cast("double") / F.count("t1"))
+        .alias("full_funnel_rate"),
+    )
