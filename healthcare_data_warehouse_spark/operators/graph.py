@@ -91,3 +91,56 @@ def dedup_cluster_assignments(pairs: DataFrame, id_a: str = "id_a",
             "cluster_size",
         )
     )
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, n_iter: int = 10) -> DataFrame:
+    """Distributed PageRank by power iteration over an edge list —
+    centrality for link/similarity graphs (a duplicate-cluster's most
+    central doc, a domain's authority in a crawl). Fixed iteration
+    count keeps the result deterministic-shaped (no convergence
+    tie-breaking); lineage truncates per round like the
+    connected-components loop so plan depth stays constant.
+
+    Per round: contributions = rank/out_degree exploded along edges,
+    one groupBy(dst) shuffle, then the damping blend. Dangling nodes
+    (no out-edges) redistribute uniformly — their mass is a 1-row
+    aggregate broadcast, not a per-node join. Ranks normalize to sum
+    = node count (the classic formulation: initial rank 1.0 each)."""
+    sym_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = sym_nodes.count()
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg"))
+    ranks = sym_nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(n_iter):
+        with_deg = ranks.join(out_deg, "node", "left")
+        # dangling mass: ranks of nodes with no out-edges, one scalar
+        dangling = (
+            with_deg.filter(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        )
+        contrib = (
+            edges.join(
+                with_deg.filter(F.col("out_deg").isNotNull())
+                .select("node", (F.col("rank") / F.col("out_deg")).alias("__c")),
+                edges[src] == F.col("node"))
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            sym_nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))  # 1-row scalar: bounded
+            .select(
+                "node",
+                (F.lit(1.0 - damping)
+                 + damping * (F.coalesce(F.col("__in"), F.lit(0.0))
+                              + F.col("__dm") / n_nodes)).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

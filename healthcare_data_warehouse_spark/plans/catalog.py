@@ -6350,3 +6350,31 @@ def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("t3").cast("double") / F.count("t1"))
         .alias("full_funnel_rate"),
     )
+
+
+@query("graph_pagerank")  # float-sum order across partitions — rows-only + replica pytest
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the embedding nearest-neighbor graph
+    (operators/graph.py pagerank, 10 fixed power iterations): which
+    vectors sit at the center of their similarity neighborhood — the
+    canonical-representative signal near-dup cluster keep-policies use
+    beyond plain min-id. Edges are the same per-label top-1 NN pairs
+    embedding_nn_clusters builds; ranks are rows-only certified (the
+    in-neighbor sums are float-order-dependent across partitions) with
+    a numpy power-iteration replica pytest pinning values to 1e-9."""
+    from ..operators.graph import pagerank
+    from ..operators.similarity import dot, norm
+    from ..operators.skew import blocked_pair_join
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("__norm"))
+    pairs = blocked_pair_join(e, "label", "vec_id", payload=["embedding", "__norm"])
+    sim = (dot(F.col("embedding_a"), F.col("embedding_b"))
+           / (F.col("__norm_a") * F.col("__norm_b"))).alias("s")
+    half = pairs.select("id_a", "id_b", sim)
+    sym = half.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "s").union(
+        half.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "s"))
+    w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
+    nn = (sym.withColumn("__rn", F.row_number().over(w))
+          .filter(F.col("__rn") == 1).select("src", "dst"))
+    return pagerank(nn).orderBy(F.desc("rank"), F.asc("node")).limit(50)
