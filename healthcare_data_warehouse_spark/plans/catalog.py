@@ -6378,3 +6378,57 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = (sym.withColumn("__rn", F.row_number().over(w))
           .filter(F.col("__rn") == 1).select("src", "dst"))
     return pagerank(nn).orderBy(F.desc("rank"), F.asc("node")).limit(50)
+
+
+@query("ml_patient_segments")  # KMeans assignments — rows-only + stable pytest
+def ml_patient_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM-style patient segmentation: per patient recency (days since
+    last visit), frequency (visit count), monetary (decimal-exact total
+    cost) → standardized → MLlib KMeans(4, fixed seed) → per-segment
+    profile (size + feature means). The feature build is one grouped
+    pass over the fact; fit/transform is the X4 sklearn→MLlib surface
+    (reference ml_pipeline.py's clustering analog); output is the
+    4-row segment profile, not per-patient labels (cluster ids aren't
+    stable across engines — profiles are the meaningful contract)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    from ..config import AS_OF_DATE
+
+    o = _t(spark, sf_dir, "orders")
+    feats = (
+        o.groupBy(F.col("o_custkey").alias("patient"))
+        .agg(
+            F.datediff(F.lit(AS_OF_DATE).cast("date"),
+                       F.max(F.col("o_orderdate").cast("date")))
+            .cast("double").alias("recency_days"),
+            F.count(F.lit(1)).cast("double").alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+    )
+    if feats.isEmpty():  # backfill edge: KMeans refuses empty input
+        return feats.select(
+            F.lit(0).alias("segment"),
+            F.lit(0).cast("bigint").alias("n_patients"),
+            F.lit(0.0).alias("avg_recency"),
+            F.lit(0.0).alias("avg_frequency"),
+            F.lit(0.0).alias("avg_monetary"),
+        ).limit(0)
+    va = VectorAssembler(
+        inputCols=["recency_days", "frequency", "monetary"],
+        outputCol="__raw")
+    sc = StandardScaler(inputCol="__raw", outputCol="__feat",
+                        withMean=True, withStd=True)
+    assembled = va.transform(feats)
+    scaled = sc.fit(assembled).transform(assembled)
+    km = KMeans(k=4, seed=42, featuresCol="__feat", predictionCol="segment")
+    labeled = km.fit(scaled).transform(scaled)
+    return (
+        labeled.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_patients"),
+            F.avg("recency_days").alias("avg_recency"),
+            F.avg("frequency").alias("avg_frequency"),
+            F.avg("monetary").alias("avg_monetary"),
+        )
+    )

@@ -119,3 +119,14 @@ def test_kpi_block_single_fact_scan(spark):
     assert plan.count("orders.parquet") == 1
     row = df.collect()[0]
     assert row["total_visits"] > 0 and row["total_patients"] > 0
+
+
+def test_patient_segments_shape_and_coverage(spark):
+    import __spark_entry__ as entrymod
+    from conftest import SF_SMOKE
+
+    rows = entrymod.queries()["ml_patient_segments"](spark, SF_SMOKE).collect()
+    assert 1 <= len(rows) <= 4                      # k=4, some may be empty
+    assert sum(r["n_patients"] for r in rows) > 0   # every patient assigned
+    for r in rows:
+        assert r["avg_frequency"] >= 1.0
