@@ -6432,3 +6432,114 @@ def ml_patient_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("monetary").alias("avg_monetary"),
         )
     )
+
+
+@query("ml_model_eval")  # MLlib RNG in fit/split — rows-only + threshold pytest
+def ml_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout evaluation of the readmission classifier: deterministic
+    md5-hash split (80/20 — the same no-RNG split split_train_val_test
+    uses, so train/test membership is content-addressed and
+    reproducible), fit on train, score test, report AUC + accuracy +
+    base rate in one row. The reference prints sklearn accuracy after
+    train_test_split (ml_pipeline.py); this is that contract with the
+    split made replayable. Rows-only: tree induction order isn't
+    oracle-replayable."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    from ..ml.pipeline import build_features, train_readmission_model
+
+    feats = build_features(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 2),
+                    16, 10).cast("int")
+    train = feats.filter(bucket < 205)   # ~80% of 0..255
+    test = feats.filter(bucket >= 205)
+    model, assembler, _ = train_readmission_model(train)
+    scored = model.transform(assembler.transform(test))
+    auc = BinaryClassificationEvaluator(
+        labelCol="readmitted_30d", rawPredictionCol="rawPrediction",
+        metricName="areaUnderROC").evaluate(scored)
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.avg((F.col("prediction") == F.col("readmitted_30d")).cast("double"))
+        .alias("accuracy"),
+        F.avg(F.col("readmitted_30d").cast("double")).alias("base_rate"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(int(agg["n_test"]), float(auc), float(agg["accuracy"]),
+          float(agg["base_rate"]))],
+        "n_test bigint, auc double, accuracy double, base_rate double")
+
+
+@query(
+    "seasonality_index",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(month(o_orderdate) AS INTEGER) AS mth,
+               {_osum('o_totalprice')} AS rev,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY mth),
+    t AS (SELECT {_osum('o_totalprice')} AS tot,
+                 CAST(count(*) AS BIGINT) AS total_n FROM orders)
+    SELECT mth, rev, n,
+           (rev / n) / (tot / total_n) AS seasonal_index
+    FROM m, t
+    """,
+)
+def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality: each calendar month's average visit
+    cost relative to the overall average (index > 1 = expensive
+    season). Two tiny aggregates — the 12-row month rollup and the
+    1-row corpus total (bounded broadcast) — over ONE fact scan
+    pattern; the index is a ratio of two decimal-exact averages, each
+    a single double division, so parity is bitwise."""
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.month("o_orderdate").alias("mth"))
+        .agg(dsum("o_totalprice").alias("rev"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    t = o.agg(dsum("o_totalprice").alias("tot"),
+              F.count(F.lit(1)).alias("total_n"))
+    return (
+        m.crossJoin(F.broadcast(t))  # 1-row scalar: bounded
+        .select(
+            "mth", "rev", "n",
+            ((F.col("rev") / F.col("n")) / (F.col("tot") / F.col("total_n")))
+            .alias("seasonal_index"),
+        )
+    )
+
+
+@query(
+    "mom_growth",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               {_osum('o_totalprice')} AS rev
+        FROM orders GROUP BY month)
+    SELECT month, rev,
+           lag(rev) OVER (ORDER BY month) AS prev_rev,
+           (rev - lag(rev) OVER (ORDER BY month))
+               / lag(rev) OVER (ORDER BY month) AS mom_growth
+    FROM m
+    """,
+)
+def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: LAG over the monthly rollup.
+    The global (unpartitioned) window is safe forever because its
+    input is the ALREADY-AGGREGATED month series — tens of rows per
+    decade, never raw data (the same already-aggregated-window rule
+    window_pct_of_total documents). Growth = (rev − prev) / prev in
+    raw doubles on decimal-exact monthly sums — bit-reproducible."""
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate"))
+                  .cast("timestamp_ntz").alias("month"))
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy("month")  # input is the aggregated month series: tiny
+    prev = F.lag("rev").over(w)
+    return m.select(
+        "month", "rev", prev.alias("prev_rev"),
+        ((F.col("rev") - prev) / prev).alias("mom_growth"),
+    )

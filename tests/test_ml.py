@@ -130,3 +130,14 @@ def test_patient_segments_shape_and_coverage(spark):
     assert sum(r["n_patients"] for r in rows) > 0   # every patient assigned
     for r in rows:
         assert r["avg_frequency"] >= 1.0
+
+
+def test_model_eval_reports_sane_metrics(spark):
+    import __spark_entry__ as entrymod
+    from conftest import SF_SMOKE
+
+    row = entrymod.queries()["ml_model_eval"](spark, SF_SMOKE).collect()[0]
+    assert row["n_test"] > 0
+    assert 0.0 <= row["auc"] <= 1.0
+    assert 0.0 <= row["accuracy"] <= 1.0
+    assert 0.0 <= row["base_rate"] <= 1.0
