@@ -6543,3 +6543,132 @@ def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month", "rev", prev.alias("prev_rev"),
         ((F.col("rev") - prev) / prev).alias("mom_growth"),
     )
+
+
+@query(
+    "ab_test_welch",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n,
+               {_osum('o_totalprice')} AS s,
+               {_osum('o_totalprice * o_totalprice')} AS sq
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        GROUP BY segment),
+    m AS (
+        SELECT segment, n, s / n AS mean,
+               (sq - s * s / n) / (n - 1) AS var
+        FROM g),
+    ab AS (
+        SELECT a.n AS n_a, a.mean AS mean_a, a.var AS var_a,
+               b.n AS n_b, b.mean AS mean_b, b.var AS var_b
+        FROM m a JOIN m b
+          ON a.segment = 'BUILDING' AND b.segment = 'AUTOMOBILE')
+    SELECT n_a, n_b, mean_a, mean_b,
+           floor(((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b))
+                 * 1000000 + 0.5) / 1000000 AS t_stat,
+           floor((((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b))
+               / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                  + (var_b / n_b) * (var_b / n_b) / (n_b - 1)))
+                 * 1000000 + 0.5) / 1000000 AS welch_df
+    FROM ab
+    """,
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two cohorts (is BUILDING
+    spend different from AUTOMOBILE spend?) — the A/B-testing primitive,
+    computed exactly: per-group (n, Σx, Σx²) in ONE decimal-exact
+    grouped pass (the only fact-scale work), then means, sample
+    variances, the t statistic, and the Welch–Satterthwaite degrees of
+    freedom as pure scalar algebra on the 2-row aggregate (sqrt is
+    IEEE-correctly-rounded everywhere, unlike ln/pow — why BM25 is
+    rows-only and this is not); the composed statistics round to 6
+    decimals via the floor trick to neutralize FMA contraction."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+    ).select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    g = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("s"),
+            dsum(F.col("o_totalprice") * F.col("o_totalprice")).alias("sq"),
+        )
+    )
+    m = g.select(
+        "segment", "n",
+        (F.col("s") / F.col("n")).alias("mean"),
+        ((F.col("sq") - F.col("s") * F.col("s") / F.col("n"))
+         / (F.col("n") - 1)).alias("var"),
+    )
+    a = m.filter(F.col("segment") == "BUILDING").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"))
+    b = m.filter(F.col("segment") == "AUTOMOBILE").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"))
+    se_a = F.col("var_a") / F.col("n_a")
+    se_b = F.col("var_b") / F.col("n_b")
+    # round2(…, 6): the scalar algebra is individually-rounded IEEE ops
+    # on both engines, but DuckDB's expression compiler may contract
+    # multiply-adds (FMA), shifting the LAST ulp of the composed result
+    # — six decimals is far beyond any analytical use of t/df while
+    # making the hash immune to contraction differences.
+    return a.crossJoin(F.broadcast(b)).select(  # 1-row sides: bounded
+        "n_a", "n_b", "mean_a", "mean_b",
+        round2((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se_a + se_b), 6)
+        .alias("t_stat"),
+        round2(((se_a + se_b) * (se_a + se_b))
+               / (se_a * se_a / (F.col("n_a") - 1)
+                  + se_b * se_b / (F.col("n_b") - 1)), 6).alias("welch_df"),
+    )
+
+
+@query(
+    "ri_violations",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk,
+           CAST(count(*) AS BIGINT) AS n_orphans
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+    ORDER BY fk
+    """,
+)
+def ri_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphaned foreign keys per
+    relationship, the load-validation report every warehouse runs after
+    ingest (the reference trusts Postgres FK constraints; a lakehouse
+    must CHECK). Each relationship is a LEFT ANTI join counted — the
+    dimension side deduplicates inside the join build, nothing
+    collects driver-side — and the three 1-row results union into one
+    report. Keys are non-null in this schema, so NOT IN ≡ anti join
+    (no three-valued-logic trap)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+
+    def orphans(fact, key, dim, dim_key, label):
+        return (
+            fact.select(F.col(key))
+            .join(dim.select(F.col(dim_key).alias(key)), key, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionAll(orphans(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionAll(orphans(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier"))
+        .orderBy("fk")
+    )
