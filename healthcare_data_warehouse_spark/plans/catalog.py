@@ -6672,3 +6672,141 @@ def ri_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(orphans(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier"))
         .orderBy("fk")
     )
+
+
+@query(
+    "abc_classification",
+    oracle=f"""
+    WITH r AS (
+        SELECT c_nationkey, o_custkey,
+               {_osum('o_totalprice')} AS rev
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY c_nationkey, o_custkey),
+    w AS (
+        SELECT c_nationkey, rev,
+               CAST(sum(CAST(rev AS DECIMAL(18,4))) OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY rev DESC, o_custkey
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev,
+               CAST(sum(CAST(rev AS DECIMAL(18,4))) OVER (
+                   PARTITION BY c_nationkey) AS DOUBLE) AS tot_rev
+        FROM r),
+    cls AS (
+        SELECT c_nationkey,
+               CASE WHEN cum_rev * 1.25 <= tot_rev THEN 'A'
+                    WHEN cum_rev * 1.0526315789473684 <= tot_rev THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM w)
+    SELECT c_nationkey, abc_class,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM cls GROUP BY c_nationkey, abc_class
+    """,
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC segmentation per nation: customers sorted by revenue
+    contribution, classified by cumulative share (A ≲ 80%, B ≲ 95%,
+    C = tail). The cumulative window and the group total share ONE
+    nation-key shuffle; the share thresholds are phrased as
+    `cum × k ≤ total` with k = 1/0.8 and 1/0.95 — constant doubles, so
+    a single multiply and compare replaces a division whose rounding
+    could flip a boundary customer between engines. Per-customer
+    revenue aggregates in decimal before any windowing."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    r = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    wc = (Window.partitionBy("c_nationkey")
+          .orderBy(F.desc("rev"), F.asc("o_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy("c_nationkey")
+    w = r.select(
+        "c_nationkey",
+        F.sum(F.col("rev").cast("decimal(18,4)")).over(wc)
+        .cast("double").alias("cum_rev"),
+        F.sum(F.col("rev").cast("decimal(18,4)")).over(wt)
+        .cast("double").alias("tot_rev"),
+    )
+    cls = w.select(
+        "c_nationkey",
+        F.when(F.col("cum_rev") * 1.25 <= F.col("tot_rev"), "A")
+        .when(F.col("cum_rev") * 1.0526315789473684 <= F.col("tot_rev"), "B")
+        .otherwise("C").alias("abc_class"),
+    )
+    return cls.groupBy("c_nationkey", "abc_class").agg(
+        F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "market_basket_pairs",
+    oracle=f"""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey),
+    n_orders AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM ob),
+    brand_n AS (
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n_b FROM ob
+        GROUP BY p_brand),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY brand_a, brand_b)
+    SELECT brand_a, brand_b, n_ab,
+           (CAST(n_ab AS DOUBLE) * n)
+               / (CAST(na.n_b AS DOUBLE) * nb.n_b) AS lift
+    FROM pairs
+    JOIN brand_n na ON na.p_brand = brand_a
+    JOIN brand_n nb ON nb.p_brand = brand_b
+    CROSS JOIN n_orders
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 25
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift — which product brands are
+    bought together beyond chance (lift = P(ab) / P(a)P(b))? The pair
+    join is WITHIN-order (a.l_orderkey = b.l_orderkey), so each order
+    contributes at most lines²/2 pairs — bounded by basket size, never
+    corpus-quadratic (the same bounded-block rule as rare-feature
+    dedup). Distinct (order, brand) first shrinks multi-line brands to
+    one row before pairing; brand marginals and the order count are
+    bounded broadcasts; lift is one multiply/divide chain of exact
+    counts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand").distinct()
+    )
+    n_orders = ob.agg(F.countDistinct("l_orderkey").alias("n"))
+    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.p_brand") < F.col("b.p_brand")))
+        .groupBy(F.col("a.p_brand").alias("brand_a"),
+                 F.col("b.p_brand").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = brand_n.select(F.col("p_brand").alias("brand_a"),
+                        F.col("n_b").alias("n_a_cnt"))
+    nb = brand_n.select(F.col("p_brand").alias("brand_b"),
+                        F.col("n_b").alias("n_b_cnt"))
+    return (
+        pairs.join(F.broadcast(na), "brand_a")   # brand domain: bounded
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))        # 1 row: bounded
+        .select(
+            "brand_a", "brand_b", "n_ab",
+            ((F.col("n_ab").cast("double") * F.col("n"))
+             / (F.col("n_a_cnt").cast("double") * F.col("n_b_cnt")))
+            .alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(25)
+    )
