@@ -6810,3 +6810,118 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "brand_a", "brand_b")
         .limit(25)
     )
+
+
+@query(
+    "cohort_ltv",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT o_custkey,
+               min(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP))
+                   AS cohort_month
+        FROM orders GROUP BY o_custkey),
+    aged AS (
+        SELECT f.cohort_month,
+               CAST(date_diff('month', f.cohort_month,
+                    CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP))
+                    AS INTEGER) AS age_months,
+               o.o_totalprice
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey),
+    m AS (
+        SELECT cohort_month, age_months,
+               {_osum('o_totalprice')} AS rev
+        FROM aged WHERE year(cohort_month) = 1995
+        GROUP BY cohort_month, age_months)
+    SELECT cohort_month, age_months, rev,
+           CAST(sum(CAST(rev AS DECIMAL(18,4))) OVER (
+               PARTITION BY cohort_month ORDER BY age_months
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_ltv
+    FROM m
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: patients grouped by first-visit
+    month (the 1995 cohorts), revenue accumulated by months-since-
+    acquisition — the curve a growth team reads LTV payback from. The
+    cohort assignment is one min-aggregate joined back (each patient's
+    cohort is needed on every order row — a join, not a window, so the
+    fact never re-sorts); the cumulative curve is a decimal window over
+    the ALREADY-AGGREGATED (cohort × age) matrix — bounded rows,
+    trivially safe. Month arithmetic stays NTZ on both engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice",
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("timestamp_ntz").alias("order_month"))
+    firsts = o.groupBy("o_custkey").agg(
+        F.min("order_month").alias("cohort_month"))
+    aged = (
+        o.join(firsts, "o_custkey")
+        .filter(F.year("cohort_month") == 1995)
+        .select(
+            "cohort_month",
+            (F.months_between("order_month", "cohort_month"))
+            .cast("int").alias("age_months"),
+            "o_totalprice",
+        )
+    )
+    m = aged.groupBy("cohort_month", "age_months").agg(
+        dsum("o_totalprice").alias("rev"))
+    w = (Window.partitionBy("cohort_month").orderBy("age_months")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return m.select(
+        "cohort_month", "age_months", "rev",
+        F.sum(F.col("rev").cast("decimal(18,4)")).over(w)
+        .cast("double").alias("cum_ltv"),
+    )
+
+
+@query(
+    "forecast_seasonal_naive",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mth,
+               {_osum('o_totalprice')} AS rev
+        FROM orders GROUP BY yr, mth),
+    j AS (
+        SELECT cur.yr, cur.mth, cur.rev, prev.rev AS forecast
+        FROM m cur JOIN m prev
+          ON prev.yr = cur.yr - 1 AND prev.mth = cur.mth)
+    SELECT yr,
+           CAST(count(*) AS BIGINT) AS n_months,
+           {_osum('abs(rev - forecast)')} / count(*) AS mae,
+           {_osum('abs(rev - forecast)')} / {_osum('abs(rev)')} AS wape
+    FROM j GROUP BY yr
+    """,
+)
+def forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (predict this month =
+    same month last year) — the baseline every forecasting system must
+    beat, with MAE and WAPE per evaluation year. The month series is a
+    tiny aggregate; the year-over-year self-join matches on (yr−1,
+    mth) — bounded rows, broadcastable forever; errors are exact
+    (|a−b| of decimal-exact sums, decimal-accumulated again for the
+    order-free division). A model registry would store these rows as
+    the champion-challenger gate."""
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.year("o_orderdate").alias("yr"),
+                  F.month("o_orderdate").alias("mth"))
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    cur, prev = m.alias("cur"), m.alias("prev")
+    j = cur.join(
+        prev,
+        (F.col("prev.yr") == F.col("cur.yr") - 1)
+        & (F.col("prev.mth") == F.col("cur.mth")),
+    ).select(
+        F.col("cur.yr").alias("yr"),
+        F.col("cur.rev").alias("rev"),
+        F.col("prev.rev").alias("forecast"),
+    )
+    err = F.abs(F.col("rev") - F.col("forecast"))
+    return j.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        (dsum(err) / F.count(F.lit(1))).alias("mae"),
+        (dsum(err) / dsum(F.abs(F.col("rev")))).alias("wape"),
+    )
