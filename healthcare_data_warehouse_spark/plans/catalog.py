@@ -6925,3 +6925,51 @@ def forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dsum(err) / F.count(F.lit(1))).alias("mae"),
         (dsum(err) / dsum(F.abs(F.col("rev")))).alias("wape"),
     )
+
+
+@query(
+    "user_streaks",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events),
+    isl AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+        FROM d),
+    streaks AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS streak_days,
+               min(day) AS streak_start
+        FROM isl GROUP BY user_id, grp)
+    SELECT user_id,
+           max(streak_days) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    ORDER BY longest_streak DESC, user_id
+    LIMIT 25
+    """,
+)
+def user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-active-day streak per user
+    (engagement analysis). The island id is the classic `day −
+    row_number()` trick — consecutive days share a constant difference,
+    so islands materialize with ONE user-partitioned window (no
+    self-join on day+1 chains, which re-joins per streak day). All
+    three stages (distinct, window, both aggregates) cluster on
+    user_id: one shuffle serves the entire query."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ev.select(
+        "user_id", "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("grp"))
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_days"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(F.max("streak_days").alias("longest_streak"),
+             F.count(F.lit(1)).alias("n_streaks"))
+        .orderBy(F.desc("longest_streak"), F.asc("user_id"))
+        .limit(25)
+    )
