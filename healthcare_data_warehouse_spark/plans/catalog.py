@@ -7035,3 +7035,97 @@ def embedding_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(share, [float(c) for c in v[:8]])],
         "explained_var_share double, components array<double>")
+
+
+@query(
+    "agg_retractable_merge",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           {_osum('o_totalprice')} AS sum_v
+    FROM orders WHERE o_orderkey % 10 <> 3
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_retractable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate maintenance UNDER DELETES: the materialized per-key
+    state (count, decimal sum over ALL orders) absorbs a retraction
+    delta (the rows with orderkey % 10 = 3, weighted −1) by monoid
+    merge — state + Σ(sign·x), Σ(sign) — and the result provably
+    equals re-aggregating the post-delete table (the oracle does
+    exactly that). Count and decimal-sum are abelian-group aggregates
+    (inverses exist), which is WHY a CDC delete feed can maintain them
+    without rescanning history; min/max are deliberately absent — they
+    are not retractable, and a design that pretends otherwise silently
+    serves stale extremes after a delete. Both the base state and the
+    delta are one partial-agg shuffle each, merged at state size."""
+    o = _t(spark, sf_dir, "orders")
+    base = (
+        o.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"))
+    )
+    deletes = (
+        o.filter(F.col("o_orderkey") % 10 == 3)
+        .groupBy("o_orderstatus")
+        .agg((-F.count(F.lit(1))).alias("n"),
+             (-F.sum(F.col("o_totalprice").cast("decimal(18,4)"))).alias("s"))
+    )
+    merged = (
+        base.unionAll(deletes)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .filter(F.col("n") > 0)
+    )
+    return merged.select(
+        "o_orderstatus", "n", F.col("s").cast("double").alias("sum_v"))
+
+
+@query(
+    "late_arrival_report",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, ts,
+               max(ts) OVER (PARTITION BY user_id
+                             ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS high_water
+        FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN high_water - ts > INTERVAL 2 HOUR
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           max(CASE WHEN high_water - ts > INTERVAL 2 HOUR
+                    THEN epoch_us(high_water - ts) END) AS worst_lag_us
+    FROM a GROUP BY user_id
+    HAVING sum(CASE WHEN high_water - ts > INTERVAL 2 HOUR
+                    THEN 1 ELSE 0 END) > 0
+    ORDER BY n_late DESC, user_id
+    """,
+)
+def late_arrival_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark observability: which users produce events that arrive
+    LATER than a 2-hour watermark would tolerate (arrival order =
+    event_id; an event is late when the user's running event-time
+    high-water mark is already >2h past it). This is the report that
+    justifies a watermark setting before data silently drops — per
+    user: event count, late count, worst lag in exact microseconds
+    (epoch_us arithmetic, no float time). One user-partitioned window
+    (running max reuses arrival order), then the rollup on the same
+    key — one shuffle total."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    a = ev.select(
+        "user_id", "ts", F.max("ts").over(w).alias("high_water"))
+    lag_us = (F.unix_micros(F.col("high_water").cast("timestamp"))
+              - F.unix_micros(F.col("ts").cast("timestamp")))
+    is_late = lag_us > 2 * 3600 * 1_000_000
+    return (
+        a.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(is_late, 1).otherwise(0)).alias("n_late"),
+            F.max(F.when(is_late, lag_us)).alias("worst_lag_us"),
+        )
+        .filter(F.col("n_late") > 0)
+        .orderBy(F.desc("n_late"), F.asc("user_id"))
+    )
