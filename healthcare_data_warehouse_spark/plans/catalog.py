@@ -7129,3 +7129,72 @@ def late_arrival_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_late") > 0)
         .orderBy(F.desc("n_late"), F.asc("user_id"))
     )
+
+
+@query(
+    "interval_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS s,
+               CAST(o_orderdate AS DATE) + 30 AS e
+        FROM orders),
+    m AS (
+        SELECT o_custkey, s, e,
+               max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prev_high
+        FROM iv),
+    isl AS (
+        SELECT o_custkey, s, e,
+               CAST(sum(CASE WHEN prev_high IS NULL OR s > prev_high
+                             THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY o_custkey ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        FROM m),
+    merged AS (
+        SELECT o_custkey, island, min(s) AS cov_start, max(e) AS cov_end
+        FROM isl GROUP BY o_custkey, island)
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_coverage_periods,
+           CAST(sum(date_diff('day', cov_start, cov_end)) AS BIGINT)
+               AS covered_days
+    FROM merged GROUP BY o_custkey
+    ORDER BY covered_days DESC, o_custkey
+    LIMIT 25
+    """,
+)
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval consolidation — each visit opens a 30-day
+    coverage window; overlapping windows merge into continuous coverage
+    periods (the episode-of-care construction, and the general 'merge
+    overlapping ranges' temporal op). A new period starts exactly when
+    an interval's start clears the running max of all PRIOR ends (the
+    1-preceding frame — the current row must not see its own end);
+    the island id is a running sum of those period-start flags. Two
+    windows and two aggregates, all clustered on the customer key: one
+    shuffle end to end, no interval self-joins."""
+    iv = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("e"))
+    wp = (Window.partitionBy("o_custkey").orderBy("s", "e")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wi = (Window.partitionBy("o_custkey").orderBy("s", "e")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    m = iv.select("o_custkey", "s", "e",
+                  F.max("e").over(wp).alias("prev_high"))
+    isl = m.select(
+        "o_custkey", "s", "e",
+        F.sum(
+            F.when(F.col("prev_high").isNull()
+                   | (F.col("s") > F.col("prev_high")), 1).otherwise(0)
+        ).over(wi).alias("island"))
+    merged = isl.groupBy("o_custkey", "island").agg(
+        F.min("s").alias("cov_start"), F.max("e").alias("cov_end"))
+    return (
+        merged.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_coverage_periods"),
+             F.sum(F.datediff("cov_end", "cov_start")).alias("covered_days"))
+        .orderBy(F.desc("covered_days"), F.asc("o_custkey"))
+        .limit(25)
+    )
