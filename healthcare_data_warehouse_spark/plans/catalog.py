@@ -7198,3 +7198,64 @@ def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("covered_days"), F.asc("o_custkey"))
         .limit(25)
     )
+
+
+@query(
+    "drift_chisq",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderpriority AS bucket, CAST(count(*) AS BIGINT) AS n_a
+        FROM orders WHERE year(o_orderdate) = 1995 GROUP BY bucket),
+    b AS (
+        SELECT o_orderpriority AS bucket, CAST(count(*) AS BIGINT) AS n_b
+        FROM orders WHERE year(o_orderdate) = 1997 GROUP BY bucket),
+    j AS (
+        SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+               COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+               (SELECT sum(n_a) FROM a) AS tot_a,
+               (SELECT sum(n_b) FROM b) AS tot_b
+        FROM a FULL OUTER JOIN b ON a.bucket = b.bucket)
+    SELECT bucket, n_a, n_b,
+           CAST(n_a AS DOUBLE) / tot_a AS p_ref,
+           CAST(n_b AS DOUBLE) / tot_b AS p_cur,
+           (CAST(n_b AS DOUBLE) / tot_b - CAST(n_a AS DOUBLE) / tot_a)
+               * (CAST(n_b AS DOUBLE) / tot_b - CAST(n_a AS DOUBLE) / tot_a)
+               / (CAST(n_a AS DOUBLE) / tot_a) AS chisq_contrib
+    FROM j
+    """,
+)
+def drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the diagnosis-priority mix of 1997
+    vs the 1995 reference, per-bucket chi-square contributions
+    ((p_cur − p_ref)² / p_ref) — the alert a feature store raises when
+    a categorical's distribution shifts. Chi-square, not PSI: PSI's
+    ln(p/q) term rides libm and would force rows-only certification,
+    while this statistic is pure subtract/multiply/divide — bitwise
+    oracle parity for free. Two bucket-rollups (bounded domain), their
+    totals as 1-row broadcasts, one full-outer merge on the bucket
+    key; new-in-current buckets surface with p_ref = 0 rather than
+    silently vanishing (the drift you most need to see)."""
+    o = _t(spark, sf_dir, "orders")
+    a = (o.filter(F.year("o_orderdate") == 1995)
+         .groupBy(F.col("o_orderpriority").alias("bucket"))
+         .agg(F.count(F.lit(1)).alias("n_a")))
+    b = (o.filter(F.year("o_orderdate") == 1997)
+         .groupBy(F.col("o_orderpriority").alias("bucket"))
+         .agg(F.count(F.lit(1)).alias("n_b")))
+    tot_a = a.agg(F.sum("n_a").alias("tot_a"))
+    tot_b = b.agg(F.sum("n_b").alias("tot_b"))
+    j = (
+        a.join(b, "bucket", "full_outer")
+        .select("bucket",
+                F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                F.coalesce("n_b", F.lit(0)).alias("n_b"))
+        .crossJoin(F.broadcast(tot_a))  # 1-row scalars: bounded
+        .crossJoin(F.broadcast(tot_b))
+    )
+    p_ref = F.col("n_a").cast("double") / F.col("tot_a")
+    p_cur = F.col("n_b").cast("double") / F.col("tot_b")
+    return j.select(
+        "bucket", "n_a", "n_b",
+        p_ref.alias("p_ref"), p_cur.alias("p_cur"),
+        ((p_cur - p_ref) * (p_cur - p_ref) / p_ref).alias("chisq_contrib"),
+    )
