@@ -7259,3 +7259,68 @@ def drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_ref.alias("p_ref"), p_cur.alias("p_cur"),
         ((p_cur - p_ref) * (p_cur - p_ref) / p_ref).alias("chisq_contrib"),
     )
+
+
+@query(
+    "bow_cosine_pairs",
+    oracle=r"""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS term
+              FROM documents WHERE doc_id % 7 = 0)
+        GROUP BY doc_id, term),
+    nrm AS (
+        SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS nrm
+        FROM tf GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(sum(a.tf * b.tf) AS DOUBLE) AS dot
+        FROM tf a JOIN tf b
+          ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY id_a, id_b)
+    SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS bow_cosine
+    FROM dots
+    JOIN nrm na ON na.doc_id = id_a
+    JOIN nrm nb ON nb.doc_id = id_b
+    """,
+)
+def bow_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse bag-of-words cosine similarity, RELATIONALLY: documents as
+    sparse tf vectors over the vocabulary, the dot product as a
+    term-key join + integer-sum (only co-occurring terms contribute —
+    exactly the sparsity a dense array formulation wastes), norms as
+    per-doc aggregates, cosine = dot/(‖a‖‖b‖) in exact arithmetic
+    (integer tf products, IEEE sqrt). This is how sparse similarity
+    actually scales: the shuffle key is the TERM, so cost follows
+    posting-list sizes, not vector dimensionality — the same
+    deterministic id-sample bounds the demo pair set as in
+    dedup_ngram_jaccard; production input is blocked candidates."""
+    from ..operators.skew import spread
+    from ..operators.text import tokens
+
+    d = spread(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0),
+        "doc_id")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nrm = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm"))
+    a, b = tf.alias("a"), tf.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"),
+                 F.col("b.doc_id").alias("id_b"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).cast("double").alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a").join(nb, "id_b")
+        .select("id_a", "id_b",
+                (F.col("dot") / (F.col("na") * F.col("nb")))
+                .alias("bow_cosine"))
+    )
