@@ -7324,3 +7324,52 @@ def bow_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("dot") / (F.col("na") * F.col("nb")))
                 .alias("bow_cosine"))
     )
+
+
+@query(
+    "engagement_decay_score",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, value,
+               CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-06-30')
+                    // 30 AS INTEGER) AS k
+        FROM events)
+    SELECT user_id,
+           CAST(sum(CAST(value / CAST(1 << least(k, 62) AS DOUBLE)
+                         AS DECIMAL(24,12))) AS DOUBLE) AS decay_score,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM e GROUP BY user_id
+    ORDER BY decay_score DESC, user_id
+    LIMIT 25
+    """,
+)
+def engagement_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement score: each event's value halves for
+    every 30 days of age (Σ value · 2^(−age/30)) — the churn-risk /
+    engagement ranking every growth stack computes. The decay is a
+    DIVISION BY A POWER OF TWO (1 << k), which IEEE doubles perform
+    exactly — where the textbook exp(−λt) rides libm and would force
+    rows-only certification, halving buckets keep the score
+    hash-matched bit for bit (terms round to DECIMAL(24,12) before the
+    order-free sum, the dsum discipline). One grouped pass; the shift
+    caps at 62 so ancient events underflow gracefully instead of
+    overflowing the shift."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.least(
+        (F.datediff(F.lit("2024-06-30").cast("date"),
+                    F.col("ts").cast("date")) / 30).cast("int"),
+        F.lit(62))
+    ev = ev.select("user_id", "value", k.alias("__k"))
+    # expr(): the Python shiftleft wrapper takes only literal shift
+    # amounts; the SQL function accepts a column
+    term = F.col("value") / F.expr("cast(shiftleft(1L, __k) as double)")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(term.cast("decimal(24,12)")).cast("double")
+            .alias("decay_score"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("decay_score"), F.asc("user_id"))
+        .limit(25)
+    )
