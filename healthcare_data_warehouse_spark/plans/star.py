@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import AS_OF_DATE
-from ..functions.expressions import anonymize, balance_bucket, valid_record, with_privacy_noise
+from ..functions.expressions import anonymize, balance_bucket, valid_record, with_privacy_noise_hash
 from ..operators.keys import add_dense_key
 from ..sources.loaders import load_table
 
@@ -139,7 +139,7 @@ def fact_orders(spark: SparkSession, sf_dir: str | None = None,
     fact = (
         o.join(ckeys, o["o_custkey"] == ckeys["c_custkey"], "inner")
         .drop("c_custkey")
-        .withColumn("cost_with_privacy", with_privacy_noise("o_totalprice"))
+        .withColumn("cost_with_privacy", with_privacy_noise_hash("o_totalprice", "o_orderkey"))
         .withColumn("order_year", F.year("o_orderdate"))
     )
     return add_dense_key(fact, ["o_orderdate", "o_orderkey"], key_col="order_key")

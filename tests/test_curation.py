@@ -261,3 +261,19 @@ def test_weighted_sample_prefers_heavy_docs_and_is_deterministic(spark):
     mean_all = d.agg(F.avg("n_chars")).first()[0]
     mean_smp = s1.agg(F.avg("n_chars")).first()[0]
     assert mean_smp > mean_all
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    # A-ES is undefined for w <= 0: w=0 would NULL the priority (row sorts
+    # last, silently) and w<0 would give u^(1/w) >= 1, outranking every
+    # honest row. The operator must fail loudly instead.
+    import pytest
+
+    from healthcare_data_warehouse_spark.operators.curation import weighted_sample
+
+    for bad in (0.0, -3.5, None):
+        df = spark.createDataFrame(
+            [("a", "g", 2.0), ("b", "g", bad)],
+            "doc_id string, lang string, w double")
+        with pytest.raises(Exception, match="must be > 0"):
+            weighted_sample(df, "w", n_per_group=5, group_col="lang").collect()

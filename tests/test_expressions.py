@@ -13,7 +13,10 @@ from healthcare_data_warehouse_spark.functions.expressions import (
     age_bucket,
     age_years,
     anonymize,
+    hash_uniform,
     laplace_noise,
+    laplace_noise_hash,
+    olaplace_noise,
     round2,
     visit_cohort,
     with_privacy_noise,
@@ -73,6 +76,60 @@ def test_laplace_noise_statistics(spark):
     ).collect()[0]
     assert abs(stats["mean_abs"] - 10.0) < 1.0
     assert abs(stats["mean"]) < 1.0
+
+
+def test_laplace_noise_hash_statistics(spark):
+    # Same Laplace(0, b=10) contract as the rand-seeded variant, but the
+    # uniform comes from md5 bits, so values are a pure function of the key.
+    n = 20000
+    df = spark.range(n).select(laplace_noise_hash("id", epsilon=0.1, sensitivity=1.0).alias("x"))
+    stats = df.agg(
+        F.avg(F.abs(F.col("x"))).alias("mean_abs"), F.avg("x").alias("mean")
+    ).collect()[0]
+    assert abs(stats["mean_abs"] - 10.0) < 1.0
+    assert abs(stats["mean"]) < 1.0
+
+
+def test_laplace_noise_hash_partition_invariant(spark):
+    # Keyed noise must not depend on partitioning — the property F.rand(seed)
+    # lacks and the reason the hash variant is oracle-checkable.
+    a = spark.range(1000).repartition(1).select("id", laplace_noise_hash("id").alias("x"))
+    b = spark.range(1000).repartition(13).select("id", laplace_noise_hash("id").alias("x"))
+    ma = {r["id"]: r["x"] for r in a.collect()}
+    mb = {r["id"]: r["x"] for r in b.collect()}
+    assert ma == mb
+
+
+def test_laplace_noise_hash_matches_duckdb(spark):
+    # Oracle-parity contract: the md5-derived uniform is bit-identical across
+    # engines; ln() may differ by a few ulps (~1e-13 abs at scale=10), so the
+    # hash-green catalog queries round to 2dp first. Assert both halves:
+    # raw values agree to well under the rounding grain, and the rounded
+    # values (what the driver hashes) agree exactly.
+    import duckdb
+
+    keys = list(range(500))
+    df = spark.createDataFrame([(k,) for k in keys], ["k"]).select(
+        "k", laplace_noise_hash("k").alias("x"), round2(laplace_noise_hash("k")).alias("r")
+    )
+    got = {r["k"]: (r["x"], r["r"]) for r in df.collect()}
+    con = duckdb.connect()
+    frag = olaplace_noise("k")
+    want = {
+        k: (x, r)
+        for k, x, r in con.execute(
+            f"SELECT k, {frag} AS x, floor(({frag}) * 100 + 0.5) / 100 AS r"
+            " FROM (SELECT unnest(range(500)) AS k)"
+        ).fetchall()
+    }
+    assert all(abs(got[k][0] - want[k][0]) < 1e-9 for k in got)
+    assert all(got[k][1] == want[k][1] for k in got)
+
+
+def test_hash_uniform_in_open_unit_interval(spark):
+    df = spark.range(20000).select(hash_uniform("id").alias("u"))
+    row = df.agg(F.min("u").alias("lo"), F.max("u").alias("hi")).collect()[0]
+    assert 0.0 < row["lo"] and row["hi"] < 1.0
 
 
 def test_privacy_noise_clamped_nonnegative(spark):

@@ -97,7 +97,10 @@ def test_bm25_matches_numpy_replica(spark):
         f"SELECT doc_id, trim(text) AS t FROM "
         f"read_parquet('{SF_SMOKE}/documents.parquet')").fetchall()
     terms, k1, b = ["join", "hash"], 1.2, 0.75
-    docs = {i: re.split(r"\s+", t) if t else [] for i, t in rows}
+    # Mirror the plan's tokens() exactly: splitting an empty/whitespace-only
+    # text yields [''] (dl=1), not [] — avgdl must agree with the plan even
+    # if the corpus ever gains an empty document.
+    docs = {i: re.split(r"\s+", t) for i, t in rows}
     n = len(docs)
     avgdl = sum(len(v) for v in docs.values()) / n
     tf = {i: Counter(w for w in v if w in terms) for i, v in docs.items()}
