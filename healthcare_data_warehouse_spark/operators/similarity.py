@@ -286,3 +286,109 @@ def pq_topk(df: DataFrame, query_vec_id: int, k: int = 10, m: int = 8,
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pq_build_index(df: DataFrame, index_dir: str, m: int = 8,
+                   codebook_k: int = 16, vec_col: str = "embedding",
+                   id_col: str = "vec_id", seed: int = 42) -> list[list[list[float]]]:
+    """Ingest-time PQ index build — the 100 TB shape the per-call
+    ``pq_topk`` only approximates (mirrors ``ivf_build_index``): train the
+    m per-subspace KMeans codebooks ONCE over the corpus, assign every
+    vector its m-byte code, and materialize the table with the code as an
+    ``array<int>`` column. Only the codebooks (m × codebook_k × dim/m
+    doubles — driver-tiny at any corpus size) persist off-table as JSON.
+
+    Query time then does zero training and zero per-row vector math until
+    the final exact re-rank of ``refine`` candidates — see
+    ``pq_topk_indexed``. The O(corpus) quantizer work happens once per
+    ingest, not per query.
+    """
+    import json
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(df.select(vec_col).first()[0])
+    sub = dim // m
+    assert sub * m == dim, f"dim {dim} not divisible by m={m}"
+
+    normed = df.withColumn(
+        "__nv",
+        F.transform(F.col(vec_col),
+                    lambda x: x.cast("double") / norm(F.col(vec_col))),
+    )
+    assigned = normed
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sl = F.slice(F.col("__nv"), j * sub + 1, sub)
+        assigned = assigned.withColumn(f"__s{j}", array_to_vector(sl))
+        km = KMeans(k=codebook_k, seed=seed + j, featuresCol=f"__s{j}",
+                    predictionCol=f"__c{j}")
+        model = km.fit(assigned)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+        assigned = model.transform(assigned).drop(f"__s{j}")
+
+    coded = assigned.withColumn(
+        "pq_code", F.array(*[F.col(f"__c{j}") for j in range(m)])
+    ).drop("__nv", *[f"__c{j}" for j in range(m)])
+
+    os.makedirs(index_dir, exist_ok=True)
+    coded.write.mode("overwrite").parquet(os.path.join(index_dir, "vectors"))
+    with open(os.path.join(index_dir, "codebooks.json"), "w") as f:
+        json.dump(books, f)
+    return books
+
+
+def pq_adc_tables(books: list[list[list[float]]], query_vec) -> list[list[float]]:
+    """Driver-side ADC lookup tables: exact squared-L2 from each normalized
+    query subvector to every centroid of its subspace codebook — m×k
+    doubles, baked into the query plan as literals."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    m = len(books)
+    sub = len(books[0][0])
+    tables = []
+    for j, book in enumerate(books):
+        qs = q[j * sub:(j + 1) * sub]
+        tables.append([float(np.sum((qs - np.asarray(c)) ** 2)) for c in book])
+    assert m * sub == len(q)
+    return tables
+
+
+def pq_topk_indexed(spark, index_dir: str, query_vec, k: int = 10,
+                    refine: int = 50, vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    exclude_id: int | None = None) -> DataFrame:
+    """Query a materialized PQ index (mirrors ``ivf_topk_indexed``): load
+    the stored codebooks, build the query's m×k ADC table driver-side, and
+    score candidates as m array lookups summed over the STORED
+    ``pq_code`` column — no KMeans fit, no per-row float vector math, one
+    scan. The best ``refine`` candidates get exact cosine re-ranked."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "codebooks.json")) as f:
+        books = json.load(f)
+    tables = pq_adc_tables(books, query_vec)
+
+    approx = F.lit(0.0)
+    for j, tbl in enumerate(tables):
+        lit_tbl = F.array(*[F.lit(v) for v in tbl])
+        approx = approx + F.element_at(lit_tbl, F.element_at("pq_code", j + 1) + 1)
+
+    scan = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    if exclude_id is not None:
+        scan = scan.filter(F.col(id_col) != exclude_id)
+    cand = (
+        scan.select(id_col, "label", vec_col, approx.alias("__adc"))
+        .orderBy(F.asc("__adc"), F.asc(id_col))
+        .limit(refine)
+    )
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(id_col, "label",
+                    cosine(F.col(vec_col), qv).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -5483,14 +5483,30 @@ def returns_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_pq_topk")  # approximate (quantized codes) — rows-only
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k with exact re-rank — the
-    memory-bound ANN path: m-byte codes instead of full vectors, the
-    query's m×k distance table baked into the plan as literals, refine
-    by exact cosine. Codes are an ingest-time array<int> column at
-    scale (operators/similarity.py pq_topk docstring)."""
-    from ..operators.similarity import pq_topk
+    memory-bound ANN path, served the 100 TB way: the m per-subspace
+    codebooks train ONCE at ingest (index build, cached per sf_dir) and
+    the m-byte codes are a stored array<int> column; the query is the
+    stored-code ADC lookup (m element_at sums — no KMeans fit, no
+    per-row float vector math) + exact cosine re-rank of the refine
+    set. Train-per-call ``pq_topk`` remains the small-data convenience
+    path only."""
+    import hashlib
+    import os
+    import tempfile
 
-    return pq_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10,
-                   refine=100)
+    from ..operators.similarity import pq_build_index, pq_topk_indexed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if emb.isEmpty():  # backfill edge: nothing to index, nothing to probe
+        return emb.select(
+            "vec_id", "label", F.lit(0.0).alias("cosine_sim")).limit(0)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"hdw_pq_{tag}")
+    if not os.path.exists(os.path.join(index_dir, "codebooks.json")):
+        pq_build_index(emb, index_dir, m=8, codebook_k=16)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return pq_topk_indexed(spark, index_dir, qvec, k=10, refine=100,
+                           exclude_id=0)
 
 
 @query(

@@ -103,6 +103,55 @@ def test_pq_topk_exact_rerank_scores_and_recall(spark):
     assert recall >= 0.6
 
 
+def test_pq_indexed_matches_on_the_fly_and_trains_nothing_at_query(spark, tmp_path):
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        brute_force_topk,
+        pq_build_index,
+        pq_topk,
+        pq_topk_indexed,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index_dir = str(tmp_path / "pq")
+    books = pq_build_index(emb, index_dir, m=8, codebook_k=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+
+    # Stored codes round-trip: every vector got an m-length int code.
+    stored = spark.read.parquet(str(tmp_path / "pq" / "vectors"))
+    assert stored.filter(F.size("pq_code") != 8).count() == 0
+
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    indexed = pq_topk_indexed(spark, index_dir, qvec, k=10, refine=150,
+                              exclude_id=0)
+    got = indexed.collect()
+
+    # Same codebook seeds + same ADC rule → identical results to the
+    # train-per-call convenience path.
+    fly = pq_topk(emb, query_vec_id=0, k=10, refine=150).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in fly]
+
+    # Recall no worse than the per-call path (same quantizer → equal sets),
+    # and scores are exact cosines.
+    exact = brute_force_topk(emb, query_vec_id=0, k=10).collect()
+    exact_sims = {r["vec_id"]: r["cosine_sim"]
+                  for r in brute_force_topk(emb, query_vec_id=0, k=10**6).collect()}
+    for r in got:
+        assert abs(r["cosine_sim"] - exact_sims[r["vec_id"]]) < 1e-12
+    recall = len({r["vec_id"] for r in got} & {r["vec_id"] for r in exact}) / 10
+    recall_fly = len({r["vec_id"] for r in fly} & {r["vec_id"] for r in exact}) / 10
+    assert recall >= recall_fly >= 0.6
+
+    # The query path must train NOTHING: its plan is a scan of the
+    # materialized index (stored pq_code column) scored by element_at over
+    # plan-literal ADC tables — the KMeans fits all happened at build time.
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "element_at" in plan and "pq_code" in plan
+    # The scan reads the materialized index, not the corpus: pq_code only
+    # exists in the stored index table (paths are truncated in the plan
+    # string, so assert on the scanned schema instead).
+    assert "pq_code:array<int>" in plan
+
+
 def test_pq_topk_empty_and_missing_query(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq_
