@@ -205,6 +205,82 @@ def test_funnel_outer_stream_matches_batch_twin(spark):
     assert any(r[3] for r in s) and any(not r[3] for r in s)
 
 
+def test_interval_join_state_survives_checkpoint_restart(spark, tmp_path):
+    """Kill-and-resume for the STREAM-STREAM interval join: a click whose
+    purchase arrives only AFTER the restart must still pair — the join
+    state (buffered clicks awaiting matches) lives in the checkpoint and
+    must be recovered by the second query incarnation; and pairs emitted
+    by the first incarnation must not re-emit. This is the stateful
+    analog of test_checkpoint_restart_is_exactly_once (which pins the
+    stateless source-offset contract)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_events(name, rows):
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array([t0 + dt.timedelta(minutes=r[1]) for r in rows],
+                               type=pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+            }),
+            str(src / name))
+
+    def run_once():
+        ev = (spark.readStream
+              .schema("event_id long, ts timestamp_ntz, user_id long,"
+                      " event_type string")
+              .parquet(str(src))
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+        clicks = (ev.filter(F.col("event_type") == "click")
+                  .select("user_id", F.col("event_id").alias("click_id"),
+                          F.col("ts").alias("click_ts"))
+                  .withWatermark("click_ts", "2 hours"))
+        purchases = (ev.filter(F.col("event_type") == "purchase")
+                     .select(F.col("user_id").alias("p_user_id"),
+                             F.col("event_id").alias("purchase_id"),
+                             F.col("ts").alias("purchase_ts"))
+                     .withWatermark("purchase_ts", "2 hours"))
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+        ).select("user_id", "click_id", "purchase_id")
+        q = (joined.writeStream.format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(ckpt))
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+
+    # Incarnation 1: user 1 converts immediately; user 2's click stays
+    # buffered in join state (no purchase yet).
+    write_events("a.parquet", [
+        (100, 0, 1, "click"), (200, 10, 1, "purchase"), (101, 5, 2, "click"),
+    ])
+    run_once()
+    # Incarnation 2 (fresh query object, same checkpoint): user 2's
+    # purchase arrives within the horizon — must join the RECOVERED click.
+    write_events("b.parquet", [(201, 20, 2, "purchase")])
+    run_once()
+
+    got = sorted(
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in spark.read.parquet(str(out)).collect())
+    assert got == [(1, 100, 200), (2, 101, 201)]  # no losses, no re-emits
+
+
 def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     """Kill-and-resume semantics: a file-source stream with a checkpoint
     processes each input file exactly once across TWO separate query
