@@ -1,0 +1,118 @@
+"""Scale-up fixture generator: replicate an sf dir K× with key offsets.
+
+The driver fixtures stop at sf0.1 (~600k lineitem). Scale-posture claims
+("AQE flips join_3way broadcast→shuffle", "nothing degrades
+super-linearly") deserve one order of magnitude of real data, so this
+tool builds sfN = K stacked copies of a source dir with every key column
+offset per copy — FK consistency holds within each copy, so join
+cardinalities scale exactly linearly and aggregate distributions are
+preserved. Correctness comparisons stay valid because the oracle gate
+compares Spark vs DuckDB over the SAME files, whatever their content.
+
+pyarrow end-to-end: preserves the exact physical schemas, including the
+events table's nanosecond INT64 timestamps that Spark's batch reader
+needs nanosAsLong for (writing through Spark would silently rewrite them
+as micros and un-test the nanos pin).
+
+Usage:
+    python tools/make_scale_data.py [src_dir] [dest_dir] [k]
+Defaults: /root/testdata/sf0.1 -> <repo>/.testdata/sf1, k=10.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Key columns to offset per copy, per table. Offsets use (1 + max(key))
+# of the source so copies never collide; shared dimensions (region,
+# nation) and FK columns into them (c_nationkey, s_nationkey) are left
+# alone — 10× the customers over the same 25 nations is exactly how the
+# real schema scales.
+KEYED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_AS_IS = ["region", "nation"]
+
+# FK domains must share one offset so references stay aligned across
+# tables (orders.o_custkey must land on a copied customer.c_custkey).
+DOMAIN_OF = {
+    "c_custkey": "custkey", "o_custkey": "custkey", "user_id": "custkey",
+    "s_suppkey": "suppkey", "l_suppkey": "suppkey",
+    "p_partkey": "partkey", "l_partkey": "partkey",
+    "o_orderkey": "orderkey", "l_orderkey": "orderkey",
+    "event_id": "eventkey",
+    "doc_id": "dockey",
+    "vec_id": "veckey",
+}
+
+
+def _domain_offsets(src: str) -> dict[str, int]:
+    """1 + max(key) per FK domain, from the table that owns the domain."""
+    owners = {
+        "custkey": ("customer", "c_custkey"),
+        "suppkey": ("supplier", "s_suppkey"),
+        "partkey": ("part", "p_partkey"),
+        "orderkey": ("orders", "o_orderkey"),
+        "eventkey": ("events", "event_id"),
+        "dockey": ("documents", "doc_id"),
+        "veckey": ("embeddings", "vec_id"),
+    }
+    out = {}
+    for dom, (tbl, col) in owners.items():
+        path = os.path.join(src, f"{tbl}.parquet")
+        t = pq.read_table(path, columns=[col])
+        out[dom] = int(pc.max(t.column(col)).as_py()) + 1
+    return out
+
+
+def scale_table(src: str, dest: str, name: str, k: int,
+                offsets: dict[str, int]) -> int:
+    t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+    pieces = [t]
+    for i in range(1, k):
+        cols = []
+        for field in t.schema:
+            col = t.column(field.name)
+            if field.name in KEYED.get(name, []):
+                off = i * offsets[DOMAIN_OF[field.name]]
+                col = pc.add(col, pa.scalar(off, type=field.type))
+            cols.append(col)
+        pieces.append(pa.table(dict(zip(t.schema.names, cols)), schema=t.schema))
+    big = pa.concat_tables(pieces)
+    pq.write_table(big, os.path.join(dest, f"{name}.parquet"))
+    return big.num_rows
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dest = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        REPO, ".testdata", "sf1")
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dest, exist_ok=True)
+    for name in COPY_AS_IS:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        pq.write_table(t, os.path.join(dest, f"{name}.parquet"))
+        print(f"{name}: {t.num_rows} rows (copied)")
+    offsets = _domain_offsets(src)
+    for name in KEYED:
+        n = scale_table(src, dest, name, k, offsets)
+        print(f"{name}: {n} rows (x{k})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
