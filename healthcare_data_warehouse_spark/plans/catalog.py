@@ -2361,6 +2361,42 @@ def stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_fanout_totals",
+    oracle="""
+    SELECT user_id, event_type,
+           count(*) AS total_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_fanout_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-shaped multi-sink fan-out, certified end-to-end: ONE
+    checkpointed drain of the event stream feeds three sinks (raw
+    archive, mergeable aggregate partials, alert route — each an
+    idempotent per-batch partition overwrite, streaming/fanout.py), and
+    the serving view merges the per-batch partials back into
+    per-(user, event_type) totals. Totals accumulate in DECIMAL(18,4)
+    (sums of sums — the mergeable-aggregate discipline), so the result
+    is independent of micro-batch boundaries and hash-matches the
+    oracle's one-shot batch aggregate — the stream≡batch contract,
+    driver-checked. The fan-out dest is per-(sf_dir, pid) so concurrent
+    harness processes never share a checkpoint."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..streaming.fanout import read_user_totals, run_event_fanout
+    from ..streaming.pipelines import EVENT_SCHEMA
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(),
+                        f"hdw_fanout_{tag}_{os.getpid()}")
+    run_event_fanout(spark, sf_dir, dest, os.path.join(dest, "_ckpt"),
+                     EVENT_SCHEMA, path_glob="events.parquet")
+    return read_user_totals(spark, dest)
+
+
+@query(
     "text_token_stats",
     oracle=r"""
     WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
