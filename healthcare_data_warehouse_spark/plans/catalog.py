@@ -3891,6 +3891,54 @@ def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @query(
+    "quality_repetition_ratio",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+    tg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 2),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' '
+                                          || toks[i+2])) AS gram
+        FROM t WHERE len(toks) >= 3),
+    c AS (SELECT doc_id, gram, count(*) AS n FROM tg GROUP BY doc_id, gram)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_trigrams,
+           CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS rep_ratio
+    FROM c GROUP BY doc_id
+    """,
+)
+def quality_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram repetition ratio per document — the Gopher-style
+    repetition filter (Rae et al. 2021 §A1.1: drop documents whose most
+    frequent n-gram covers too much of the text; boilerplate and
+    SEO-spam score near 1, prose near 1/n_trigrams).
+
+    Plan: one corpus explode collapsing immediately to (doc, gram)
+    counts — the only occurrence-level shuffle — then a doc-level
+    rollup of the (much smaller) distinct-gram rows. The ratio
+    max(n)/sum(n) is a single IEEE double division of two exact
+    integers, so the score is hash-matched bit for bit (no libm).
+    Documents with fewer than 3 tokens have no trigrams and are
+    excluded by construction on both sides (ngrams yields an empty
+    array; the oracle filters len >= 3)."""
+    from ..operators.skew import spread
+    from ..operators.text import ngrams
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    c = (
+        d.select("doc_id", F.explode(ngrams("text", 3)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.groupBy("doc_id").agg(
+        F.sum("n").alias("n_trigrams"),
+        (F.max("n").cast("double") / F.sum("n").cast("double")).alias("rep_ratio"),
+    )
+
+
+@query(
     "exists_semijoin",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment

@@ -35,27 +35,57 @@ GOLD_QUERIES = (
 )
 
 
+# Tables the gold card set reads repeatedly. Deliberately NOT lineitem:
+# shared-scan caching is for the relations every card re-reads and that
+# fit executor storage (dims + the order fact's projected columns); at
+# 100 TB you cache dimensions and let the biggest fact stream.
+GOLD_SHARED_TABLES = ("customer", "orders", "nation", "region", "events")
+
+
 def materialize_gold(spark: SparkSession, sf_dir: str, gold_dir: str,
-                     queries: tuple[str, ...] = GOLD_QUERIES) -> dict:
+                     queries: tuple[str, ...] = GOLD_QUERIES,
+                     shared_scan: bool = False,
+                     shared_tables: tuple[str, ...] = GOLD_SHARED_TABLES) -> dict:
     """Run each gold query and persist its (small) result as parquet.
-    Returns the manifest (also written to gold_dir/_manifest.json)."""
+    Returns the manifest (also written to gold_dir/_manifest.json).
+
+    ``shared_scan=True`` turns the refresh into a multi-query batch over
+    SHARED base scans: the input tables are persisted once and every gold
+    query's plan picks the cached relation up automatically (Spark's
+    CacheManager substitutes any analyzed subplan that matches a cached
+    plan — ``load_table`` builds the identical plan each call, so all N
+    queries hit one InMemoryRelation instead of N parquet scans each).
+    The cache is dropped before returning — it exists for the duration of
+    the batch, a scheduling decision, not ambient state."""
+    from ..sources.loaders import load_table
+
     qs = catalog.queries()
     manifest: dict = {"sf_dir": sf_dir, "tables": {}}
     small_file_rows = 100_000
-    for name in queries:
-        df = qs[name](spark, sf_dir)
-        path = os.path.join(gold_dir, name)
-        # Single-file output is a dashboard nicety, not a requirement: only
-        # coalesce when the result is actually report-sized, so a gold
-        # query that unexpectedly returns a large result keeps a parallel
-        # final stage instead of silently single-threading the write.
-        n = df.count()
-        out = df.coalesce(1) if n <= small_file_rows else df
-        out.write.mode("overwrite").parquet(path)
-        manifest["tables"][name] = {
-            "rows": n,
-            "refreshed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        }
+    cached = []
+    if shared_scan:
+        for t in shared_tables:
+            df = load_table(spark, sf_dir, t).persist()
+            cached.append(df)
+    try:
+        for name in queries:
+            df = qs[name](spark, sf_dir)
+            path = os.path.join(gold_dir, name)
+            # Single-file output is a dashboard nicety, not a requirement:
+            # only coalesce when the result is actually report-sized, so a
+            # gold query that unexpectedly returns a large result keeps a
+            # parallel final stage instead of silently single-threading
+            # the write.
+            n = df.count()
+            out = df.coalesce(1) if n <= small_file_rows else df
+            out.write.mode("overwrite").parquet(path)
+            manifest["tables"][name] = {
+                "rows": n,
+                "refreshed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+    finally:
+        for df in cached:
+            df.unpersist()
     os.makedirs(gold_dir, exist_ok=True)
     with open(os.path.join(gold_dir, "_manifest.json"), "w") as fh:
         json.dump(manifest, fh)
