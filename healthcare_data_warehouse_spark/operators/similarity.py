@@ -392,3 +392,112 @@ def pq_topk_indexed(spark, index_dir: str, query_vec, k: int = 10,
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def cosine_pairs_blas(df: DataFrame, block_col: str, id_col: str,
+                      vec_col: str, threshold: float,
+                      chunk_rows: int = 1024,
+                      margin: float = 1e-9) -> DataFrame:
+    """All within-block pairs with cosine >= ``threshold`` — EXACT result,
+    BLAS-speed candidate scoring.
+
+    The naive shape (``blocked_pair_join`` + per-pair ``zip_with`` dot)
+    scores every candidate pair through a Catalyst higher-order function:
+    correct, but the per-pair interpreter cost dominates once blocks are
+    thousands of rows (candidates grow quadratically in block size while
+    survivors stay rare — sf1 measured 20M candidates for 14k survivors).
+    Here the quadratic part runs as numpy GEMM and only the tiny survivor
+    set pays the exact Catalyst expression:
+
+    1. Chunk each block into ``ceil(n_block / chunk_rows)`` hash-chunks
+       (``xxhash64(id) % nchunks`` — no global row_number window, so no
+       per-block single-task sort at scale).
+    2. Explode each row to every chunk-pair group it participates in
+       ((block, i, j), i <= j) — replication factor = nchunks per row,
+       the standard blocked all-pairs matrix shape. Each group is one
+       Arrow batch to one task: parallelism = blocks x nchunks^2/2.
+    3. ``applyInPandas`` per group: stack the two chunks' vectors into
+       float64 matrices A, B; G = (A @ B.T) / outer(norm_a, norm_b);
+       emit id pairs with G >= threshold - margin, oriented id_a < id_b.
+    4. Join survivors back to the (id, vec, norm) relation and re-score
+       with the SAME sequential-double expression the naive form uses.
+
+    Step 3 is a PRESCREEN, not the answer: GEMM reassociates the sum, so
+    its value can differ from the sequential dot in the last ulps. The
+    margin makes the prescreen a mathematical superset: for 64-dim unit
+    ratios both summation orders err from the true value by at most
+    ~n*eps = 64*1.1e-16 ~ 7e-15 (Cauchy-Schwarz bounds sum|a_i b_i| by
+    norm_a*norm_b), so any pair whose exact cosine passes the threshold
+    sits within 1.5e-14 << margin of its GEMM score. No false negatives;
+    false positives are removed by the final exact filter. Output is
+    bit-identical to the naive form.
+
+    At 100 TB the replication factor (nchunks per block) is the knob:
+    chunk_rows bounds per-task memory at ~chunk_rows^2 * 8B for G, and the
+    survivor join is a hash join on a relation ~the output size. For
+    corpora where even blocked all-pairs is too much, the SRP-LSH
+    candidate path (``srp_topk``) replaces step 2's complete enumeration.
+    """
+    import pandas as pd
+
+    e = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col)).alias("__norm"),
+    )
+    counts = e.groupBy("__blk").agg(F.count("*").alias("__n"))
+    e = e.join(F.broadcast(counts), "__blk")
+    nchunks = F.greatest(F.lit(1), F.ceil(F.col("__n") / F.lit(chunk_rows))).cast("int")
+    chunk = F.pmod(F.xxhash64("__id"), nchunks).cast("int")
+    # One entry per partner chunk p: the row joins group (min(c,p), max(c,p)).
+    tagged = (
+        e.withColumn("__c", chunk)
+        .withColumn("__p", F.explode(F.sequence(F.lit(0), nchunks - 1)))
+        .select(
+            "__blk",
+            F.least("__c", "__p").alias("__i"),
+            F.greatest("__c", "__p").alias("__j"),
+            "__c", "__id", "__vec", "__norm",
+        )
+    )
+
+    thr = float(threshold) - float(margin)
+
+    def _score(key, pdf):
+        _, ci, cj = key
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+        ids = pdf["__id"].to_numpy()
+        norms = pdf["__norm"].to_numpy(dtype=np.float64)
+        if ci == cj:
+            g = (mat @ mat.T) / np.outer(norms, norms)
+            ia, ib = np.nonzero(g >= thr)
+            keep = ids[ia] < ids[ib]
+            id_a, id_b = ids[ia][keep], ids[ib][keep]
+        else:
+            a_mask = (pdf["__c"] == ci).to_numpy()
+            A, B = mat[a_mask], mat[~a_mask]
+            na, nb = norms[a_mask], norms[~a_mask]
+            aid, bid = ids[a_mask], ids[~a_mask]
+            if len(A) == 0 or len(B) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            g = (A @ B.T) / np.outer(na, nb)
+            ia, ib = np.nonzero(g >= thr)
+            x, y = aid[ia], bid[ib]
+            id_a, id_b = np.minimum(x, y), np.maximum(x, y)
+        return pd.DataFrame({"id_a": id_a.astype("int64"),
+                             "id_b": id_b.astype("int64")})
+
+    survivors = tagged.groupBy("__blk", "__i", "__j").applyInPandas(
+        _score, schema="id_a long, id_b long")
+
+    keyed = e.select("__id", "__vec", "__norm")
+    exact = dot(F.col("a.__vec"), F.col("b.__vec")) / (
+        F.col("a.__norm") * F.col("b.__norm"))
+    return (
+        survivors
+        .join(keyed.alias("a"), survivors.id_a == F.col("a.__id"))
+        .join(keyed.alias("b"), survivors.id_b == F.col("b.__id"))
+        .select("id_a", "id_b", exact.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

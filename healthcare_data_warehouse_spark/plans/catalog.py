@@ -2064,29 +2064,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a block are scored — label here; SRP-LSH bucket at 100 TB, same
     scoring expression, one bucket-join shuffle).
 
-    Two per-pair-cost levers, both result-identical to the naive form:
-    the L2 norm is computed ONCE per row before the pairing (the naive
-    ``cosine(a, b)`` re-derives both norms per PAIR — 3 array aggregates
-    where 1 suffices; ``sqrt(dot(v,v))`` here is the same expression on
-    the same rows, and dot/(norm_a*norm_b) keeps the same fp order, so
-    values match bit-for-bit), and the pairing goes through
-    ``skew.blocked_pair_join`` — label has ~10 distinct values, so a
-    plain label equi-join would score each label's quadratic pair set in
-    one task."""
-    from ..operators.similarity import dot, norm
-    from ..operators.skew import blocked_pair_join
+    Runs through ``similarity.cosine_pairs_blas``: the quadratic candidate
+    scoring happens as chunk-pair numpy GEMM batches (Arrow in, BLAS
+    matmul, Arrow out) with a margin that makes the prescreen a proven
+    superset, and only the rare survivors are re-scored with the
+    sequential-double Catalyst expression — so the OUTPUT is bit-identical
+    to the naive pair join + ``zip_with`` dot (and to DuckDB's
+    ``list_cosine_similarity`` oracle), while the candidate cost drops
+    from per-pair expression interpretation to one GEMM per chunk pair.
+    The round-2 shape (``blocked_pair_join`` + expression dot) scaled
+    25x for 10x rows at sf1 — candidates grow quadratically in block
+    size; GEMM makes each candidate ~2 fused flops instead of an
+    interpreted 64-element fold."""
+    from ..operators.similarity import cosine_pairs_blas
 
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("__norm")
-    )
-    pairs = blocked_pair_join(e, "label", "vec_id", payload=["embedding", "__norm"])
-    sim = dot(F.col("embedding_a"), F.col("embedding_b")) / (
-        F.col("__norm_a") * F.col("__norm_b")
-    )
-    return (
-        pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= 0.3)
-    )
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs_blas(
+        e, block_col="label", id_col="vec_id", vec_col="embedding",
+        threshold=0.3)
 
 
 @query(

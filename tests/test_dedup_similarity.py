@@ -169,3 +169,36 @@ def test_rare_feature_pairs_blocking_boundary(spark):
     # docs 0..9 share only the common prefix shingles (df=12 > max_df):
     # no pair among them survives the rare filter
     assert not any(a < 100 and b < 100 for a, b in got)
+
+
+def test_cosine_pairs_blas_matches_naive_pair_join(spark):
+    """The GEMM-prescreened pair search must return exactly the pairs (and
+    bit-identical scores) of the naive blocked pair join + expression dot,
+    including with chunking forced (chunk_rows smaller than the block, so
+    diagonal AND off-diagonal chunk-pair code paths both run)."""
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        cosine_pairs_blas, dot, norm)
+    from healthcare_data_warehouse_spark.operators.skew import blocked_pair_join
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+
+    e = emb.select("vec_id", "label", "embedding",
+                   norm(F.col("embedding")).alias("__norm"))
+    pairs = blocked_pair_join(e, "label", "vec_id",
+                              payload=["embedding", "__norm"])
+    sim = dot(F.col("embedding_a"), F.col("embedding_b")) / (
+        F.col("__norm_a") * F.col("__norm_b"))
+    naive = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
+                           .filter(F.col("cosine_sim") >= 0.3).collect()}
+
+    for chunk_rows in (7, 100000):  # multi-chunk and single-chunk regimes
+        got = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+               for r in cosine_pairs_blas(
+                   emb, "label", "vec_id", "embedding",
+                   threshold=0.3, chunk_rows=chunk_rows).collect()}
+        assert set(got) == set(naive), f"chunk_rows={chunk_rows}: pair set differs"
+        for k in naive:
+            assert got[k] == naive[k], (
+                f"chunk_rows={chunk_rows}: score not bit-identical at {k}")

@@ -146,12 +146,30 @@ def test_scaling_joins_still_broadcast_when_small(spark):
 
 
 def test_blocked_pair_join_is_shuffle_hash(spark):
-    for name in ("dedup_embedding_cosine", "dedup_ngram_jaccard"):
+    for name in ("dedup_ngram_jaccard",):
         plan = _plan(spark, name)
         assert "ShuffledHashJoin" in plan, f"{name}: pair join not shuffle-hash"
         assert "BroadcastHashJoin" not in plan, (
             f"{name}: corpus-sized pair-join side got broadcast"
         )
+
+
+def test_embedding_cosine_pairs_quadratic_stage_is_gemm(spark):
+    # The candidate-scoring stage must be the grouped-Arrow GEMM
+    # (FlatMapGroupsInPandas over chunk pairs), never a join that
+    # materializes candidate PAIRS as rows: no pair-join operator of any
+    # kind may appear upstream of the pandas stage. The only joins in the
+    # plan are the survivor re-score lookups (survivor-set sized, AQE
+    # picks their strategy), which sit DOWNSTREAM of the pandas node.
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "FlatMapGroupsInPandas" in plan, "GEMM prescreen stage missing"
+    pandas_pos = plan.index("FlatMapGroupsInPandas")
+    upstream = plan[pandas_pos:]  # formatted plans print leaves last
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, f"unbounded pair materialization: {op}"
+    assert "SortMergeJoin" not in upstream and "ShuffledHashJoin" not in upstream, (
+        "candidate pairs materialized by a join upstream of the GEMM stage"
+    )
 
 
 def test_signature_pipelines_keep_pinned_spread(spark):
