@@ -1,0 +1,153 @@
+"""Distributed BPE merge learning over a document corpus.
+
+north_star scope (training-data pipeline): learn the first ``k``
+byte-pair-encoding merges from the corpus, the preprocessing step every
+tokenizer build runs before a training job. The reference has no
+tokenizer-learning operator; this follows the published BPE algorithm
+(Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+Subword Units") re-expressed on DataFrames.
+
+Shape, and why it scales:
+
+- The corpus is first collapsed to the WORD-TYPE vocabulary — ``(word,
+  count)`` — one tokenize + groupBy over the documents. All remaining
+  iterations run on the vocabulary relation, which is orders of magnitude
+  smaller than the corpus (Heaps' law: ~O(corpus^0.5) types) and shrinks
+  no further work ever touches the raw text again.
+- Each merge round is: explode each word's symbol array into adjacent
+  pairs, weight by the word count, groupBy-pair sum, take the global
+  argmax (count desc, then lexicographic pair — a DETERMINISTIC
+  tie-break, so the learned merge table is reproducible run-to-run and
+  partitioning-invariant), then rewrite each word's symbol array with the
+  merged pair. The rewrite is a per-row sequential fold (``F.aggregate``)
+  — BPE's left-to-right merge order — entirely JVM-side.
+- The loop re-plans per round, so the vocabulary DataFrame is
+  ``localCheckpoint``-ed every few rounds to keep the lineage flat
+  (the same pattern as the connected-components loop in graph.py).
+
+At 100 TB only step 1 sees the full corpus; the iterative part works on
+the vocab (typically < 10M rows even for web-scale corpora), so rounds
+are small shuffles. k rounds = k small jobs — the known cost of exact
+BPE; sampling the corpus first is the standard practical shortcut and
+composes (pass a sampled df).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _word_types(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, count) vocabulary; each word becomes its character-symbol
+    array with the conventional </w> end-of-word marker appended."""
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("word")).filter(
+        F.col("word") != ""
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit("</w>")))
+    return vocab.select(F.col("cnt"), syms.alias("syms"))
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """array of "a b"-keyed adjacent symbol pairs of ``syms``."""
+    n = F.size(syms)
+    idx = F.sequence(F.lit(1), n - 1)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.element_at(syms, i), F.element_at(syms, i + 1)),
+        )
+    )
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Left-to-right single-pass merge of adjacent (left, right) into
+    left||right — the BPE rewrite — as a sequential fold.
+
+    The accumulator is the output array; at each step, if the output's
+    last element is ``left`` and the incoming symbol is ``right``, the
+    two are replaced by the concatenation (and because the merged token
+    ``left+right`` is a NEW symbol, a just-merged element never
+    re-triggers as ``left`` unless left==left+right, impossible for
+    non-empty right — giving the same non-overlapping semantics as the
+    reference algorithm's regex replace)."""
+    merged = F.lit(left + right)
+
+    def step(acc: Column, s: Column) -> Column:
+        last = F.element_at(acc, -1)
+        return (
+            F.when(
+                (F.size(acc) > 0) & (last == F.lit(left)) & (s == F.lit(right)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+            )
+            .otherwise(F.concat(acc, F.array(s)))
+        )
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def learn_bpe_merges(df: DataFrame, text_col: str = "text",
+                     num_merges: int = 8,
+                     checkpoint_every: int = 4) -> list[tuple[int, str, str, int]]:
+    """Learn ``num_merges`` BPE merges; returns [(rank, left, right,
+    pair_count)] in merge order. Deterministic: ties broken by pair
+    lexicographic order."""
+    vocab = _word_types(df, text_col).localCheckpoint(eager=True)
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        best = (
+            vocab.select(F.col("cnt"), F.explode(_adjacent_pairs(F.col("syms"))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, n = best[0]["pair"], int(best[0]["n"])
+        left, right = pair.split(" ", 1)
+        out.append((rank, left, right, n))
+        vocab = vocab.select(
+            F.col("cnt"), _apply_merge(F.col("syms"), left, right).alias("syms")
+        )
+        if (rank + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return out
+
+
+def bpe_merge_table(spark, df: DataFrame, text_col: str = "text",
+                    num_merges: int = 8) -> DataFrame:
+    """The learned merges as a DataFrame (rank, left, right, pair_count)."""
+    rows = learn_bpe_merges(df, text_col, num_merges)
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_count long"
+    )
+
+
+def bpe_segment(df: DataFrame, merges: list[tuple[int, str, str, int]],
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Apply a learned merge table to the corpus: per document, the
+    subword-token count and mean subword length — the 'how well does this
+    vocab compress my corpus' readout used to size tokenizer vocabs.
+
+    Same fold as learning-side rewrites, applied per word then summed per
+    document; merges MUST be applied in rank order (BPE semantics)."""
+    word = F.explode(tokens(F.col(text_col)))
+    per_word = df.select(F.col(id_col), word.alias("word")).filter(F.col("word") != "")
+    syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit("</w>")))
+    col = syms
+    for _, left, right, _ in sorted(merges):
+        col = _apply_merge(col, left, right)
+    return (
+        per_word.select(F.col(id_col), col.alias("syms"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.size("syms")).alias("n_subwords"),
+            F.sum(F.aggregate("syms", F.lit(0), lambda a, s: a + F.length(s)))
+            .alias("n_sym_chars"),
+        )
+    )

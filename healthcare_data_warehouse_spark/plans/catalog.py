@@ -2818,6 +2818,24 @@ def vocab_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("vocab_bpe_merges")  # iterative (k argmax rounds) — rows-only + reference-replica pytest
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges learned from the corpus (operators/bpe.py,
+    Sennrich et al. 2016 re-expressed on DataFrames): the tokenizer-build
+    step of a training-data pipeline. Corpus is touched ONCE (word-type
+    vocab = tokenize + groupBy); every merge round then runs on the
+    Heaps'-law-small (word, count) relation — explode adjacent symbol
+    pairs, weighted count, deterministic argmax (count desc, pair asc),
+    JVM-side sequential-fold rewrite. k rounds = k small jobs; lineage is
+    kept flat with periodic localCheckpoint. Not SQL-expressible as one
+    query (iterative argmax-dependent rewrites) — correctness is pinned
+    by tests/test_bpe.py against a pure-Python reference implementation,
+    including partitioning-invariance."""
+    from ..operators.bpe import bpe_merge_table
+
+    return bpe_merge_table(spark, _t(spark, sf_dir, "documents"), num_merges=8)
+
+
 @query(
     "split_train_val_test",
     oracle="""
