@@ -3,9 +3,14 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is materialized with a count-style action (collect) so the full
-plan executes; timings include Catalyst planning + execution, excluding
-session startup.
+Each query is materialized with the distributed noop sink
+(``write.format("noop")``): every operator in the plan executes on the
+executors exactly as a real sink would drive it, but nothing is shipped
+to the Python driver — so timings measure Catalyst planning + engine
+execution, not py4j row serialization (collect() on a row-per-input
+query like window_patient_features at sf1 spends ~7s of its 8.7s moving
+1.5M rows into the driver process, drowning the 1.4s of engine work the
+benchmark exists to track). Session startup is excluded.
 """
 
 from __future__ import annotations
@@ -89,19 +94,22 @@ def main() -> None:
     # codegen compilation, and shuffle machinery are hot before timing
     # (standard steady-state benchmarking; data at the target SF is only
     # touched by the timed runs below, after a footer-only warm).
+    def run(name: str, d: str) -> None:
+        df = qs[name](spark, d)
+        assert df.columns  # schema resolved; noop executes the full plan
+        df.write.format("noop").mode("overwrite").save()
+
     for name in HEADLINE:
-        qs[name](spark, "/root/testdata/sf0.001").collect()
+        run(name, "/root/testdata/sf0.001")
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = qs[name]
         best = float("inf")
         for _ in range(2):  # min-of-2: steady-state, robust to host noise
             t0 = time.perf_counter()
-            rows = fn(spark, sf_dir).collect()
+            run(name, sf_dir)
             best = min(best, time.perf_counter() - t0)
-            assert rows is not None
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
