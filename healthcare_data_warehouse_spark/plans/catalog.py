@@ -1367,6 +1367,50 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(d)
 
 
+@query(
+    "multimodal_audio_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(256 + (n_chars * 7) % 1024 AS BIGINT) AS n_samples,
+           CAST(256 + (n_chars * 7) % 1024 AS DOUBLE) / 8000.0 AS duration_s
+    FROM documents
+    """,
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE audio decode, oracle-certified through independent
+    arithmetic: each row gets a deterministic PCM16 WAV payload
+    (operators/multimodal.py synth_wav — real RIFF bytes), the feature
+    stage DECODES it with the stdlib wave parser inside mapInPandas, and
+    the decoded header fields + sample count are compared against the
+    oracle's closed-form recomputation (n_samples = 256 + 7*n_chars mod
+    1024, duration = n/8000). A decode bug — wrong header offset, frame
+    miscount, channel mixup — breaks the hash match, so this certifies
+    the binary round-trip without the oracle ever parsing a WAV. The
+    signal-level features from the same decode (RMS, zero crossings,
+    peak) live in multimodal_audio_features (rows-only + numpy-parity
+    pytest: not SQL-recomputable)."""
+    from ..operators.multimodal import attach_wav, audio_features
+
+    d = attach_wav(_t(spark, sf_dir, "documents"))
+    return audio_features(d).select(
+        "doc_id", "sample_rate", "n_channels", "n_samples", "duration_s"
+    )
+
+
+@query("multimodal_audio_features")  # decoded-signal features — rows-only + numpy-parity pytest
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decoded-signal feature set over real PCM-WAV payloads: RMS,
+    zero-crossing count, peak amplitude — computed from the DECODED
+    int16 samples, not payload bytes. Arrow-batched mapInPandas after
+    spread(); per-row cost is the decode + three numpy reductions."""
+    from ..operators.multimodal import attach_wav, audio_features
+
+    d = attach_wav(_t(spark, sf_dir, "documents"))
+    return audio_features(d)
+
+
 # ===========================================================================
 # Streaming (batch-parity queries; the live pipelines are in
 # streaming.pipelines and stream/batch parity is pytest-enforced)
