@@ -1399,6 +1399,41 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_image_meta",
+    oracle="""
+    WITH grid AS (
+        SELECT x, y
+        FROM (SELECT unnest(generate_series(0, 31)) AS x),
+             (SELECT unnest(generate_series(0, 23)) AS y))
+    SELECT d.doc_id,
+           CAST(32 AS INTEGER) AS width,
+           CAST(24 AS INTEGER) AS height,
+           (SELECT CAST(sum(x * 255 // 31) AS DOUBLE) / 32 FROM grid WHERE y = 0)
+               AS mean_r,
+           (SELECT CAST(sum(y * 255 // 23) AS DOUBLE) / 24 FROM grid WHERE x = 0)
+               AS mean_g,
+           (SELECT CAST(sum((x + y + d.doc_id % 251) % 256) AS DOUBLE) / 768
+            FROM grid) AS mean_b
+    FROM documents d
+    """,
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE image decode, oracle-certified like multimodal_audio_meta:
+    each row gets a real P6 PPM payload (synth_ppm gradient+phase
+    pattern), image_features DECODES the pixel planes inside
+    mapInPandas, and the per-channel means are hash-compared against the
+    oracle's closed-form recomputation over the synthesis formula (sum
+    of the exact uint8 grid / 768 — integer sums then one double
+    division, bit-equal on both engines). A raster offset, plane
+    interleave, or header-parse bug shifts the means and breaks the
+    gate; the oracle never parses a PPM."""
+    from ..operators.multimodal import attach_ppm, image_features
+
+    d = attach_ppm(_t(spark, sf_dir, "documents"))
+    return image_features(d)
+
+
 @query("multimodal_audio_features")  # decoded-signal features — rows-only + numpy-parity pytest
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full decoded-signal feature set over real PCM-WAV payloads: RMS,
