@@ -336,18 +336,20 @@ def weighted_sample(df: DataFrame, weight_col: str, n_per_group: int,
     another engine dishonest (the md5 → uniform step itself is exact —
     see stratified_sample for the hash-parity variant).
 
-    Weights must be strictly positive — A-ES is undefined outside that
-    domain, and Spark's non-ANSI divide would otherwise fail silently:
-    w=0 makes 1/w NULL (row sorts last instead of erroring) and w<0
-    gives u^(1/w) >= 1, outranking every positive-weight row. Rows with
-    NULL, zero, or negative weight raise at execution time rather than
-    silently inverting the sample."""
+    Weight domain: A-ES is undefined for w < 0 and w = NULL, and Spark's
+    non-ANSI divide would fail silently there (w<0 gives u^(1/w) >= 1,
+    outranking every positive-weight row) — those raise at execution
+    time rather than silently inverting the sample. w = 0 has a
+    well-defined A-ES limit — priority u^(1/w) → 0, i.e. "never chosen
+    ahead of any positive-weight row" — so zero-weight rows (an empty
+    document scored n_chars=0, say) are excluded from the sample rather
+    than aborting the whole job."""
     from pyspark.sql import Window
 
     wcol = F.col(weight_col).cast("double")
     guarded = F.when(wcol > 0, wcol).otherwise(
         F.raise_error(F.concat(
-            F.lit(f"weighted_sample: {weight_col} must be > 0, got "),
+            F.lit(f"weighted_sample: {weight_col} must be >= 0, got "),
             F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
         ))
     )
@@ -358,7 +360,10 @@ def weighted_sample(df: DataFrame, weight_col: str, n_per_group: int,
     prio = F.pow(u, 1.0 / guarded)
     w = Window.partitionBy(group_col).orderBy(F.desc("__prio"), F.asc(id_col))
     return (
-        df.withColumn("__prio", prio)
+        # w=0: A-ES limit priority 0 — never sampled. NULLs pass through
+        # to the guard's raise (NULL != 0 is NULL and would silently drop).
+        df.filter((wcol != 0) | wcol.isNull())
+        .withColumn("__prio", prio)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_per_group)
         .drop("__prio", "__rn")

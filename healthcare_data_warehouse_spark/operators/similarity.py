@@ -313,10 +313,18 @@ def pq_build_index(df: DataFrame, index_dir: str, m: int = 8,
     sub = dim // m
     assert sub * m == dim, f"dim {dim} not divisible by m={m}"
 
-    normed = df.withColumn(
-        "__nv",
-        F.transform(F.col(vec_col),
-                    lambda x: x.cast("double") / norm(F.col(vec_col))),
+    # Norm computed ONCE per row, then one divide per element: inlining
+    # norm() inside the transform lambda would re-evaluate the O(d)
+    # array-aggregate for every element (O(d^2) per row, ~30x on 64-dim)
+    # — and this runs over the whole corpus at ingest.
+    normed = (
+        df.withColumn("__norm", norm(F.col(vec_col)))
+        .withColumn(
+            "__nv",
+            F.transform(F.col(vec_col),
+                        lambda x: x.cast("double") / F.col("__norm")),
+        )
+        .drop("__norm")
     )
     assigned = normed
     books: list[list[list[float]]] = []

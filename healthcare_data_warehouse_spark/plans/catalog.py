@@ -5673,15 +5673,38 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_build_index, pq_topk_indexed
 
     emb = _t(spark, sf_dir, "embeddings")
-    if emb.isEmpty():  # backfill edge: nothing to index, nothing to probe
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # empty table OR query vector absent: nothing to probe
         return emb.select(
             "vec_id", "label", F.lit(0.0).alias("cosine_sim")).limit(0)
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # Cache key covers CONTENT, not just the path (mtime+size of the
+    # source parquet): regenerating the fixture in place invalidates the
+    # cached index instead of silently serving the previous corpus.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:  # directory-style table: stamp from member files
+        stamp = str(sorted(
+            (f, os.stat(os.path.join(src, f)).st_mtime_ns)
+            for f in os.listdir(src)) if os.path.isdir(src) else "")
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{stamp}".encode()).hexdigest()[:12]
     index_dir = os.path.join(tempfile.gettempdir(), f"hdw_pq_{tag}")
     if not os.path.exists(os.path.join(index_dir, "codebooks.json")):
-        pq_build_index(emb, index_dir, m=8, codebook_k=16)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return pq_topk_indexed(spark, index_dir, qvec, k=10, refine=100,
+        # Build under a pid-suffixed dir, then atomically claim the final
+        # name — two concurrent harness processes (bench + oracle-check)
+        # each build their own candidate and exactly one rename wins; the
+        # loser discards its build and reads the winner's. Never a
+        # half-written index at the final path.
+        import shutil
+
+        build_dir = f"{index_dir}.build{os.getpid()}"
+        pq_build_index(emb, build_dir, m=8, codebook_k=16)
+        try:
+            os.rename(build_dir, index_dir)
+        except OSError:  # another process won the claim
+            shutil.rmtree(build_dir, ignore_errors=True)
+    return pq_topk_indexed(spark, index_dir, qrow[0], k=10, refine=100,
                            exclude_id=0)
 
 

@@ -88,7 +88,18 @@ def run_event_fanout(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # Still running: readers would see half-written sinks. Fail loudly
+        # instead of returning with silently-partial results.
+        q.stop()
+        raise TimeoutError(
+            f"fan-out drain did not finish within {timeout_s}s; sinks under "
+            f"{dest_dir} are incomplete")
+    # recentProgress is capped by spark.sql.streaming.numRecentProgressUpdates
+    # (default 100), so this counts OBSERVED non-empty micro-batches — a
+    # lower bound for drains beyond the retention window. Callers branch on
+    # zero/non-zero, which the bound preserves (the most recent entries are
+    # the ones retained).
     return sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
 
 

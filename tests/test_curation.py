@@ -263,17 +263,31 @@ def test_weighted_sample_prefers_heavy_docs_and_is_deterministic(spark):
     assert mean_smp > mean_all
 
 
-def test_weighted_sample_rejects_nonpositive_weights(spark):
-    # A-ES is undefined for w <= 0: w=0 would NULL the priority (row sorts
-    # last, silently) and w<0 would give u^(1/w) >= 1, outranking every
-    # honest row. The operator must fail loudly instead.
+def test_weighted_sample_rejects_negative_and_null_weights(spark):
+    # A-ES is undefined for w < 0 (u^(1/w) >= 1 outranks every honest
+    # row) and NULL; those must fail loudly instead of silently
+    # inverting the sample.
     import pytest
 
     from healthcare_data_warehouse_spark.operators.curation import weighted_sample
 
-    for bad in (0.0, -3.5, None):
+    for bad in (-3.5, None):
         df = spark.createDataFrame(
             [("a", "g", 2.0), ("b", "g", bad)],
             "doc_id string, lang string, w double")
-        with pytest.raises(Exception, match="must be > 0"):
+        with pytest.raises(Exception, match="must be >= 0"):
             weighted_sample(df, "w", n_per_group=5, group_col="lang").collect()
+
+
+def test_weighted_sample_zero_weight_excluded_not_fatal(spark):
+    # w=0 has a well-defined A-ES limit: priority 0, never sampled. An
+    # empty document (n_chars=0) must not abort the whole job.
+    from healthcare_data_warehouse_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [("a", "g", 2.0), ("b", "g", 0.0), ("c", "g", 1.0)],
+        "doc_id string, lang string, w double")
+    got = {r["doc_id"]
+           for r in weighted_sample(df, "w", n_per_group=5,
+                                    group_col="lang").collect()}
+    assert got == {"a", "c"}  # zero-weight row excluded, others kept

@@ -163,3 +163,15 @@ def test_pq_topk_empty_and_missing_query(spark, tmp_path):
     pq_.write_table(empty, str(tmp_path / "embeddings.parquet"))
     df = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
     assert pq_topk(df, query_vec_id=0, k=10).collect() == []
+
+
+def test_ann_pq_topk_handles_absent_query_vector(spark, tmp_path):
+    # vec_id 0 deleted from the corpus: the catalog query must return an
+    # empty frame, not crash on first()[0] of a missing row.
+    from healthcare_data_warehouse_spark.plans.catalog import queries
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") != 0)
+    emb.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = queries()["ann_pq_topk"](spark, str(tmp_path))
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "label", "cosine_sim"}
