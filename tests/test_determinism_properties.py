@@ -61,3 +61,68 @@ def test_dense_keys_equal_row_number_any_partitioning(spark, keys, parts):
     keyed = add_dense_key(df, ["k"], key_col="sk", num_partitions=parts)
     got = [r["k"] for r in keyed.orderBy("sk").collect()]
     assert got == sorted(keys)
+
+
+WORDS = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=5), min_size=1, max_size=40)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(WORDS, min_size=1, max_size=6), st.integers(1, 6))
+def test_bpe_merges_match_reference_on_random_corpora(spark, docs, k):
+    """Distributed BPE == the pure-Python reference algorithm on arbitrary
+    corpora (argmax ties broken identically, fold rewrite identical),
+    regardless of partitioning."""
+    from healthcare_data_warehouse_spark.operators.bpe import learn_bpe_merges
+    from test_bpe import _ref_bpe
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]).repartition(3)
+    got = learn_bpe_merges(df, num_merges=k, checkpoint_every=2)
+    want, _, _ = _ref_bpe(texts, k)
+    assert got == want
+
+
+VEC = st.lists(st.floats(min_value=-8, max_value=8, allow_nan=False,
+                         allow_infinity=False, width=32),
+               min_size=4, max_size=4)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(VEC, min_size=2, max_size=24), st.integers(2, 7))
+def test_gemm_pair_search_equals_naive_on_random_vectors(spark, vecs, chunk):
+    """cosine_pairs_blas == naive all-pairs expression scoring, bit for
+    bit, for arbitrary vectors and chunkings (the margin must never drop
+    a qualifying pair; the exact re-filter must never admit an extra)."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        cosine_pairs_blas, dot, norm)
+
+    # drop zero vectors: cosine undefined (0/0 -> NULL on both paths)
+    vecs = [v for v in vecs if any(x != 0.0 for x in v)]
+    if len(vecs) < 2:
+        return
+    rows = [(i, i % 2, v) for i, v in enumerate(vecs)]  # two blocks
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>").repartition(3)
+
+    e = df.select("vec_id", "label", "embedding",
+                  norm(F.col("embedding")).alias("__n"))
+    a, b = e.alias("a"), e.alias("b")
+    sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.__n") * F.col("b.__n"))
+    naive = {(r["id_a"], r["id_b"]): r["s"] for r in (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"), sim.alias("s"))
+        .filter(F.col("s") >= 0.3).collect())}
+
+    got = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in cosine_pairs_blas(
+        df, "label", "vec_id", "embedding",
+        threshold=0.3, chunk_rows=chunk).collect()}
+    assert got == naive
