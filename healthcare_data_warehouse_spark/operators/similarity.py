@@ -509,3 +509,111 @@ def cosine_pairs_blas(df: DataFrame, block_col: str, id_col: str,
         .select("id_a", "id_b", exact.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def nn_top1_blas(df: DataFrame, block_col: str, id_col: str,
+                 vec_col: str, chunk_rows: int = 1024,
+                 margin: float = 1e-9) -> DataFrame:
+    """Each row's EXACT top-1 cosine neighbor within its block
+    (deterministic argmax: score desc, neighbor id asc) — GEMM-speed
+    candidate generation, bit-exact final scoring.
+
+    Same chunk-pair decomposition as ``cosine_pairs_blas``, different
+    reduction: each chunk-pair GEMM emits, per row, every partner in the
+    group whose GEMM cosine is within ``margin`` of that row's group
+    maximum (normally exactly one row; more only under near-ties). The
+    margin argument mirrors cosine_pairs_blas: GEMM and the sequential
+    exact dot differ by < ~1.5e-14, so the row's true argmax is always
+    within margin of its group's GEMM max and therefore always emitted
+    by its group. The union of per-group candidates (~nchunks per row)
+    is re-scored with the exact expression and reduced by one window
+    argmax with the deterministic tie-break — identical output to
+    scoring all pairs exactly, at GEMM cost per candidate.
+
+    Returns (src, dst): src = every row id that has a neighbor in its
+    block, dst = its exact top-1 neighbor. The output feeds NN-graph
+    consumers (clustering, PageRank).
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+
+    e = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col)).alias("__norm"),
+    )
+    counts = e.groupBy("__blk").agg(F.count("*").alias("__n"))
+    e = e.join(F.broadcast(counts), "__blk")
+    nchunks = F.greatest(F.lit(1), F.ceil(F.col("__n") / F.lit(chunk_rows))).cast("int")
+    chunk = F.pmod(F.xxhash64("__id"), nchunks).cast("int")
+    tagged = (
+        e.withColumn("__c", chunk)
+        .withColumn("__p", F.explode(F.sequence(F.lit(0), nchunks - 1)))
+        .select(
+            "__blk",
+            F.least("__c", "__p").alias("__i"),
+            F.greatest("__c", "__p").alias("__j"),
+            "__c", "__id", "__vec", "__norm",
+        )
+    )
+
+    mg = float(margin)
+
+    def _cands(key, pdf):
+        _, ci, cj = key
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+        ids = pdf["__id"].to_numpy()
+        norms = pdf["__norm"].to_numpy(dtype=np.float64)
+
+        def emit(g, src_ids, dst_ids):
+            # per source row: all partners within margin of its row max
+            if g.size == 0:
+                return [], []
+            row_max = g.max(axis=1, keepdims=True)
+            ia, ib = np.nonzero(g >= row_max - mg)
+            return src_ids[ia], dst_ids[ib]
+
+        srcs, dsts = [], []
+        if ci == cj:
+            if len(ids) < 2:
+                return pd.DataFrame({"src": [], "dst": []}).astype("int64")
+            g = (mat @ mat.T) / np.outer(norms, norms)
+            np.fill_diagonal(g, -np.inf)  # a row is not its own neighbor
+            s, d = emit(g, ids, ids)
+            srcs.append(s); dsts.append(d)
+        else:
+            a_mask = (pdf["__c"] == ci).to_numpy()
+            A, B = mat[a_mask], mat[~a_mask]
+            if len(A) and len(B):
+                na, nb = norms[a_mask], norms[~a_mask]
+                aid, bid = ids[a_mask], ids[~a_mask]
+                g = (A @ B.T) / np.outer(na, nb)
+                s, d = emit(g, aid, bid)
+                srcs.append(s); dsts.append(d)
+                s, d = emit(g.T, bid, aid)
+                srcs.append(s); dsts.append(d)
+        if not srcs:
+            return pd.DataFrame({"src": [], "dst": []}).astype("int64")
+        return pd.DataFrame({
+            "src": np.concatenate(srcs).astype("int64"),
+            "dst": np.concatenate(dsts).astype("int64"),
+        })
+
+    cands = tagged.groupBy("__blk", "__i", "__j").applyInPandas(
+        _cands, schema="src long, dst long")
+
+    keyed = e.select("__id", "__vec", "__norm")
+    exact = dot(F.col("a.__vec"), F.col("b.__vec")) / (
+        F.col("a.__norm") * F.col("b.__norm"))
+    scored = (
+        cands.join(keyed.alias("a"), cands.src == F.col("a.__id"))
+        .join(keyed.alias("b"), cands.dst == F.col("b.__id"))
+        .select("src", "dst", exact.alias("s"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("src", "dst")
+    )

@@ -2200,33 +2200,19 @@ def embedding_nn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax: score desc, id asc), and connected components over the NN
     graph yield cluster assignments (component id = min member id).
 
-    Distributed shape: blocked pair scoring (skew.blocked_pair_join) →
-    per-node window argmax → iterative min-label propagation
+    Distributed shape: GEMM chunk-pair candidate generation with exact
+    re-score and deterministic argmax (similarity.nn_top1_blas — same
+    margin-superset technique as dedup_embedding_cosine, so the NN edge
+    set is bit-identical to scoring every pair with the expression dot)
+    → iterative min-label propagation
     (operators.graph.connected_components, one shuffle per round,
     lineage checkpoint-truncated). The oracle replays the exact same
     semantics with a recursive-CTE transitive closure."""
     from ..operators.graph import connected_components
-    from ..operators.similarity import dot, norm
-    from ..operators.skew import blocked_pair_join
+    from ..operators.similarity import nn_top1_blas
 
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("__norm")
-    )
-    pairs = blocked_pair_join(e, "label", "vec_id", payload=["embedding", "__norm"])
-    sim = (
-        dot(F.col("embedding_a"), F.col("embedding_b"))
-        / (F.col("__norm_a") * F.col("__norm_b"))
-    ).alias("s")
-    half = pairs.select("id_a", "id_b", sim)
-    sym = half.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "s"
-    ).union(half.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "s"))
-    w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
-    nn = (
-        sym.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("src", "dst")
-    )
+    e = _t(spark, sf_dir, "embeddings")
+    nn = nn_top1_blas(e, "label", "vec_id", "embedding")
     comp = connected_components(nn, max_iter=50)
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return (
@@ -6617,20 +6603,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-neighbor sums are float-order-dependent across partitions) with
     a numpy power-iteration replica pytest pinning values to 1e-9."""
     from ..operators.graph import pagerank
-    from ..operators.similarity import dot, norm
-    from ..operators.skew import blocked_pair_join
+    from ..operators.similarity import nn_top1_blas
 
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("__norm"))
-    pairs = blocked_pair_join(e, "label", "vec_id", payload=["embedding", "__norm"])
-    sim = (dot(F.col("embedding_a"), F.col("embedding_b"))
-           / (F.col("__norm_a") * F.col("__norm_b"))).alias("s")
-    half = pairs.select("id_a", "id_b", sim)
-    sym = half.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "s").union(
-        half.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "s"))
-    w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
-    nn = (sym.withColumn("__rn", F.row_number().over(w))
-          .filter(F.col("__rn") == 1).select("src", "dst"))
+    e = _t(spark, sf_dir, "embeddings")
+    nn = nn_top1_blas(e, "label", "vec_id", "embedding")
     return pagerank(nn).orderBy(F.desc("rank"), F.asc("node")).limit(50)
 
 

@@ -202,3 +202,34 @@ def test_cosine_pairs_blas_matches_naive_pair_join(spark):
         for k in naive:
             assert got[k] == naive[k], (
                 f"chunk_rows={chunk_rows}: score not bit-identical at {k}")
+
+
+def test_nn_top1_blas_matches_naive_argmax(spark):
+    """GEMM candidate generation + exact re-score must produce exactly
+    the naive all-pairs argmax edges (score desc, dst asc tie-break),
+    for both the single-chunk and multi-chunk regimes."""
+    from pyspark.sql import Window
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        dot, nn_top1_blas, norm)
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    e = emb.select("vec_id", "label", "embedding",
+                   norm(F.col("embedding")).alias("__n"))
+    a, b = e.alias("a"), e.alias("b")
+    sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.__n") * F.col("b.__n"))
+    sym = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                  & (F.col("a.vec_id") != F.col("b.vec_id")))
+           .select(F.col("a.vec_id").alias("src"),
+                   F.col("b.vec_id").alias("dst"), sim.alias("s")))
+    w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
+    naive = {(r["src"], r["dst"]) for r in (
+        sym.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1).select("src", "dst").collect())}
+
+    for chunk_rows in (11, 100000):
+        got = {(r["src"], r["dst"]) for r in nn_top1_blas(
+            emb, "label", "vec_id", "embedding",
+            chunk_rows=chunk_rows).collect()}
+        assert got == naive, f"chunk_rows={chunk_rows}"
