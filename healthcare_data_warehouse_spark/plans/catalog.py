@@ -2500,13 +2500,46 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(w, "token", k=20)
 
 
-@query("text_tfidf")  # ln() last-ulp differs across libms → rows-only
+@query(
+    "text_tfidf",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM w GROUP BY doc_id, token),
+    s AS (
+        SELECT doc_id, token,
+               floor((CAST(tf AS DOUBLE)
+                      / sum(tf) OVER (PARTITION BY doc_id)
+                      * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                           / count(*) OVER (PARTITION BY token)))
+                     * 10000 + 0.5) / 10000 AS tfidf
+        FROM tf)
+    SELECT doc_id, token AS top_term, tfidf FROM (
+        SELECT doc_id, token, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, token) AS rn
+        FROM s) WHERE rn = 1
+    """,
+)
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top TF-IDF term per document: tf = in-doc count / doc length,
     idf = ln(N/df). df_map (vocabulary-sized) and doclen (one row per
     document) both grow with the corpus, so neither carries a broadcast
     hint: tf⋈doclen co-shuffles on doc_id, tf⋈df_map shuffles on token,
-    and AQE still broadcasts either while it fits the threshold."""
+    and AQE still broadcasts either while it fits the threshold.
+
+    Hash-green despite ln(): the score is rounded to 4dp with the
+    IEEE-pure floor formula (functions.expressions.round2 — exact
+    double arithmetic on both engines), and the per-doc argmax orders by
+    the ROUNDED score with a token tie-break, so libm ln()'s last-ulp
+    variance (≲2 ulp between JVM and glibc) is absorbed unless a value
+    sits within ~1e-16 of a 1e-4 rounding boundary — a ~1e-13-per-value
+    coincidence, the same absorption argument the Laplace-noise oracle
+    uses. The division inputs (tf/len, N/df) are single IEEE ops,
+    bit-identical by construction."""
     from ..operators.skew import spread
     from ..operators.text import tokens
 
@@ -2538,8 +2571,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("df", F.count("*").over(df_w))
         .withColumn(
             "tfidf",
-            (F.col("tf").cast("double") / F.col("len"))
-            * F.log(F.col("__n_docs") / F.col("df")),
+            round2(
+                (F.col("tf").cast("double") / F.col("len"))
+                * F.log(F.col("__n_docs") / F.col("df")),
+                4,
+            ),
         )
     )
     win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
@@ -6380,16 +6416,51 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
 
 
-@query("bm25_topk")  # ln() idf — libm last-ulp variance → rows-only + replica pytest
+@query(
+    "bm25_topk",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+    toks AS (
+        SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+    tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM toks WHERE term IN ('join', 'hash')
+        GROUP BY doc_id, dl, term),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM d),
+    dfm AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT doc_id,
+               CAST(floor(
+                   (ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                    * (tf * 2.2)
+                    / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                   * 10000 + 0.5) / 10000 AS DECIMAL(18,6)) AS term_score
+        FROM tf JOIN dfm USING (term) CROSS JOIN stats)
+    SELECT doc_id, CAST(sum(term_score) AS DOUBLE) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranking (k1=1.2, b=0.75) — the lexical-retrieval baseline
     every hybrid stack starts from. Corpus statistics (N, avgdl, per-
     term df) are one tiny aggregate each, broadcast as 1-or-|query|-row
     scalars; per-doc tf comes from the same filtered-tokenizer pass as
-    search_conjunctive, so only query-term occurrences shuffle. The
-    idf is the Robertson-Sparck-Jones ln form — libm, hence rows-only
-    certification; the pytest replays the exact formula in numpy and
-    pins ranking equality. Top-10 is a heap."""
+    search_conjunctive, so only query-term occurrences shuffle. Top-10
+    is a heap.
+
+    Hash-green despite the Robertson-Sparck-Jones ln idf: each TERM
+    score is rounded to 4dp with the IEEE-pure floor formula (absorbing
+    libm ln's last-ulp variance, same argument as text_tfidf), then the
+    per-doc sum runs in DECIMAL(18,6) — exact and associative, so the
+    aggregation order across partitions can't perturb the total the way
+    a float sum of 3+ terms could. Every other input (tf, dl/avgdl,
+    df) is a single IEEE op, bit-identical by construction. The numpy
+    replica pytest pins the same pipeline end-to-end."""
     from ..operators.skew import spread
     from ..operators.text import tokens
 
@@ -6413,19 +6484,21 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))        # 1 row: bounded
         .select(
             "doc_id",
-            (
+            round2(
                 F.log(
-                    (F.col("n_docs") - F.col("df") + 0.5)
+                    (F.col("n_docs").cast("double") - F.col("df") + 0.5)
                     / (F.col("df") + 0.5) + 1.0
                 )
                 * (F.col("tf") * (k1 + 1))
                 / (F.col("tf")
-                   + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
-            ).alias("term_score"),
+                   + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+                4,
+            ).cast("decimal(18,6)").alias("term_score"),
         )
     )
     return (
-        scored.groupBy("doc_id").agg(F.sum("term_score").alias("bm25"))
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score").cast("double").alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(10)
     )

@@ -110,7 +110,10 @@ def test_bm25_matches_numpy_replica(spark):
         s = 0.0
         for t, f in c.items():
             idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
-            s += idf * (f * (k1 + 1)) / (f + k1 * (1 - b + b * len(docs[i]) / avgdl))
+            raw = idf * (f * (k1 + 1)) / (f + k1 * (1 - b + b * len(docs[i]) / avgdl))
+            # mirror the plan: per-term 4dp IEEE-pure rounding, then an
+            # exact (decimal) sum — makes the score libm-portable
+            s += math.floor(raw * 10000 + 0.5) / 10000
         if c:
             scores[i] = s
     top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
