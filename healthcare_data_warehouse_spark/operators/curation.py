@@ -331,10 +331,19 @@ def weighted_sample(df: DataFrame, weight_col: str, n_per_group: int,
     One shuffle (the per-group top-n window); at 100 TB prefer a
     two-phase top-n (per-partition heads then merge) — same semantics,
     which is exactly what TakeOrderedAndProject does when the group
-    count is 1. Rows-only certification: u^(1/w) rides libm pow, whose
-    last-ulp variance across engines makes value-hash parity against
-    another engine dishonest (the md5 → uniform step itself is exact —
-    see stratified_sample for the hash-parity variant).
+    count is 1.
+
+    Hash-certifiable ranking: the rank key is the LOG-form E-S priority
+    ln(u)/w (order-equivalent to u^(1/w) — ln is monotone — and the
+    numerically better-conditioned variant: u^(1/w) itself crushes all
+    heavy-weight rows into a sliver below 1.0, while ln(u)/w keeps them
+    spread), rounded to 9dp with the IEEE-pure floor formula. The md5 →
+    uniform step is exact on both engines; ln's cross-libm last-ulp
+    variance is absorbed by the rounding (a value must sit within
+    ~1e-16 of a 1e-9 boundary to diverge), and 9dp ties — astronomically
+    rare given the 60-bit uniform — break on the id, identically
+    everywhere. Same ids in, same sample out: no RNG state, no
+    partitioning sensitivity, no engine sensitivity.
 
     Weight domain: A-ES is undefined for w < 0 and w = NULL, and Spark's
     non-ANSI divide would fail silently there (w<0 gives u^(1/w) >= 1,
@@ -353,11 +362,12 @@ def weighted_sample(df: DataFrame, weight_col: str, n_per_group: int,
             F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
         ))
     )
-    # 60 bits of md5 → uniform (0, 1]; +1 avoids u=0 (pow(0, x) = 0
-    # would give all zero-weight-independent priorities)
+    # 60 bits of md5 → uniform (0, 1]; +1 avoids u=0 (ln(0) = -inf
+    # would tie every zero-draw row regardless of weight)
     u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
                 16, 10).cast("double") + 1.0) / float(1 << 60)
-    prio = F.pow(u, 1.0 / guarded)
+    # log-form E-S priority, 9dp IEEE-pure rounding (see docstring)
+    prio = F.floor(F.log(u) / guarded * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
     w = Window.partitionBy(group_col).orderBy(F.desc("__prio"), F.asc(id_col))
     return (
         # w=0: A-ES limit priority 0 — never sampled. NULLs pass through

@@ -5915,13 +5915,32 @@ def ddl_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_weighted")  # libm pow priorities — rows-only + property pytest
+@query(
+    "sample_weighted",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, lang, n_chars,
+               floor(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             ::BIGINT + 1.0) / 1152921504606846976.0)
+                     / CAST(n_chars AS DOUBLE)
+                     * 1000000000 + 0.5) / 1000000000 AS prio
+        FROM documents WHERE n_chars <> 0)
+    SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY prio DESC, doc_id) AS rn
+        FROM p) WHERE rn <= 20
+    """,
+)
 def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus subsample (Efraimidis–Spirakis priorities,
     operators/curation.py weighted_sample): longer documents — the
     n_chars stand-in for a quality score — are proportionally likelier
     to survive, per language, without replacement, bit-reproducible
-    across runs. The 'keep the best 20 per language' curation step."""
+    across runs. The 'keep the best 20 per language' curation step.
+    Hash-green via the log-form priority ln(u)/w rounded 9dp IEEE-pure
+    (order-equivalent to u^(1/w); ln ulp variance absorbed — see the
+    operator docstring)."""
     from ..operators.curation import weighted_sample
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
