@@ -119,10 +119,29 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     ranks = sym_nodes.withColumn("rank", F.lit(1.0))
     for _ in range(n_iter):
         with_deg = ranks.join(out_deg, "node", "left")
+        # Contribution sums run over integer MICRO-UNITS: each per-edge
+        # contribution is quantized to 1e-12 with the IEEE-pure floor
+        # formula (floor(c*1e12 + 0.5) — an exact integer-valued double
+        # for any sane rank magnitude), summed exactly in DECIMAL(38,0),
+        # and scaled back with one double division. Float sums are
+        # partition-order-dependent; exact integer sums are not — so
+        # every iteration's ranks are bit-identical under any
+        # partitioning AND replayable by another engine (double→decimal
+        # casts of FRACTIONAL values disagree across engines — DuckDB
+        # float-scales, Spark rounds the exact expansion — but integral
+        # doubles cast exactly everywhere). The 1e-12 quantization per
+        # edge per iteration is far below any ranking-relevant scale.
+        def _qsum(col):
+            return (
+                F.sum(F.floor(col * F.lit(1e12) + F.lit(0.5))
+                      .cast("decimal(38,0)"))
+                .cast("double") / F.lit(1e12)
+            )
+
         # dangling mass: ranks of nodes with no out-edges, one scalar
         dangling = (
             with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+            .agg(F.coalesce(_qsum(F.col("rank")), F.lit(0.0)).alias("__dm"))
         )
         contrib = (
             edges.join(
@@ -130,7 +149,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 .select("node", (F.col("rank") / F.col("out_deg")).alias("__c")),
                 edges[src] == F.col("node"))
             .groupBy(F.col(dst).alias("node"))
-            .agg(F.sum("__c").alias("__in"))
+            .agg(_qsum(F.col("__c")).alias("__in"))
         )
         ranks = (
             sym_nodes.join(contrib, "node", "left")

@@ -6684,16 +6684,72 @@ def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank")  # float-sum order across partitions — rows-only + replica pytest
+_PAGERANK_ORACLE_HEAD = """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings),
+    sim AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_cosine_similarity(a.emb, b.emb) AS s
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+    nn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY s DESC, dst) AS rn
+            FROM sim) WHERE rn = 1),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM nn UNION ALL SELECT dst FROM nn)),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"""
+
+# CAST(... AS DOUBLE) on every literal: DuckDB would otherwise evaluate
+# 1.0 - 0.85 in exact DECIMAL (= 0.15), while Spark's F.lit(1.0 - 0.85)
+# is the IEEE double 0.15000000000000002 — a last-ulp difference that
+# compounds over iterations.
+_PAGERANK_ORACLE_STEP = """,
+    r{k} AS (
+        SELECT n.node,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+               + CAST(0.85 AS DOUBLE)
+                 * (coalesce(c.inn, CAST(0.0 AS DOUBLE))
+                    + CAST(0.0 AS DOUBLE)) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT nn.dst AS node,
+                   CAST(sum(CAST(floor(r.rank * 1e12 + 0.5)
+                                 AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS inn
+            FROM nn JOIN r{prev} r ON nn.src = r.node
+            GROUP BY nn.dst) c USING (node))"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=_PAGERANK_ORACLE_HEAD
+    + "".join(_PAGERANK_ORACLE_STEP.format(k=k, prev=k - 1)
+              for k in range(1, 11))
+    + """
+    SELECT node, rank FROM r10 ORDER BY rank DESC, node LIMIT 50
+    """,
+)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the embedding nearest-neighbor graph
     (operators/graph.py pagerank, 10 fixed power iterations): which
     vectors sit at the center of their similarity neighborhood — the
     canonical-representative signal near-dup cluster keep-policies use
     beyond plain min-id. Edges are the same per-label top-1 NN pairs
-    embedding_nn_clusters builds; ranks are rows-only certified (the
-    in-neighbor sums are float-order-dependent across partitions) with
-    a numpy power-iteration replica pytest pinning values to 1e-9."""
+    embedding_nn_clusters builds.
+
+    Hash-green: per-iteration in-neighbor sums run over 1e-12
+    integer micro-units summed exactly in DECIMAL(38,0) (associative —
+    partition-order-immune and engine-replayable; fractional
+    double→decimal casts disagree across engines, integral ones don't)
+    while every per-row op is a single IEEE double op, so all 10
+    iterations produce bit-identical ranks on both engines; the oracle
+    unrolls the fixed iteration count as chained CTEs. This NN graph
+    has out_degree exactly 1 for every node (each row emits one top-1
+    edge) and no dangling nodes, which the oracle's simplified blend
+    term ((1-0.85) + 0.85*(in + 0.0)) mirrors literally; the numpy
+    replica pytest additionally pins values to 1e-9."""
     from ..operators.graph import pagerank
     from ..operators.similarity import nn_top1_blas
 
