@@ -233,3 +233,19 @@ def test_nn_top1_blas_matches_naive_argmax(spark):
             emb, "label", "vec_id", "embedding",
             chunk_rows=chunk_rows).collect()}
         assert got == naive, f"chunk_rows={chunk_rows}"
+
+
+def test_nn_top1_blas_exact_ties_break_on_lowest_id(spark):
+    """Cloned vectors make cosine EXACTLY 1.0 against multiple partners —
+    the argmax must break ties on the lowest neighbor id, in both chunk
+    regimes (ties land in the same and in different chunk-pair groups)."""
+    from healthcare_data_warehouse_spark.operators.similarity import nn_top1_blas
+
+    v = [1.0, 2.0, 3.0, 4.0]
+    w = [4.0, -3.0, 2.0, -1.0]  # orthogonal-ish distractor
+    rows = [(0, 1, v), (1, 1, v), (2, 1, v), (3, 1, w)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    for chunk_rows in (1, 2, 100):
+        got = {r["src"]: r["dst"] for r in nn_top1_blas(
+            df, "label", "vec_id", "embedding", chunk_rows=chunk_rows).collect()}
+        assert got[0] == 1 and got[1] == 0 and got[2] == 0, (chunk_rows, got)

@@ -59,6 +59,13 @@ RISKY = [
     "part_supplier_variety",    # anti join + count-distinct over empty
     "text_normalize",           # pure projection over empty corpus
     "sample_weighted",          # weighted top-n window over empty groups
+    "dedup_embedding_cosine",   # GEMM chunk-pair groups over zero vectors
+    "embedding_nn_clusters",    # nn_top1_blas + CC loop over zero vectors
+    "graph_pagerank",           # power iteration over an empty NN graph
+    "vocab_bpe_merges",         # BPE argmax loop over an empty vocabulary
+    "multimodal_audio_meta",    # WAV synth+decode over zero documents
+    "multimodal_image_meta",    # PPM synth+decode over zero documents
+    "ann_pq_topk",              # PQ index build/probe with no query vector
 ]
 
 # Global aggregates legitimately return ONE row on empty input (SQL
