@@ -5731,6 +5731,62 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_navigated_trend",
+    oracle="""
+    SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+               AS month,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS avg_v,
+           min(o_totalprice) AS min_v,
+           max(o_totalprice) AS max_v
+    FROM orders GROUP BY 1
+    """,
+)
+def rollup_navigated_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order trend answered by the AGGREGATE NAVIGATOR
+    (plans/navigator.py): a (month, status)-grain rollup of mergeable
+    partial states materializes once per fact version (content-stamped
+    cache, atomic-rename claim — same discipline as ann_pq_topk's
+    index), and this query's coarser (month) grain re-aggregates those
+    partials — the plan reads ONLY the rollup parquet, never orders.
+    Bit-exact vs the fact-level oracle because the stored sums are
+    DECIMAL (associative): sum-of-sums equals the one-shot sum. The
+    routing is what Catalyst lacks natively (materialized-view
+    rewrite); tests/test_navigator.py pins both the equality and the
+    no-fact-scan plan shape."""
+    import hashlib
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .navigator import Rollup, build_rollup, month_of, navigate, pick_rollup
+
+    src = _os.path.join(sf_dir, "orders.parquet")
+    try:
+        st = _os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = ""
+    tag = hashlib.md5(f"{_os.path.abspath(sf_dir)}|{stamp}".encode()).hexdigest()[:12]
+    path = _os.path.join(tempfile.gettempdir(), f"hdw_rollup_{tag}")
+    rollup = Rollup("orders_month_status", path, ("month", "o_orderstatus"))
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        o = _t(spark, sf_dir, "orders").withColumn("month", month_of("o_orderdate"))
+        build_dir = f"{path}.build{_os.getpid()}"
+        build_rollup(o, ["month", "o_orderstatus"], "o_totalprice",
+                     build_dir, name=rollup.name)
+        try:
+            _os.rename(build_dir, path)
+        except OSError:
+            shutil.rmtree(build_dir, ignore_errors=True)
+    chosen = pick_rollup([rollup], ["month"])
+    assert chosen is not None
+    return navigate(spark, chosen, ["month"])
+
+
+@query(
     "event_transitions",
     oracle="""
     WITH tr AS (
