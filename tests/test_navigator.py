@@ -59,3 +59,56 @@ def test_navigated_plan_never_scans_the_fact(spark, tmp_path):
         df._jdf.queryExecution(), "formatted")
     assert "r2" in plan                      # reads the rollup parquet
     assert "orders.parquet" not in plan      # never the fact
+
+
+def test_incremental_rollup_maintenance_stays_exact(spark, tmp_path):
+    """The full incremental MV loop: fact changes → CDC diff → targeted
+    state refresh (only touched grain keys re-aggregate) → the navigated
+    answer still equals a from-scratch fact aggregation, bit for bit."""
+    from healthcare_data_warehouse_spark.operators.cdc import table_diff
+    from healthcare_data_warehouse_spark.operators.incremental import (
+        refresh_state_from_diff,
+    )
+
+    o_old = _orders_with_month(spark)
+    # new fact version: drop some rows, reprice others, add a clone batch
+    o_new = (
+        o_old.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn("o_totalprice",
+                    F.when(F.col("o_orderkey") % 5 == 0,
+                           F.col("o_totalprice") * 2).otherwise(
+                               F.col("o_totalprice")))
+    )
+
+    grain = ["month", "o_orderstatus"]
+    old_state = spark.read.parquet(
+        build_rollup(o_old, grain, "o_totalprice", str(tmp_path / "s")).path)
+
+    diff = table_diff(
+        o_old.select("o_orderkey", *grain, "o_totalprice"),
+        o_new.select("o_orderkey", *grain, "o_totalprice"),
+        keys=["o_orderkey"], compare_cols=["o_totalprice"])
+    # project the change feed to the grain keys it touched (old OR new
+    # grain values of changed orderkeys)
+    changed_keys = (
+        o_old.join(diff.select("o_orderkey"), "o_orderkey", "left_semi")
+        .select(*grain)
+        .unionByName(
+            o_new.join(diff.select("o_orderkey"), "o_orderkey", "left_semi")
+            .select(*grain))
+        .distinct()
+    )
+
+    new_state = refresh_state_from_diff(
+        old_state, o_new.select(*grain, "o_totalprice"),
+        changed_keys, keys=grain, measure="o_totalprice")
+    new_state.write.mode("overwrite").parquet(str(tmp_path / "s2"))
+    r2 = Rollup("refreshed", str(tmp_path / "s2"), tuple(grain))
+
+    got = {tuple(r) for r in navigate(spark, r2, ["month"]).collect()}
+    scratch = spark.read.parquet(
+        build_rollup(o_new, grain, "o_totalprice",
+                     str(tmp_path / "s3")).path)
+    r3 = Rollup("scratch", str(tmp_path / "s3"), tuple(grain))
+    want = {tuple(r) for r in navigate(spark, r3, ["month"]).collect()}
+    assert got == want
