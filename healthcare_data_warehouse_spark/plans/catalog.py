@@ -1341,8 +1341,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_lsh_topk")  # approximate candidates — rows-only
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH bucketed approximate top-k — the 100 TB path (score one
-    bucket, not the corpus)."""
+    """Multi-probe SRP-LSH approximate top-k — score the query's bucket
+    plus its Hamming-1 sign-flip neighbors (Lv et al. 2007), not the
+    corpus. On weakly-clustered corpora recall needs either wider
+    probing or multiple tables — tools/ann_quality.py MEASURES the
+    recall/selectivity curve (docs/SHUFFLES.md); IVF/PQ with exact
+    re-rank are the measured winners on this corpus."""
     from ..operators.similarity import lsh_topk
 
     return lsh_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
