@@ -214,6 +214,46 @@ def lsh_topk(df: DataFrame, query_vec_id: int, k: int = 10, n_planes: int = 8,
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
+def lsh_topk_multitable(df: DataFrame, query_vec_id: int, k: int = 10,
+                        n_planes: int = 5, n_tables: int = 4,
+                        probe_hamming: int = 1,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        dim: int = 64) -> DataFrame:
+    """Multi-TABLE SRP-LSH: ``n_tables`` independent plane sets; a row is
+    a candidate if ANY table places it within ``probe_hamming`` flips of
+    the query — the standard recall lever (Indyk–Motwani style L-table
+    OR-construction) when one table's all-signs-agree probability
+    starves. Recall ≈ 1 - (1 - p_table)^L for per-table hit rate
+    p_table, at the cost of L× the candidate sets.
+
+    Shape: all L buckets ride in ONE projection pass (L bucket columns,
+    one scan), the candidate predicate is an OR over per-table Hamming
+    tests against the broadcast 1-row query, and every candidate is
+    scored with the exact cosine. At ingest the L bucket columns are
+    stored; probing is L bucket-pruned scans unioned before the exact
+    re-rank."""
+    rng_tables = [random_hyperplanes(dim, n_planes, seed=42 + 1000 * t)
+                  for t in range(n_tables)]
+    out = df
+    for t, planes in enumerate(rng_tables):
+        out = out.withColumn(f"__b{t}", srp_bucket(F.col(vec_col), planes))
+    qrow = out.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qv"),
+        *[F.col(f"__b{t}").alias(f"__qb{t}") for t in range(n_tables)],
+    )
+    hit = None
+    for t in range(n_tables):
+        h = F.bit_count(F.col(f"__b{t}").bitwiseXOR(F.col(f"__qb{t}"))) <= probe_hamming
+        hit = h if hit is None else (hit | h)
+    scored = (
+        out.crossJoin(F.broadcast(qrow))
+        .filter(hit & (F.col(id_col) != query_vec_id))
+        .select(id_col, "label",
+                cosine(F.col(vec_col), F.col("__qv")).alias("cosine_sim"))
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
 def pq_topk(df: DataFrame, query_vec_id: int, k: int = 10, m: int = 8,
             codebook_k: int = 16, refine: int = 50,
             vec_col: str = "embedding", id_col: str = "vec_id",

@@ -1352,6 +1352,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
+@query("ann_lsh_multitable")  # approximate candidates — rows-only + recall pytest
+def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-table SRP-LSH (OR-construction) approximate top-k: 4 tables x
+    5 planes, Hamming-1 probed — the measured recall lever
+    (tools/ann_quality.py: 0.85 recall@10 vs 0.09 for one probed
+    table on the sf0.1 corpus). One projection pass computes all L
+    bucket columns; at ingest they are stored and probing is L
+    bucket-pruned scans unioned before the exact cosine re-rank."""
+    from ..operators.similarity import lsh_topk_multitable
+
+    return lsh_topk_multitable(_t(spark, sf_dir, "embeddings"),
+                               query_vec_id=0, k=10)
+
+
 @query(
     "multimodal_features",
     oracle="""

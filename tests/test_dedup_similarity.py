@@ -249,3 +249,28 @@ def test_nn_top1_blas_exact_ties_break_on_lowest_id(spark):
         got = {r["src"]: r["dst"] for r in nn_top1_blas(
             df, "label", "vec_id", "embedding", chunk_rows=chunk_rows).collect()}
         assert got[0] == 1 and got[1] == 0 and got[2] == 0, (chunk_rows, got)
+
+
+def test_lsh_multitable_scores_exact_and_beats_single_table(spark):
+    """Multi-table SRP-LSH: candidate scores are exact cosines, the
+    result is a subset of the brute-force ordering, and the L-table
+    OR-construction recalls at least as much of the true top-10 as one
+    table (the measured reason it exists: one table starves)."""
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        brute_force_topk, lsh_topk, lsh_topk_multitable)
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {r["vec_id"]: r["cosine_sim"]
+             for r in brute_force_topk(emb, 0, k=10**6).collect()}
+    top10 = set(list({k: v for k, v in sorted(
+        exact.items(), key=lambda kv: (-kv[1], kv[0]))})[:10])
+
+    multi = lsh_topk_multitable(emb, 0, k=10, n_planes=5, n_tables=4).collect()
+    single = lsh_topk(emb, 0, k=10, n_planes=8, probe_hamming=1).collect()
+    for r in multi:
+        assert abs(r["cosine_sim"] - exact[r["vec_id"]]) < 1e-12
+    rec_m = len({r["vec_id"] for r in multi} & top10)
+    rec_s = len({r["vec_id"] for r in single} & top10)
+    assert rec_m >= rec_s
+    assert rec_m >= 3  # 4-table probed recall is far above starvation

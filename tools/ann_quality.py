@@ -29,6 +29,7 @@ def main() -> None:
         brute_force_topk,
         ivf_topk,
         lsh_topk,
+        lsh_topk_multitable,
         pq_topk,
     )
     from healthcare_data_warehouse_spark.session import get_spark
@@ -68,6 +69,8 @@ def main() -> None:
             emb, q, k=k, n_planes=8, probe_hamming=0),
         "SRP-LSH multi-probe H<=1": lambda q: lsh_topk(
             emb, q, k=k, n_planes=8, probe_hamming=1),
+        "SRP-LSH 4 tables x 5 planes, H<=1": lambda q: lsh_topk_multitable(
+            emb, q, k=k, n_planes=5, n_tables=4, probe_hamming=1),
         "IVF train-per-call (16 lists, probe 4)": lambda q: ivf_topk(
             emb, q, k=k, n_lists=16, n_probe=4),
         "IVF indexed (16 lists, probe 4)": lambda q: ivf_topk_indexed(
