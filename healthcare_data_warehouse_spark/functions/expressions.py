@@ -87,6 +87,43 @@ def hash_uniform(key: Column | str, salt: str = DP_HASH_SALT) -> Column:
     return (v + F.lit(0.5)) / F.lit(_TWO_POW_52)
 
 
+def hash52(col: Column | str, salt: str = "") -> Column:
+    """52-bit hash in [0, 2^52) from the top 13 hex chars of md5(salt||col).
+
+    The oracle-replayable stand-in for ``F.xxhash64``: DuckDB has no
+    xxhash, but md5 is bit-identical in both engines, so any operator
+    whose output depends on hash VALUES (MinHash signatures, SimHash
+    bits, CMS buckets, LSH bands) becomes hash-certifiable by swapping
+    its hash family to this. DuckDB side: ``ohash52``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
+
+
+def ohash52(sql: str, salt: str = "") -> str:
+    """DuckDB-SQL fragment bit-equivalent to ``hash52``."""
+    return (f"(('0x' || substr(md5('{salt}' || CAST({sql} AS VARCHAR)), 1, 13))"
+            f"::BIGINT)")
+
+
+def md5hex(col: Column | str, salt: str = "") -> Column:
+    """md5(salt||col) hex Column — slice disjoint hex ranges with
+    ``hexslice`` to derive SEVERAL independent sub-hashes from ONE md5
+    evaluation (whole-stage codegen's common-subexpression elimination
+    computes the md5 once however many slices reference it). 32 hex chars
+    = 128 bits to budget across slices."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.concat(F.lit(salt), c.cast("string")))
+
+
+def hexslice(m: Column, start: int, n_hex: int) -> Column:
+    """Long from ``n_hex`` hex chars of an md5 Column at 1-based ``start``
+    (n_hex ≤ 15 keeps the value positive in a signed long). DuckDB side:
+    ``('0x' || substr(m, start, n_hex))::BIGINT``."""
+    return F.conv(F.substring(m, start, n_hex), 16, 10).cast("long")
+
+
 def laplace_noise_hash(key: Column | str, epsilon: float = DP_EPSILON,
                        sensitivity: float = DP_SENSITIVITY,
                        salt: str = DP_HASH_SALT) -> Column:

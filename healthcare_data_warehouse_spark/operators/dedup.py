@@ -24,7 +24,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.expressions import hash52, hexslice, md5hex
 from .text import tokens
+
+# Salts naming the independent hash functions of the dedup family. All
+# hashes here are md5-derived (``hash52``/``md5hex``) rather than xxhash64
+# so the DuckDB oracle can replay signatures, buckets, and candidate pairs
+# bit-for-bit — xxhash64 exists only in Spark, and a hash-dependent
+# output can't be certified without the identical hash on both sides.
+# MinHash draws BOTH Kirsch-Mitzenmacher base hashes from disjoint bit
+# ranges of ONE md5 (hex 1-13 → h1, hex 14-21 → h2): md5 bits are
+# independent, and codegen's subexpression elimination evaluates the md5
+# once per shingle.
+MINHASH_SALT = "mh:"
+BAND_SALT = "bh:"
+SIMHASH_SALT = "sx:"
+
+
+def _mh_pair(s: Column) -> tuple[Column, Column]:
+    """(h1, h2) minhash base hashes from one md5 of a shingle."""
+    m = md5hex(s, MINHASH_SALT)
+    return hexslice(m, 1, 13), F.pmod(hexslice(m, 14, 8), F.lit(2**31))
 
 # ---------------------------------------------------------------------------
 # Shingles
@@ -77,9 +97,10 @@ def drop_exact_dups(df: DataFrame, text_col: str = "text",
 
 def minhash_signature(text: Column | str, num_hashes: int = 16, n: int = 3) -> Column:
     """MinHash signature as a single array Column. Hash family is
-    Kirsch-Mitzenmacher: h_j(s) = h1(s) + j·h2(s) from TWO base xxhash64
+    Kirsch-Mitzenmacher: h_j(s) = h1(s) + j·h2(s) from TWO base md5
     evaluations per shingle (standard for MinHash/Bloom families — j
-    independent-enough permutations at 2 hashes of cost). NOTE: nested
+    independent-enough permutations at 2 hashes of cost; md5-derived so
+    the DuckDB oracle replays identical signatures). NOTE: nested
     array lambdas run interpreted (no codegen) — fine for expression-level
     use on small relations; the bulk pipeline uses
     ``minhash_signatures_df`` (explode + groupBy, fully codegen'd, same
@@ -88,8 +109,8 @@ def minhash_signature(text: Column | str, num_hashes: int = 16, n: int = 3) -> C
     pairs = F.transform(
         sh,
         lambda s: F.struct(
-            F.pmod(F.xxhash64(s), F.lit(2**61)).alias("a"),
-            F.pmod(F.xxhash64(s, F.lit(1)), F.lit(2**31)).alias("b"),
+            _mh_pair(s)[0].alias("a"),
+            _mh_pair(s)[1].alias("b"),
         ),
     )
     return F.transform(
@@ -102,9 +123,11 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text", id_col: str = "
                           num_hashes: int = 16, n: int = 3) -> DataFrame:
     """MinHash signatures the scale way: explode shingles, one hash-agg
     with ``num_hashes`` MIN columns — whole-stage codegen end to end, one
-    shuffle on the doc id. Each exploded row computes TWO xxhash64 values
-    (h1, h2); the j-th permutation is h1 + j·h2 (Kirsch-Mitzenmacher), so
-    hashing cost is O(2) per shingle instead of O(num_hashes).
+    shuffle on the doc id. Each exploded row computes TWO md5-derived
+    hashes (h1, h2); the j-th permutation is h1 + j·h2
+    (Kirsch-Mitzenmacher), so hashing cost is O(2) per shingle instead of
+    O(num_hashes), and the DuckDB oracle replays the signatures exactly
+    (see ``hash52``).
 
     The input is repartitioned by ``id_col`` FIRST: document corpora often
     arrive as few large files (one scan partition per file), and
@@ -124,10 +147,10 @@ def minhash_signatures_df(df: DataFrame, text_col: str = "text", id_col: str = "
         F.col(id_col), F.explode(shingles(text_col, n)).alias("__s")
     ).select(
         id_col,
-        # pmod keeps h1 + j·h2 inside long range (ANSI overflow-safe):
-        # h1 < 2^61, j·h2 < num_hashes·2^31 ≪ 2^62.
-        F.pmod(F.xxhash64("__s"), F.lit(2**61)).alias("__h1"),
-        F.pmod(F.xxhash64("__s", F.lit(1)), F.lit(2**31)).alias("__h2"),
+        # h1 + j·h2 stays inside long range (ANSI overflow-safe):
+        # h1 < 2^52, j·h2 < num_hashes·2^31 ≪ 2^62.
+        _mh_pair(F.col("__s"))[0].alias("__h1"),
+        _mh_pair(F.col("__s"))[1].alias("__h2"),
     )
     aggs = [
         F.min(F.col("__h1") + F.lit(j) * F.col("__h2")).alias(f"h{j}")
@@ -160,9 +183,10 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(
+            hash52(
                 F.concat_ws(",", *[F.col(f"h{b * rows_per_band + r}")
-                                   for r in range(rows_per_band)])
+                                   for r in range(rows_per_band)]),
+                BAND_SALT,
             ).alias("band_hash"),
         )
         for b in range(bands)
@@ -193,13 +217,14 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 
 def simhash64(text: Column | str, bits: int = 48) -> Column:
-    """SimHash signature: per-token xxhash64, bit-position votes, sign of
-    the vote sum per bit. Native array aggregation — no UDF. 48 bits keeps
+    """SimHash signature: per-token md5-derived hash (``hash52`` — oracle-
+    replayable), bit-position votes, sign of the vote sum per bit. Native
+    array aggregation — no UDF. 48 bits (≤ the 52 hash bits) keeps
     every power of two exactly representable through the double-based
     bit mask (F.shiftleft requires a Python int, so inside SQL lambdas the
     mask is pow(2, i) — exact for powers of two up to 2^53)."""
     toks = F.array_distinct(tokens(text))
-    hashes = F.transform(toks, lambda w: F.xxhash64(w))
+    hashes = F.transform(toks, lambda w: hash52(w, SIMHASH_SALT))
 
     def pow2(i: Column) -> Column:
         return F.pow(F.lit(2.0), i.cast("double")).cast("long")
@@ -237,7 +262,7 @@ def simhash_signatures_df(df: DataFrame, text_col: str = "text", id_col: str = "
     toks = spread(df, id_col).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("__w")
     )
-    h = F.xxhash64("__w")
+    h = hash52("__w", SIMHASH_SALT)
     vote_aggs = [
         F.sum(F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)

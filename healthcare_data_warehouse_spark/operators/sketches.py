@@ -37,13 +37,22 @@ SEED = 1789
 
 
 def _cells(col: str, depth: int, width: int, seed: int):
-    """The depth (h, bucket) cells for a value — xxhash64 seeded per row
-    gives depth independent hash functions, JVM-side."""
+    """The depth (h, bucket) cells for a value — depth independent hash
+    functions from DISJOINT 6-hex slices of ONE md5 (row h reads hex
+    chars 1+6h..6+6h; md5 bits are independent, and codegen's
+    common-subexpression elimination evaluates the md5 once per value).
+    Bit-replayable by the DuckDB oracle:
+    ``('0x' || substr(md5('cms{seed}:' || v), 1+6*h, 6))::BIGINT % width``.
+    Needs depth ≤ 5 at 6 hex per row (32 hex available)."""
+    from ..functions.expressions import hexslice, md5hex
+
+    if depth > 5:
+        raise ValueError("_cells: depth > 5 exceeds the md5 hex budget")
+    m = md5hex(F.col(col), f"cms{seed}:")
     return F.array(*[
         F.struct(
             F.lit(h).alias("h"),
-            F.pmod(F.xxhash64(F.col(col), F.lit(seed + h)), F.lit(width))
-             .alias("bucket"),
+            F.pmod(hexslice(m, 1 + 6 * h, 6), F.lit(width)).alias("bucket"),
         )
         for h in range(depth)
     ])

@@ -36,6 +36,7 @@ from ..functions.expressions import (
     davg,
     dsum,
     round2,
+    ohash52,
     olaplace_noise,
     visit_cohort,
     with_privacy_noise_hash,
@@ -1292,28 +1293,133 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(d, F.col("doc_id") % 7 == 0)
 
 
-@query("dedup_minhash_lsh")  # Spark-specific xxhash64 → rows-only
+# MinHash signature CTEs shared by the LSH oracle: same shingles as the
+# rare-shingle oracle, Kirsch-Mitzenmacher h1 + j·h2 permutations from two
+# md5-derived base hashes (bit-identical to operators/dedup.py hash52 use).
+_MINHASH_SIG_CTES = r"""
+    t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(m, 1, 13))::BIGINT AS a,
+               (('0x' || substr(m, 14, 8))::BIGINT % 2147483648) AS b
+        FROM (SELECT doc_id, md5('mh:' || s) AS m
+              FROM (SELECT doc_id, unnest(sh) AS s FROM t))),
+    sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id)
+""".format(
+    mins=", ".join(f"min(a + {j} * b) AS h{j}" for j in range(16)),
+)
+
+_MINHASH_BANDS_SQL = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, {bh} AS band_hash FROM sig".format(
+        b=b,
+        bh=ohash52(
+            " || ',' || ".join(f"CAST(h{4 * b + r} AS VARCHAR)" for r in range(4)),
+            "bh:",
+        ),
+    )
+    for b in range(4)
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_SIG_CTES},
+    banded AS ({_MINHASH_BANDS_SQL}),
+    capped AS (
+        SELECT doc_id, band, band_hash FROM (
+            SELECT doc_id, band, band_hash,
+                   count(*) OVER (PARTITION BY band, band_hash) AS n
+            FROM banded)
+        WHERE n <= 64)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + 4-band LSH candidate pairs — the scale path for
-    near-dup mining (single bucket-join shuffle, no O(n²))."""
+    near-dup mining (single bucket-join shuffle, no O(n²)). Hash-green:
+    the md5-derived hash family (``hash52``) lets the oracle replay
+    signatures, band hashes, the ≤64 bucket cap, and the within-bucket
+    pair join bit-for-bit."""
     from ..operators.dedup import lsh_candidate_pairs
 
     return lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
 
 
-@query("dedup_simhash")  # Spark-specific xxhash64 → rows-only
+# SimHash signature CTEs shared by the signature-group and near-pair
+# oracles: per-token hash52 bits, ±1 votes per bit position, sign of the
+# vote sum assembled into the 48-bit signature.
+_SIMHASH_SIG_CTES = r"""
+    tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS w
+        FROM documents),
+    hh AS (SELECT doc_id, {hw} AS h FROM tok),
+    votes AS (
+        SELECT doc_id, g.i AS i,
+               sum(CASE WHEN ((h >> g.i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        FROM hh, (SELECT unnest(generate_series(0, 47)) AS i) g
+        GROUP BY doc_id, g.i),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id)
+""".format(hw=ohash52("w", "sx:"))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_CTES}
+    SELECT simhash, count(*) AS doc_count, min(doc_id) AS keep_id
+    FROM sig GROUP BY simhash
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures grouped by exact signature match."""
+    """48-bit SimHash signatures grouped by exact signature match.
+    Hash-green: per-token ``hash52`` bits make the bit-vote signature
+    replayable in DuckDB (bitwise shift/and + vote-sign CTEs)."""
     from ..operators.dedup import simhash_groups
 
     return simhash_groups(_t(spark, sf_dir, "documents"))
 
 
-@query("dedup_simhash_near")  # Spark-specific xxhash64 → rows-only
+@query(
+    "dedup_simhash_near",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_CTES},
+    banded AS (
+        SELECT doc_id, simhash, c.c AS chunk,
+               ((simhash >> (c.c * 12)) & 4095) AS chunk_val
+        FROM sig, (SELECT unnest(generate_series(0, 3)) AS c) c),
+    capped AS (
+        SELECT doc_id, simhash, chunk, chunk_val FROM (
+            SELECT doc_id, simhash, chunk, chunk_val,
+                   count(*) OVER (PARTITION BY chunk, chunk_val) AS n
+            FROM banded)
+        WHERE n <= 64)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM capped a JOIN capped b
+      ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs (hamming ≤ 3) via pigeonhole chunk
     buckets — 4×12-bit chunks of the 48-bit signature guarantee any
-    qualifying pair shares a bucket; never an n² join."""
+    qualifying pair shares a bucket; never an n² join. Hash-green via
+    the md5-derived signature (see ``dedup_simhash``)."""
     from ..operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(_t(spark, sf_dir, "documents"))
@@ -1339,27 +1445,87 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
-@query("ann_lsh_topk")  # approximate candidates — rows-only
+def _srp_bucket_sql(planes, evar: str = "e") -> str:
+    """DuckDB SRP bucket expression replaying operators/similarity.py
+    srp_bucket bit-for-bit: the plane constants are the same numpy
+    Gaussians baked as repr() literals (exact double round-trip), and
+    DuckDB's list_dot_product over DOUBLE[] matches Spark's sequential
+    zip_with/aggregate double fold (the property ann_cosine_topk's
+    hash-match already certifies)."""
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({evar}, {arr}) >= 0"
+            f" THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_lsh_oracle() -> str:
+    from ..operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(64, 8)
+    return f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    b AS (SELECT vec_id, label, e, {_srp_bucket_sql(planes)} AS bucket FROM v),
+    q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT b.vec_id, b.label, list_cosine_similarity(b.e, q.qe) AS cosine_sim
+    FROM b, q
+    WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.qb)) <= 1
+    ORDER BY cosine_sim DESC, b.vec_id
+    LIMIT 10
+    """
+
+
+@query("ann_lsh_topk", oracle=_ann_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe SRP-LSH approximate top-k — score the query's bucket
     plus its Hamming-1 sign-flip neighbors (Lv et al. 2007), not the
     corpus. On weakly-clustered corpora recall needs either wider
     probing or multiple tables — tools/ann_quality.py MEASURES the
     recall/selectivity curve (docs/SHUFFLES.md); IVF/PQ with exact
-    re-rank are the measured winners on this corpus."""
+    re-rank are the measured winners on this corpus. Hash-green: the
+    oracle replays the sign-bit buckets from the same plane literals
+    (see ``_srp_bucket_sql``), so candidates AND scores match exactly."""
     from ..operators.similarity import lsh_topk
 
     return lsh_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
-@query("ann_lsh_multitable")  # approximate candidates — rows-only + recall pytest
+def _ann_lsh_multitable_oracle() -> str:
+    from ..operators.similarity import random_hyperplanes
+
+    buckets = []
+    for t in range(4):
+        planes = random_hyperplanes(64, 5, seed=42 + 1000 * t)
+        buckets.append(_srp_bucket_sql(planes, evar="e"))
+    bcols = ", ".join(f"{b} AS b{t}" for t, b in enumerate(buckets))
+    qcols = ", ".join(f"b{t} AS qb{t}" for t in range(4))
+    hit = " OR ".join(f"bit_count(xor(b.b{t}, q.qb{t})) <= 1" for t in range(4))
+    return f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    b AS (SELECT vec_id, label, e, {bcols} FROM v),
+    q AS (SELECT e AS qe, {qcols} FROM b WHERE vec_id = 0)
+    SELECT b.vec_id, b.label, list_cosine_similarity(b.e, q.qe) AS cosine_sim
+    FROM b, q
+    WHERE b.vec_id <> 0 AND ({hit})
+    ORDER BY cosine_sim DESC, b.vec_id
+    LIMIT 10
+    """
+
+
+@query("ann_lsh_multitable", oracle=_ann_lsh_multitable_oracle())
 def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L-table SRP-LSH (OR-construction) approximate top-k: 4 tables x
     5 planes, Hamming-1 probed — the measured recall lever
     (tools/ann_quality.py: 0.85 recall@10 vs 0.09 for one probed
     table on the sf0.1 corpus). One projection pass computes all L
     bucket columns; at ingest they are stored and probing is L
-    bucket-pruned scans unioned before the exact cosine re-rank."""
+    bucket-pruned scans unioned before the exact cosine re-rank.
+    Hash-green via the replayed plane literals (``_srp_bucket_sql``)."""
     from ..operators.similarity import lsh_topk_multitable
 
     return lsh_topk_multitable(_t(spark, sf_dir, "embeddings"),
@@ -2414,11 +2580,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(spark, index_dir, qvec, k=10, n_probe=4, exclude_id=0)
 
 
-@query("stream_user_profiles")  # stateful streaming op — rows-only
+@query(
+    "stream_user_profiles",
+    oracle="""
+    SELECT user_id, count(*) AS total_events,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): final
-    per-user profiles after draining the stream. Batch-invariant columns
-    (totals) are pytest-checked against the batch twin."""
+    per-user profiles after draining the stream. Hash-green on the
+    batch-invariant columns: state carries total_value as exact integer
+    micro-units (associative int64 sums — independent of micro-batch
+    boundaries), so the drained totals bit-match the oracle's one-shot
+    aggregate — the stream ≡ batch contract, driver-checked. The
+    ``bursts`` column (by construction a property of micro-batch
+    boundaries, not of the data) stays out of the certified projection
+    and is covered by tests/test_stateful_ivf.py."""
     from ..streaming.pipelines import run_stream_to_memory
     from ..streaming.stateful import streaming_user_profiles
 
@@ -2434,7 +2614,7 @@ def stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .select("user_id", "total_events", "total_value")
     )
 
 
@@ -2499,16 +2679,48 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("token_heavy_hitters")  # CMS estimates use Spark xxhash64 → rows-only
+# CMS bucket expression: depth row h reads its own disjoint 6-hex slice
+# of one md5 — bit-identical to operators/sketches.py _cells
+# (DEPTH=5, WIDTH=2048, SEED=1789).
+_CMS_BUCKET = ("(('0x' || substr(md5('cms1789:' || {t}), 1 + 6 * {d}.h, 6))"
+               "::BIGINT % 2048)")
+
+
+@query(
+    "token_heavy_hitters",
+    oracle=rf"""
+    WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+               FROM documents),
+    depths AS (SELECT unnest(generate_series(0, 4)) AS h),
+    cms AS (
+        SELECT h, bucket, count(*) AS cnt FROM (
+            SELECT d.h AS h, {_CMS_BUCKET.format(d='d', t='w.token')} AS bucket
+            FROM w, depths d)
+        GROUP BY h, bucket),
+    cand AS (SELECT DISTINCT token FROM w),
+    cc AS (
+        SELECT cand.token, d.h AS h,
+               {_CMS_BUCKET.format(d='d', t='cand.token')} AS bucket
+        FROM cand, depths d),
+    est AS (
+        SELECT cc.token, min(coalesce(cms.cnt, 0)) AS est_count
+        FROM cc LEFT JOIN cms ON cms.h = cc.h AND cms.bucket = cc.bucket
+        GROUP BY cc.token)
+    SELECT token, est_count FROM est
+    ORDER BY est_count DESC, token LIMIT 20
+    """,
+)
 def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus tokens by count-min-sketch estimate
     (operators/sketches.py). The 100 TB shape: the sketch is a bounded
     depth×width relation built in one explode+groupBy pass and persisted
     at ingest; repeated frequency questions then join candidates against
-    the sketch instead of rescanning the corpus. Exact counterpart for
-    certification: ``text_token_stats`` (same tokenizer, oracle-matched).
-    Estimates are pytest-pinned to never undercount and stay within the
-    eps·N CMS bound (tests/test_sketches.py)."""
+    the sketch instead of rescanning the corpus. Hash-green: md5-derived
+    CMS cells let the oracle rebuild the identical sketch and replay the
+    min-over-depth estimates. Exact counterpart for certification:
+    ``text_token_stats`` (same tokenizer, oracle-matched). Estimates are
+    pytest-pinned to never undercount and stay within the eps·N CMS
+    bound (tests/test_sketches.py)."""
     from ..operators.sketches import heavy_hitters
     from ..operators.skew import spread
     from ..operators.text import tokens

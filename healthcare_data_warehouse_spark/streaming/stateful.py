@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, total_events long, total_value double, bursts long"
-STATE_SCHEMA = "total_events long, total_value double, bursts long"
+# total_value is carried as EXACT integer 1e-4 micro-units (the same
+# discipline as the decimal-exact batch aggregates): a float running sum
+# would depend on micro-batch boundaries and pandas' pairwise summation,
+# so the drained result could never hash-match a one-shot oracle. The
+# int64 sum is associative — stream ≡ batch bit-for-bit.
+STATE_SCHEMA = "total_events long, micro_value long, bursts long"
 
 HIGH_VALUE = 150.0
 BURST_N = 3
@@ -32,22 +37,27 @@ def _update_profile(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Fold each micro-batch of one user's events into the running state."""
+    import numpy as np
+
     (user_id,) = key
     if state.exists:
-        total_events, total_value, bursts = state.get
+        total_events, micro_value, bursts = state.get
     else:
-        total_events, total_value, bursts = 0, 0.0, 0
+        total_events, micro_value, bursts = 0, 0, 0
 
     for pdf in batches:
         total_events += len(pdf)
-        total_value += float(pdf["value"].sum())
+        # floor(v·1e4 + 0.5): the repo-wide half-up micro-unit round —
+        # pure IEEE arithmetic, replayed verbatim by the DuckDB oracle.
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        micro_value += int(np.floor(v * 10000.0 + 0.5).astype(np.int64).sum())
         if int((pdf["value"] > HIGH_VALUE).sum()) >= BURST_N:
             bursts += 1
 
-    state.update((total_events, total_value, bursts))
+    state.update((total_events, micro_value, bursts))
     yield pd.DataFrame(
         {"user_id": [user_id], "total_events": [total_events],
-         "total_value": [total_value], "bursts": [bursts]}
+         "total_value": [micro_value / 10000.0], "bursts": [bursts]}
     )
 
 
