@@ -7639,7 +7639,66 @@ def user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_top_eigen")  # float-sum order across partitions — rows-only + replica pytest
+# Micro-unit scales for the bit-reproducible power iteration: per-row
+# contributions are floor(x·Q + 0.5)-quantized to int64 before the
+# cross-row sum, making every aggregate partition-order-immune and
+# replayable by the oracle (the graph_pagerank discipline). Range check
+# at sf1 (60k rows, |x|≤4, |x·v|≤32): contrib sums < 8e15, d²/‖x‖² sums
+# < 7e16 — inside int64; norm² uses exact Python/HUGEINT integers.
+_EIG_Q = 1 << 30
+_EIG_QMU = 1 << 24
+_EIG_DIM = 64
+_EIG_ROUNDS = 8
+
+
+def _top_eigen_oracle(dim: int = _EIG_DIM, rounds: int = _EIG_ROUNDS) -> str:
+    """Unrolled-CTE replay of embedding_top_eigen: each round re-derives
+    v from integer micro-unit sums, so the doubles agree bit-for-bit
+    with the Spark/driver loop at every iteration."""
+    q, qmu = _EIG_Q, _EIG_QMU
+    cx_terms = ", ".join(f"(e[{i}] - mu[{i}])" for i in range(1, dim + 1))
+    v0 = ", ".join(["0.125"] * dim)
+    parts = [f"""
+    v0 AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    grid AS (SELECT unnest(generate_series(1, {dim})) AS i),
+    mup AS (
+        SELECT g.i AS pos,
+               CAST(sum(CAST(floor(e[g.i] * {qmu} + 0.5) AS BIGINT)) AS DOUBLE)
+                   / (count(*) * {qmu}.0) AS m
+        FROM v0, grid g GROUP BY g.i),
+    mua AS (SELECT list(m ORDER BY pos) AS mu FROM mup),
+    cx AS MATERIALIZED (SELECT [{cx_terms}] AS x FROM v0, mua),
+    r0 AS (SELECT [{v0}]::DOUBLE[] AS v)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+    d{k} AS (SELECT x, list_dot_product(x, r.v) AS d FROM cx, r{k - 1} r),
+    s{k} AS (SELECT g.i AS pos,
+                    CAST(sum(CAST(floor(x[g.i] * d * {q} + 0.5) AS BIGINT))
+                         AS BIGINT) AS si
+             FROM d{k}, grid g GROUP BY g.i),
+    n{k} AS (SELECT sqrt(CAST(sum(CAST(si AS HUGEINT) * si) AS DOUBLE))
+                    / {q}.0 AS nrm FROM s{k}),
+    r{k} AS MATERIALIZED (
+        SELECT list((CAST(si AS DOUBLE) / {q}.0) / n.nrm ORDER BY pos) AS v
+        FROM s{k}, n{k} n GROUP BY n.nrm)""")
+    parts.append(f""",
+    fin AS (SELECT x, list_dot_product(x, r.v) AS d FROM cx, r{rounds} r),
+    stats AS (
+        SELECT CAST(sum(CAST(floor(d * d * {q} + 0.5) AS BIGINT)) AS DOUBLE)
+               / CAST(sum(CAST(floor(list_dot_product(x, x) * {q} + 0.5)
+                               AS BIGINT)) AS DOUBLE) AS share
+        FROM fin),
+    sgn AS (SELECT CASE WHEN list_filter(r.v, c -> abs(c) > 1e-12)[1] < 0
+                        THEN -1.0 ELSE 1.0 END AS s
+            FROM r{rounds} r)
+    SELECT stats.share AS explained_var_share,
+           {", ".join(f"r.v[{i}] * sgn.s AS c{i}" for i in range(1, 9))}
+    FROM stats, sgn, r{rounds} r
+    """)
+    return "WITH" + "".join(parts)
+
+
+@query("embedding_top_eigen", oracle=_top_eigen_oracle())
 def embedding_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the (centered) embedding cloud by
     MATRIX-FREE power iteration — PCA's first component without ever
@@ -7651,24 +7710,35 @@ def embedding_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding table can actually afford. 8 fixed iterations from a
     deterministic start; sign fixed by the first nonzero component.
     Output: explained-variance share + the leading 8 components.
-    Rows-only: partition-order float sums."""
+    Hash-green: every cross-row sum is quantized to int64 micro-units
+    first (floor(·2^30 + 0.5)) — partition-order-immune AND replayed by
+    the oracle's unrolled 8-round CTE chain; the norm uses exact integer
+    Σsi² (Python bigint ≡ DuckDB HUGEINT), so the normalized doubles
+    agree bit-for-bit every round."""
     import math
 
     emb = _t(spark, sf_dir, "embeddings")
+    out_schema = ("explained_var_share double, " +
+                  ", ".join(f"c{i} double" for i in range(1, 9)))
     if emb.isEmpty():
-        return spark.createDataFrame(
-            [], "explained_var_share double, components array<double>")
-    mean = emb.select(
-        F.posexplode("embedding").alias("pos", "val")
-    ).groupBy("pos").agg(F.avg("val").alias("mu")).orderBy("pos").collect()
-    mu = [r["mu"] for r in mean]
+        return spark.createDataFrame([], out_schema)
+    q, qmu = float(_EIG_Q), float(_EIG_QMU)
+    mean_rows = (
+        emb.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos").agg(
+            F.sum(F.floor(F.col("val").cast("double") * qmu + F.lit(0.5))
+                  .cast("long")).alias("si"),
+            F.count(F.lit(1)).alias("n"))
+        .orderBy("pos").collect()
+    )
+    mu = [r["si"] / (r["n"] * qmu) for r in mean_rows]
     dim = len(mu)
     mu_lit = F.array(*[F.lit(float(v)) for v in mu])
     centered = emb.select(
         F.zip_with("embedding", mu_lit,
                    lambda x, m: x.cast("double") - m).alias("x"))
     v = [1.0 / math.sqrt(dim)] * dim
-    for _ in range(8):
+    for _ in range(_EIG_ROUNDS):
         v_lit = F.array(*[F.lit(float(c)) for c in v])
         dot_xv = F.aggregate(
             F.zip_with("x", v_lit, lambda a, b: a * b),
@@ -7677,28 +7747,32 @@ def embedding_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
             centered.select(
                 F.posexplode(F.transform("x", lambda a: a * dot_xv))
                 .alias("pos", "contrib"))
-            .groupBy("pos").agg(F.sum("contrib").alias("s"))
+            .groupBy("pos").agg(
+                F.sum(F.floor(F.col("contrib") * q + F.lit(0.5))
+                      .cast("long")).alias("si"))
             .orderBy("pos").collect()
         )
-        raw = [r["s"] for r in sums]
-        nrm = math.sqrt(sum(c * c for c in raw))
-        v = [c / nrm for c in raw]
+        si = [int(r["si"]) for r in sums]
+        # exact integer Σsi² (unbounded Python int ≡ DuckDB HUGEINT),
+        # one float conversion, one correctly-rounded sqrt, one exact
+        # power-of-two division — bit-equal on both engines.
+        nrm = math.sqrt(float(sum(s * s for s in si))) / q
+        v = [(s / q) / nrm for s in si]
     first_nz = next(c for c in v if abs(c) > 1e-12)
-    if first_nz < 0:
-        v = [-c for c in v]
+    sign = -1.0 if first_nz < 0 else 1.0
     v_lit = F.array(*[F.lit(float(c)) for c in v])
     dot_xv = F.aggregate(
         F.zip_with("x", v_lit, lambda a, b: a * b),
         F.lit(0.0), lambda acc, p: acc + p)
+    xx = F.aggregate(F.transform("x", lambda a: a * a),
+                     F.lit(0.0), lambda acc, p: acc + p)
     tot = centered.select(
-        F.sum(dot_xv * dot_xv).alias("lam_n"),
-        F.sum(F.aggregate(F.transform("x", lambda a: a * a),
-                          F.lit(0.0), lambda acc, p: acc + p)).alias("tot_n"),
+        F.sum(F.floor(dot_xv * dot_xv * q + F.lit(0.5)).cast("long")).alias("lam_i"),
+        F.sum(F.floor(xx * q + F.lit(0.5)).cast("long")).alias("tot_i"),
     ).collect()[0]
-    share = float(tot["lam_n"]) / float(tot["tot_n"])
+    share = float(tot["lam_i"]) / float(tot["tot_i"])
     return spark.createDataFrame(
-        [(share, [float(c) for c in v[:8]])],
-        "explained_var_share double, components array<double>")
+        [tuple([share] + [float(c) * sign for c in v[:8]])], out_schema)
 
 
 @query(

@@ -226,7 +226,8 @@ def test_top_eigen_matches_numpy_power_iteration(spark):
         v = s / np.linalg.norm(s)
     if next(c for c in v if abs(c) > 1e-12) < 0:
         v = -v
-    assert np.allclose(row["components"], v[:8], atol=1e-6)
+    components = [row[f"c{i}"] for i in range(1, 9)]
+    assert np.allclose(components, v[:8], atol=1e-6)
     lam = float(((X @ v) ** 2).sum())
     tot = float((X ** 2).sum())
     assert abs(row["explained_var_share"] - lam / tot) < 1e-6
