@@ -81,6 +81,35 @@ def ngrams(text: Column | str, n: int = 2) -> Column:
     return F.transform(idx, gram)
 
 
+def ngram_hashes(text: Column | str, n: int = 2) -> Column:
+    """Per-occurrence n-gram identities as token-hash structs
+    (``array<struct<h1..hn:long>>``) — the COUNT-ONLY fast path for
+    n-gram statistics whose output never exposes the gram text
+    (familiarity scores, repetition ratios). Grouping and joining on
+    fixed-width longs instead of concatenated gram strings skips the
+    per-occurrence string build and halves the aggregate's hash/compare
+    cost (measured ~2x at sf1 on quality_bigram_lm). Counts are
+    identical to the string form unless two distinct TOKENS collide in
+    xxhash64 — ~vocab²/2^65 ≈ 1e-9 at a 200k vocabulary, the same
+    acceptance as the hashed shingle sets in dedup.jaccard_pairs.
+    Same empty-doc guard as ``ngrams``: fewer than n tokens → []."""
+    hs = F.transform(tokens(text), lambda w: F.xxhash64(w))
+    m = F.greatest(F.lit(0), F.size(hs) - (n - 1))
+    slices = [F.slice(hs, i + 1, m) for i in range(n)]
+    acc = F.zip_with(slices[0], slices[1],
+                     lambda a, b: F.struct(a.alias("h1"), b.alias("h2")))
+    def _extend(width: int):
+        # factory, not a default arg: pyspark passes one Column per
+        # lambda PARAMETER, so an `i=i` capture would receive a Column
+        return lambda p, c: F.struct(
+            *[p[f"h{j + 1}"].alias(f"h{j + 1}") for j in range(width)],
+            c.alias(f"h{width + 1}"))
+
+    for i in range(2, n):
+        acc = F.zip_with(acc, slices[i], _extend(i))
+    return acc
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lower-cased text. Oracle:

@@ -4198,28 +4198,31 @@ def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the per-occurrence DECIMAL(24,12) sum the oracle
     computes equals n_occ × the rounded term exactly (a decimal times
     an integer is exact), so the weighted form is bit-identical while
-    summing far fewer rows."""
+    summing far fewer rows. Gram identity is the (h1, h2) token-hash
+    pair (``text.ngram_hashes``) — the output never exposes gram text,
+    so grouping/joining moves fixed-width longs instead of gram strings
+    (~2x measured at sf1), and the start-word denominator is a groupBy
+    on h1 with no string split. Counts match the oracle's string grams
+    absent a 64-bit token-hash collision (~1e-9 at this vocabulary)."""
     from ..operators.skew import spread
-    from ..operators.text import ngrams
+    from ..operators.text import ngram_hashes
 
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     wd = (
-        d.select("doc_id", F.explode(ngrams("text", 2)).alias("gram"))
-        .groupBy("doc_id", "gram")
+        d.select("doc_id", F.explode(ngram_hashes("text", 2)).alias("g"))
+        .select("doc_id", "g.h1", "g.h2")
+        .groupBy("doc_id", "h1", "h2")
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )
-    cb = wd.groupBy("gram").agg(F.sum("n_occ").alias("c_bi"))
-    cs = (
-        cb.groupBy(F.split("gram", " ")[0].alias("w1"))
-        .agg(F.sum("c_bi").alias("c_start"))
-    )
-    rate = cb.join(cs, F.split(cb.gram, " ")[0] == cs.w1).select(
-        "gram",
+    cb = wd.groupBy("h1", "h2").agg(F.sum("n_occ").alias("c_bi"))
+    cs = cb.groupBy("h1").agg(F.sum("c_bi").alias("c_start"))
+    rate = cb.join(cs, "h1").select(
+        "h1", "h2",
         (F.col("c_bi").cast("double")
          / F.col("c_start").cast("double")).alias("term"),
     )
     return (
-        wd.join(rate, "gram")
+        wd.join(rate, ["h1", "h2"])
         .groupBy("doc_id")
         .agg(
             F.sum("n_occ").alias("n_bigrams"),
@@ -4266,14 +4269,18 @@ def quality_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, so the score is hash-matched bit for bit (no libm).
     Documents with fewer than 3 tokens have no trigrams and are
     excluded by construction on both sides (ngrams yields an empty
-    array; the oracle filters len >= 3)."""
+    array; the oracle filters len >= 3). Trigram identity is the
+    (h1,h2,h3) token-hash tuple (``text.ngram_hashes`` — counts only,
+    no gram text in the output), so the per-doc aggregate hashes longs
+    instead of built concat strings."""
     from ..operators.skew import spread
-    from ..operators.text import ngrams
+    from ..operators.text import ngram_hashes
 
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     c = (
-        d.select("doc_id", F.explode(ngrams("text", 3)).alias("gram"))
-        .groupBy("doc_id", "gram")
+        d.select("doc_id", F.explode(ngram_hashes("text", 3)).alias("g"))
+        .select("doc_id", "g.h1", "g.h2", "g.h3")
+        .groupBy("doc_id", "h1", "h2", "h3")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return c.groupBy("doc_id").agg(
