@@ -398,16 +398,20 @@ def rare_feature_pairs(df: DataFrame, text_col: str = "text",
     document frequency (one aggregate) → rare-shingle explode →
     within-shingle pair join (bucket ≤ max_df) → pair distinct → exact
     Jaccard verify over the full hashed shingle sets. Candidate
-    generation uses shingle STRINGS (row membership must be
-    collision-free to match the oracle); the verify arrays are
-    xxhash64'd (only set sizes feed the ratio).
+    generation AND verify both run on xxhash64'd shingles: the output
+    carries only pair ids and set-size ratios, so results differ from
+    the string form only if two distinct SHINGLES collide in 64 bits
+    (~#distinct-shingles²/2^65 ≈ 3e-6 at a 10M-shingle corpus — the
+    repo-wide hashed-feature acceptance), and the df-count, explode,
+    join, and checkpoint all move fixed-width longs instead of shingle
+    strings.
 
     The shingle relation feeds FOUR consumers (df-count, rare explode,
     and both verify sides), so it is materialized once
     (localCheckpoint) — without it Spark re-tokenizes and re-shingles
     the corpus per consumer, which benchmarking showed dominates the
-    whole operator (~6× the useful work). One row per doc with two
-    bounded arrays — the same checkpoint-the-fan-out rule the
+    whole operator (~6× the useful work). One row per doc with one
+    bounded array — the same checkpoint-the-fan-out rule the
     connected-components loop uses."""
     from .skew import spread
 
@@ -415,11 +419,10 @@ def rare_feature_pairs(df: DataFrame, text_col: str = "text",
         df.filter(F.size(tokens(text_col)) >= n), id_col
     ).select(
         F.col(id_col),
-        shingles(text_col, n).alias("__sh_str"),
-    ).withColumn(
-        "__sh", F.transform(F.col("__sh_str"), lambda s: F.xxhash64(s))
+        F.transform(shingles(text_col, n),
+                    lambda s: F.xxhash64(s)).alias("__sh"),
     ).localCheckpoint(eager=True)
-    ds = t.select(F.col(id_col), F.explode("__sh_str").alias("f"))
+    ds = t.select(F.col(id_col), F.explode("__sh").alias("f"))
     rare = (
         ds.groupBy("f").agg(F.count(F.lit(1)).alias("__df"))
         .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
