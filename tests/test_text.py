@@ -120,3 +120,40 @@ def test_bm25_matches_numpy_replica(spark):
     assert [r["doc_id"] for r in got] == [i for i, _ in top]
     for r, (_, s) in zip(got, top):
         assert abs(r["bm25"] - s) < 1e-9
+
+
+def test_ngram_hashes_counts_match_string_ngrams(spark):
+    """The hash-pair fast path must produce the same per-doc n-gram
+    count multiset as the string form for n=2 and n=3 (the certified
+    quality queries group on it), including the <n-token empty-array
+    edge."""
+    import pyspark.sql.functions as F
+
+    from healthcare_data_warehouse_spark.operators.text import (
+        ngram_hashes,
+        ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x"), (3, ""), (4, "p q p q p q")],
+        "doc_id int, text string")
+    for n in (2, 3):
+        by_str = {
+            (r["doc_id"], tuple(sorted(r["c"]))) for r in
+            df.select(
+                "doc_id",
+                F.explode_outer(ngrams("text", n)).alias("g"))
+            .groupBy("doc_id", "g").count()
+            .groupBy("doc_id")
+            .agg(F.collect_list("count").alias("c")).collect()
+        }
+        by_hash = {
+            (r["doc_id"], tuple(sorted(r["c"]))) for r in
+            df.select(
+                "doc_id",
+                F.explode_outer(ngram_hashes("text", n)).alias("g"))
+            .groupBy("doc_id", "g").count()
+            .groupBy("doc_id")
+            .agg(F.collect_list("count").alias("c")).collect()
+        }
+        assert by_str == by_hash
