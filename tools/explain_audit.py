@@ -154,9 +154,51 @@ def audit(plan: str) -> list[str]:
         notes.append("top-k via TakeOrderedAndProject (no global sort)")
     if "AdaptiveSparkPlan" in plan:
         notes.append("AQE enabled (runtime re-planning)")
-    if "SinglePartition" in plan and "Window" in plan:
+    if _has_single_partition_window(plan):
         notes.append("WARNING: single-partition window present")
     return notes
+
+
+def _has_single_partition_window(plan: str) -> bool:
+    """True only when a Window operator's OWN input exchange is
+    SinglePartition — i.e. an unpartitioned window spec collapsing data
+    to one task. A plan that merely CONTAINS both a Window and an
+    unrelated `Exchange SinglePartition` (every 1-row scalar aggregate
+    produces one) is fine; the old substring check flagged those.
+
+    Formatted explain keeps partitioning only in the details section,
+    so: find each Window node in the TREE, take the first Exchange node
+    id in its subtree (its input shuffle, if any), then check that
+    exchange's detail block for SinglePartition."""
+    lines = plan.splitlines()
+    # detail blocks: "(N) Exchange" header → lines until next "(M) Op"
+    single_exchanges: set[str] = set()
+    cur_id, cur_is_exchange, cur_single = None, False, False
+    for line in lines:
+        m = re.match(r"^\((\d+)\) (\w+)", line)
+        if m:
+            if cur_is_exchange and cur_single:
+                single_exchanges.add(cur_id)
+            cur_id, cur_is_exchange, cur_single = m.group(1), m.group(2) == "Exchange", False
+        elif cur_is_exchange and "SinglePartition" in line:
+            cur_single = True
+    if cur_is_exchange and cur_single:
+        single_exchanges.add(cur_id)
+
+    for i, line in enumerate(lines):
+        wm = re.search(r"\bWindow\w* \((\d+)\)", line)
+        if not wm or line.lstrip().startswith("("):
+            continue
+        indent = len(line) - len(line.lstrip())
+        for nxt in lines[i + 1:]:
+            if nxt.strip() and len(nxt) - len(nxt.lstrip()) <= indent:
+                break  # subtree closed without an exchange
+            em = re.search(r"\bExchange \((\d+)\)", nxt)
+            if em:
+                if em.group(1) in single_exchanges:
+                    return True
+                break  # partitioned input — this window is fine
+    return False
 
 
 def main() -> None:
