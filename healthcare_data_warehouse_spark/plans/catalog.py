@@ -689,67 +689,6 @@ def union_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Set-op extensions (SURVEY §2.7 notes the reference has only
-# UNION ALL; DISTINCT/INTERSECT/EXCEPT complete the ANSI set) ---------------
-
-
-@query(
-    "setop_union_distinct",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
-    UNION
-    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
-    """,
-)
-def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION DISTINCT: nations with a rich customer OR a rich supplier —
-    union + distinct compiles to one hash aggregate over both branches
-    (partial agg map-side; one shuffle on the key)."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000) \
-        .select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000) \
-        .select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct()
-
-
-@query(
-    "setop_intersect",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
-    INTERSECT
-    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
-    """,
-)
-def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct): nations with BOTH a rich customer and a
-    rich supplier — Catalyst rewrites to a left-semi join over
-    distincts; both sides shuffle once on the key."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000) \
-        .select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000) \
-        .select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
-
-
-@query(
-    "setop_except",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
-    EXCEPT
-    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
-    """,
-)
-def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): nations with a rich customer but NO rich
-    supplier — Catalyst rewrites to a left-anti join over distincts
-    (``subtract`` = EXCEPT DISTINCT; ``exceptAll`` is the bag form)."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000) \
-        .select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000) \
-        .select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
-
-
 # ===========================================================================
 # §2.8 Scalar functions
 # ===========================================================================
