@@ -3166,7 +3166,60 @@ def vocab_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("vocab_bpe_merges")  # iterative (k argmax rounds) — rows-only + reference-replica pytest
+def _bpe_oracle(rounds: int = 8) -> str:
+    """Unrolled-CTE DuckDB replica of ``learn_bpe_merges`` (same pattern
+    as the power-iteration / PageRank oracles): each round recomputes the
+    weighted adjacent-pair counts from data, takes the same deterministic
+    argmax (count DESC, "left right" ASC), and rewrites the vocabulary.
+
+    The rewrite trick: each word is encoded as the concatenation of
+    ``US + symbol + US`` units (US = chr(31), a char that cannot appear
+    in whitespace-delimited tokens of this corpus), so the BPE merge of
+    (l, r) is a plain non-overlapping left-to-right ``replace`` of
+    ``US l US US r US`` with ``US lr US`` — the DOUBLE separator keeps
+    adjacent matches independent ([a,a,a,a] → [aa,aa], not [aa,a,a]),
+    which is exactly the left-to-right fold semantics of
+    ``operators.bpe._apply_merge``. MATERIALIZED pins each round to run
+    once (the chain is referenced twice per level)."""
+    ctes = ["""
+v0 AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         chr(31) || array_to_string(string_split_regex(word, ''), chr(31)||chr(31))
+         || chr(31) || chr(31) || '</w>' || chr(31) AS s
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i+1] AS r2, SUM(cnt) AS n
+  FROM (
+    SELECT cnt, syms, unnest(generate_series(1, len(syms)-1)) AS i
+    FROM (SELECT cnt, list_filter(string_split(s, chr(31)), x -> x <> '') AS syms
+          FROM v{r-1})
+  )
+  GROUP BY 1, 2
+),
+b{r} AS MATERIALIZED (
+  SELECT l, r2, CAST(n AS BIGINT) AS n FROM p{r}
+  ORDER BY n DESC, l || ' ' || r2 ASC LIMIT 1
+),
+v{r} AS MATERIALIZED (
+  SELECT cnt, replace(s,
+      (SELECT chr(31)||l||chr(31)||chr(31)||r2||chr(31) FROM b{r}),
+      (SELECT chr(31)||l||r2||chr(31) FROM b{r})) AS s
+  FROM v{r-1}
+)""")
+    union = " UNION ALL ".join(
+        f'SELECT CAST({r - 1} AS INTEGER) AS rank, l AS "left", r2 AS "right",'
+        f" n AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",".join(ctes) + f" SELECT * FROM ({union}) ORDER BY rank"
+
+
+@query("vocab_bpe_merges", oracle=_bpe_oracle(8))
 def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merges learned from the corpus (operators/bpe.py,
     Sennrich et al. 2016 re-expressed on DataFrames): the tokenizer-build
@@ -3175,10 +3228,13 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Heaps'-law-small (word, count) relation — explode adjacent symbol
     pairs, weighted count, deterministic argmax (count desc, pair asc),
     JVM-side sequential-fold rewrite. k rounds = k small jobs; lineage is
-    kept flat with periodic localCheckpoint. Not SQL-expressible as one
-    query (iterative argmax-dependent rewrites) — correctness is pinned
-    by tests/test_bpe.py against a pure-Python reference implementation,
-    including partitioning-invariance."""
+    kept flat with periodic localCheckpoint. Hash-certified: the oracle
+    unrolls the 8 argmax-rewrite rounds as MATERIALIZED CTEs
+    (``_bpe_oracle``), with the merge rewrite expressed as a
+    double-separator string replace whose non-overlapping left-to-right
+    semantics match the fold; tests/test_bpe.py additionally pins the
+    operator against a pure-Python reference implementation, including
+    partitioning-invariance."""
     from ..operators.bpe import bpe_merge_table
 
     return bpe_merge_table(spark, _t(spark, sf_dir, "documents"), num_merges=8)
