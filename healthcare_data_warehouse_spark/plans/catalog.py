@@ -3181,9 +3181,21 @@ def _bpe_oracle(rounds: int = 8) -> str:
     which is exactly the left-to-right fold semantics of
     ``operators.bpe._apply_merge``. MATERIALIZED pins each round to run
     once (the chain is referenced twice per level)."""
+    union = " UNION ALL ".join(
+        f'SELECT CAST({r - 1} AS INTEGER) AS rank, l AS "left", r2 AS "right",'
+        f" n AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + _bpe_ctes(rounds) + f" SELECT * FROM ({union}) ORDER BY rank"
+
+
+def _bpe_ctes(rounds: int) -> str:
+    """The shared merge-round CTE chain for both BPE oracles; carries the
+    ``word`` key through every round so the final vocabulary can be joined
+    back to the corpus (the learning oracle simply ignores it)."""
     ctes = ["""
 v0 AS MATERIALIZED (
-  SELECT CAST(count(*) AS BIGINT) AS cnt,
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
          chr(31) || array_to_string(string_split_regex(word, ''), chr(31)||chr(31))
          || chr(31) || chr(31) || '</w>' || chr(31) AS s
   FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)
@@ -3206,17 +3218,38 @@ b{r} AS MATERIALIZED (
   ORDER BY n DESC, l || ' ' || r2 ASC LIMIT 1
 ),
 v{r} AS MATERIALIZED (
-  SELECT cnt, replace(s,
+  SELECT word, cnt, replace(s,
       (SELECT chr(31)||l||chr(31)||chr(31)||r2||chr(31) FROM b{r}),
       (SELECT chr(31)||l||r2||chr(31) FROM b{r})) AS s
   FROM v{r-1}
 )""")
-    union = " UNION ALL ".join(
-        f'SELECT CAST({r - 1} AS INTEGER) AS rank, l AS "left", r2 AS "right",'
-        f" n AS pair_count FROM b{r}"
-        for r in range(1, rounds + 1)
-    )
-    return "WITH " + ",".join(ctes) + f" SELECT * FROM ({union}) ORDER BY rank"
+    return ",".join(ctes)
+
+
+def _bpe_segment_oracle(rounds: int = 8) -> str:
+    """Oracle for applying the learned merge table corpus-wide: the final
+    round's vocabulary v{rounds} IS each word type's segmentation, so the
+    per-document readout is an explode-join-aggregate — no re-derivation
+    of the fold on the corpus side."""
+    return "WITH " + _bpe_ctes(rounds) + f"""
+, wseg AS MATERIALIZED (
+  SELECT word,
+         CAST(len(list_filter(string_split(s, chr(31)), x -> x <> '')) AS BIGINT)
+             AS nsub,
+         CAST(len(replace(s, chr(31), '')) AS BIGINT) AS nchars
+  FROM v{rounds}
+)
+SELECT doc_id,
+       CAST(SUM(nsub) AS BIGINT) AS n_subwords,
+       CAST(SUM(nchars) AS BIGINT) AS n_sym_chars
+FROM (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+) dw
+JOIN wseg USING (word)
+WHERE word <> ''
+GROUP BY doc_id
+"""
 
 
 @query("vocab_bpe_merges", oracle=_bpe_oracle(8))
@@ -3238,6 +3271,26 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_merge_table
 
     return bpe_merge_table(spark, _t(spark, sf_dir, "documents"), num_merges=8)
+
+
+@query("vocab_bpe_segment", oracle=_bpe_segment_oracle(8))
+def vocab_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned 8-merge BPE table to the whole corpus
+    (operators/bpe.py ``bpe_segment``): per document, subword count and
+    total symbol chars — the compression readout that sizes tokenizer
+    vocabularies before a training run. The corpus pass is one
+    tokenize-explode + the rank-ordered JVM-side merge folds + groupBy
+    doc; the merge table itself is the Heaps'-law-small learning loop.
+    Hash-certified: the oracle's final CTE round v8 IS each word type's
+    segmentation, so the corpus side of the oracle is a plain
+    explode-join-aggregate (``_bpe_segment_oracle``) — any drift in fold
+    semantics, merge order, or tie-breaks shifts per-doc counts and
+    breaks the gate."""
+    from ..operators.bpe import bpe_segment, learn_bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, num_merges=8)
+    return bpe_segment(d, merges)
 
 
 @query(

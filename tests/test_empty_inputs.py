@@ -63,6 +63,7 @@ RISKY = [
     "embedding_nn_clusters",    # nn_top1_blas + CC loop over zero vectors
     "graph_pagerank",           # power iteration over an empty NN graph
     "vocab_bpe_merges",         # BPE argmax loop over an empty vocabulary
+    "vocab_bpe_segment",        # zero-merge fold applied to zero documents
     "multimodal_audio_meta",    # WAV synth+decode over zero documents
     "multimodal_image_meta",    # PPM synth+decode over zero documents
     "ann_pq_topk",              # PQ index build/probe with no query vector
