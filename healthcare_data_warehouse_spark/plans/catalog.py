@@ -1293,6 +1293,63 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(d, F.col("doc_id") % 7 == 0)
 
 
+@query(
+    "dedup_substring_spans",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        FROM documents
+    ),
+    grams AS MATERIALIZED (
+        SELECT doc_id, p, array_to_string(tk[p:p+7], ' ') AS g
+        FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-8+1)) AS p
+              FROM d WHERE len(tk) >= 8)
+    ),
+    dpos AS (
+        SELECT doc_id, p FROM grams
+        QUALIFY count(*) OVER (PARTITION BY g) > 1
+    ),
+    isl AS (
+        SELECT doc_id, p,
+               SUM(CASE WHEN prev_end IS NULL OR p > prev_end + 1
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p) AS island
+        FROM (SELECT doc_id, p,
+                     max(p) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) + 8 - 1 AS prev_end
+              FROM dpos)
+    ),
+    spans AS (
+        SELECT doc_id, island, min(p) AS s, max(p) + 8 - 1 AS e
+        FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens,
+           coalesce(n_dup_spans, 0) AS n_dup_spans,
+           coalesce(dup_tokens, 0) AS dup_tokens,
+           CAST(coalesce(dup_tokens, 0) AS DOUBLE) / len(d.tk) AS dup_fraction
+    FROM d LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup report (operators/dedup.py
+    ``duplicated_spans``; Lee et al. 2022): per document, the maximal
+    token spans whose every 8-token window recurs somewhere in the
+    corpus — the span-level complement to the document-level near-dup
+    family. Two shuffles total (gram-keyed dup-count window, doc-keyed
+    islands); the oracle replays the same gaps-and-islands merge on
+    gram TEXT where Spark groups on fixed-width token-hash structs
+    (counts identical absent an xxhash64 token collision, ~1e-9)."""
+    from ..operators.dedup import duplicated_spans
+
+    return duplicated_spans(_t(spark, sf_dir, "documents"), k=8)
+
+
 # MinHash signature CTEs shared by the LSH oracle: same shingles as the
 # rare-shingle oracle, Kirsch-Mitzenmacher h1 + j·h2 permutations from two
 # md5-derived base hashes (bit-identical to operators/dedup.py hash52 use).

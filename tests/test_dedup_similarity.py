@@ -274,3 +274,35 @@ def test_lsh_multitable_scores_exact_and_beats_single_table(spark):
     rec_s = len({r["vec_id"] for r in single} & top10)
     assert rec_m >= rec_s
     assert rec_m >= 3  # 4-table probed recall is far above starvation
+
+
+def test_duplicated_spans_plants_and_merges(spark):
+    from healthcare_data_warehouse_spark.operators.dedup import duplicated_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        # doc 1: shared span at start, unique tail
+        (1, shared + " uniq1a uniq1b uniq1c uniq1d uniq1e uniq1f"),
+        # doc 2: unique head, shared span at end — the only cross-doc dup
+        (2, "uniq2a uniq2b uniq2c uniq2d uniq2e uniq2f " + shared),
+        # doc 3: fully unique, above k tokens
+        (3, "u3a u3b u3c u3d u3e u3f u3g u3h u3i u3j u3k u3l"),
+        # doc 4: below k tokens — no grams at all
+        (4, "short doc only five tokens here"),
+        # doc 5: WITHIN-doc repeat — shared-with-itself 8-gram twice,
+        # adjacent occurrences merge into ONE maximal span
+        (5, "papa quebec romeo sierra tango uniform victor whiskey "
+            "papa quebec romeo sierra tango uniform victor whiskey"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in duplicated_spans(df, k=8).collect()}
+
+    assert set(out) == {1, 2, 3, 4, 5}          # every input row kept
+    assert out[1]["n_dup_spans"] == 1 and out[1]["dup_tokens"] == 8
+    assert out[2]["n_dup_spans"] == 1 and out[2]["dup_tokens"] == 8
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_tokens"] == 0
+    assert out[4]["n_dup_spans"] == 0 and out[4]["n_tokens"] == 6
+    # the 16-token doc is one maximal duplicated span, not 9 window hits
+    assert out[5]["n_dup_spans"] == 1 and out[5]["dup_tokens"] == 16
+    assert out[5]["dup_fraction"] == 1.0
+    assert abs(out[1]["dup_fraction"] - 8 / 14) < 1e-12

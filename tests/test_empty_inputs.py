@@ -64,6 +64,7 @@ RISKY = [
     "graph_pagerank",           # power iteration over an empty NN graph
     "vocab_bpe_merges",         # BPE argmax loop over an empty vocabulary
     "vocab_bpe_segment",        # zero-merge fold applied to zero documents
+    "dedup_substring_spans",    # gram dup-count window over zero occurrences
     "multimodal_audio_meta",    # WAV synth+decode over zero documents
     "multimodal_image_meta",    # PPM synth+decode over zero documents
     "ann_pq_topk",              # PQ index build/probe with no query vector
