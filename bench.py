@@ -77,6 +77,10 @@ HEADLINE = [
     "bm25_topk",
     "hybrid_search_rrf",
     "session_paths",
+    # round-3 additions (span-level dedup + the corpus-wide tokenizer
+    # readout — the two heaviest new hash-certified ops):
+    "dedup_substring_spans",
+    "vocab_bpe_segment",
 ]
 
 

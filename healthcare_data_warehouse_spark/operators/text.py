@@ -178,11 +178,19 @@ def redact_pii(text: Column | str) -> Column:
     Chained ``regexp_replace`` — native JVM regex inside whole-stage
     codegen, replace-all semantics, one projection (no Python, no UDF).
     Order matters: SSN before phone (both dash-grouped digits; the
-    SSN grouping 3-2-4 must not be half-eaten by the phone rule)."""
-    out = F.col(text) if isinstance(text, str) else text
+    SSN grouping 3-2-4 must not be half-eaten by the phone rule).
+
+    Guarded by a necessary-condition prefilter: every pattern above
+    requires a digit or ``@``, so rows without either (checked with ONE
+    char-class scan that exits at the first hit) skip the four-pattern
+    chain entirely — CASE WHEN branches evaluate lazily in codegen.
+    On prose-heavy corpora most rows take the cheap branch; output is
+    byte-identical either way, so the oracle needs no guard."""
+    t = F.col(text) if isinstance(text, str) else text
+    out = t
     for _, pattern, tag in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, tag)
-    return out
+    return F.when(t.rlike("[0-9@]"), out).otherwise(t)
 
 
 def pii_hit_counts(df: DataFrame, text_col: str = "text") -> DataFrame:

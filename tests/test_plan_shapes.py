@@ -444,3 +444,20 @@ def test_remaining_tpch_shapes_all_equi_join(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
     assert "TakeOrderedAndProject" in _plan(spark, "unshipped_priority_topk")
+
+
+def test_substring_spans_two_data_shuffles_no_cartesian(spark):
+    # duplicated_spans promises: gram-keyed dup-count window + doc-keyed
+    # islands/agg — hash-partition exchanges only, never a cartesian or
+    # a single-partition global window over the occurrence relation.
+    plan = _plan(spark, "dedup_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    # exactly two keyed data shuffles; the only other exchange is the
+    # broadcast for the per-doc join-back (AQE's call at scale)
+    import re
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert exchanges.count("hashpartitioning") == 2
+    assert all(k in ("hashpartitioning", "HashedRelationBroadcastMode")
+               for k in exchanges)
+    assert "rangepartitioning" not in plan

@@ -125,6 +125,8 @@ AUDITED = [
     "multimodal_audio_meta",
     "multimodal_image_meta",
     "quality_repetition_ratio",
+    "dedup_substring_spans",
+    "vocab_bpe_segment",
 ]
 
 
