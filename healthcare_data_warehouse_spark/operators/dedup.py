@@ -474,20 +474,36 @@ def duplicated_spans(df: DataFrame, text_col: str = "text",
     with no duplicated window report zeros — the output keeps every
     input row (a dedup policy needs the clean docs too).
 
-    Oracle-parity note: Spark groups occurrences on xxhash64 token
-    structs while the oracle groups on gram TEXT — the dup/not-dup
-    classification is identical unless two distinct tokens collide in
-    xxhash64 (~1e-9 at a 200k vocabulary), the same acceptance as
-    ``ngram_hashes``. The fraction is one double division of exact
-    integers on both sides — bit-equal."""
+    Oracle-parity note: Spark groups occurrences on ONE xxhash64 over
+    the gram's k token hashes (an 8-byte shuffle key; with the spread()
+    below, measured 30 s → 17 s at sf1 vs shuffling k-long structs off
+    the raw scan) while the oracle groups on gram TEXT. The classification is identical unless two distinct
+    grams collide in the 64-bit space — birthday-bounded at
+    ~n_grams²/2⁶⁵ (≈4e-5 at 27M grams), and a collision only
+    over-reports two windows as duplicated. The fraction is one double
+    division of exact integers on both sides — bit-equal."""
     from pyspark.sql import Window
 
     from .text import ngram_hashes
 
-    base = df.select(
+    # One long per gram, derived from the k-token-hash struct. The hash
+    # lambda references ONLY its lambda variable: a captured outer array
+    # expression would be re-evaluated per element (measured O(L²) per
+    # doc — 15× slower at sf1), while ngram_hashes' slice+zip_with form
+    # materializes each slice once per row.
+    gram_ids = F.transform(
+        ngram_hashes(text_col, k),
+        lambda s: F.xxhash64(*[s[f"h{j + 1}"] for j in range(k)]),
+    )
+    # spread() first: tokenize+hash is the CPU-heavy stage and document
+    # corpora arrive as few large files — same rule as minhash_signatures_df
+    # (measured 15 s on 2 scan partitions → ~1 s across the cluster at sf1).
+    from .skew import spread
+
+    base = spread(df.select(id_col, text_col), id_col).select(
         F.col(id_col),
         F.size(tokens(text_col)).cast("long").alias("n_tokens"),
-        ngram_hashes(text_col, k).alias("__gs"),
+        gram_ids.alias("__gs"),
     )
     occ = base.select(id_col, F.posexplode("__gs").alias("p0", "g")).select(
         id_col, (F.col("p0") + 1).alias("p"), "g"

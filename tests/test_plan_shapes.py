@@ -453,11 +453,14 @@ def test_substring_spans_two_data_shuffles_no_cartesian(spark):
     plan = _plan(spark, "dedup_substring_spans")
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
-    # exactly two keyed data shuffles; the only other exchange is the
-    # broadcast for the per-doc join-back (AQE's call at scale)
+    # three keyed data shuffles (spread() CPU re-partition, gram
+    # dup-count window, doc islands); the spread subtree feeds both join
+    # sides, so the initial plan may print its exchange twice before
+    # AQE's ReusedExchange dedupes it at runtime. The only other
+    # exchange is the broadcast for the per-doc join-back.
     import re
     exchanges = re.findall(r"Exchange (\w+)", plan)
-    assert exchanges.count("hashpartitioning") == 2
+    assert exchanges.count("hashpartitioning") in (3, 4)
     assert all(k in ("hashpartitioning", "HashedRelationBroadcastMode")
                for k in exchanges)
     assert "rangepartitioning" not in plan
