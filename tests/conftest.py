@@ -9,10 +9,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 # Isolate mutable scratch state (audit log, upsert rewrites) from any
-# concurrently running oracle_check/bench process, which uses the default
-# .scratch — tests that count audit events must own their log. Must be set
-# before healthcare_data_warehouse_spark.config is imported.
-os.environ.setdefault("SPARK_GRAFT_SCRATCH", os.path.join(REPO, ".scratch-pytest"))
+# concurrently running process — including a SECOND pytest run: two
+# suites sharing one scratch dir race on the append-only audit log (one
+# suite's rmtree deletes the other's events mid-test). PID-unique, so
+# every pytest process owns its scratch; removed at session end below.
+# Must be set before healthcare_data_warehouse_spark.config is imported.
+os.environ.setdefault(
+    "SPARK_GRAFT_SCRATCH",
+    os.path.join(REPO, f".scratch-pytest-{os.getpid()}"),
+)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
@@ -26,3 +31,13 @@ def spark():
     spark = get_spark("hdw-tests")
     yield spark
     spark.stop()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    # Remove this process's scratch dir (only if it is the PID-unique one
+    # set above — never a user-provided SPARK_GRAFT_SCRATCH).
+    import shutil
+
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "")
+    if scratch.endswith(f".scratch-pytest-{os.getpid()}"):
+        shutil.rmtree(scratch, ignore_errors=True)
