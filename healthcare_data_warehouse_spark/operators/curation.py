@@ -378,3 +378,36 @@ def weighted_sample(df: DataFrame, weight_col: str, n_per_group: int,
         .filter(F.col("__rn") <= n_per_group)
         .drop("__prio", "__rn")
     )
+
+
+def shuffle_shards(df: DataFrame, id_col: str = "doc_id",
+                   n_shards: int = 8, salt: str = "shard:") -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the last step of
+    every training-data pipeline: break any source/time ordering so each
+    shard (and each position within a shard) is an unbiased sample of the
+    corpus, reproducibly. Shard and order both derive from one md5 of the
+    row key (seeded resampling = new salt), so the layout is stable under
+    reruns and independent of input partitioning.
+
+    Scale shape: shard membership is a hash mod (no global sort), and
+    pos_in_shard comes from the two-phase dense key (``keys.add_dense_key``
+    over (shard, md5): range-partition + per-partition row_number +
+    offsets) — NEVER a per-shard window, which would funnel corpus/n_shards
+    rows through single tasks. The per-shard base offsets are an
+    ``n_shards``-row aggregate, joined back broadcast."""
+    from ..functions.expressions import hexslice, md5hex
+    from .keys import add_dense_key
+
+    m = md5hex(F.col(id_col), salt)
+    t = df.select(
+        F.col(id_col),
+        m.alias("__m"),
+        (hexslice(m, 1, 13) % n_shards).cast("int").alias("shard"),
+    )
+    keyed = add_dense_key(t, ["shard", "__m"], key_col="__gk")
+    mins = keyed.groupBy("shard").agg(F.min("__gk").alias("__g0"))
+    return keyed.join(F.broadcast(mins), "shard").select(
+        id_col,
+        "shard",
+        (F.col("__gk") - F.col("__g0") + 1).cast("long").alias("pos_in_shard"),
+    )

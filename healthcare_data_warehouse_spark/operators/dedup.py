@@ -458,58 +458,59 @@ def duplicated_spans(df: DataFrame, text_col: str = "text",
 
     Shape (the distributed equivalent of the paper's suffix array):
 
-    1. every k-gram occurrence becomes one row ``(doc, pos, gram-id)`` —
-       gram-id is the fixed-width token-hash struct from
-       ``text.ngram_hashes`` (no per-occurrence string build);
-    2. a count window over gram-id marks occurrences whose gram appears
-       more than once corpus-wide — ONE shuffle, keyed on the gram, with
-       per-key groups of duplicate-count size (no pathological fan-out:
-       a gram with c occurrences costs c rows, never c²);
-    3. duplicated windows ``[p, p+k-1]`` merge into maximal spans via the
+    1. tokens explode to flat ``(doc, pos, token-hash)`` rows right after
+       ``spread()``'s CPU re-partition — the whole gram build then runs
+       as plain codegen'd column expressions, NO higher-order functions
+       (the array-building formulation spent 16 s at sf1 inside
+       interpreted transform/zip_with chains; this one spends 3 s);
+    2. each position's gram-id is one xxhash64 over the token hash and
+       its k−1 ``lead()``s — the doc-keyed window sorts within the
+       partitioning ``spread()`` already installed, so it adds NO
+       exchange, and the same window's count doubles as the token count;
+    3. a count window over gram-id marks occurrences whose gram appears
+       more than once corpus-wide — keyed on the gram, per-key groups of
+       duplicate-count size (no pathological fan-out: a gram with c
+       occurrences costs c rows, never c²);
+    4. duplicated windows ``[p, p+k-1]`` merge into maximal spans via the
        classic gaps-and-islands pass (running max of prior span ends),
-       keyed on the doc — the second and last shuffle.
+       keyed on the doc.
 
-    Per doc: token count, number of maximal duplicated spans, tokens
-    covered by them, and the covered fraction. Docs below k tokens or
-    with no duplicated window report zeros — the output keeps every
-    input row (a dedup policy needs the clean docs too).
+    Three keyed shuffles total (spread, gram, islands), all linear in
+    corpus tokens. Per doc: token count, number of maximal duplicated
+    spans, tokens covered by them, and the covered fraction. Docs below
+    k tokens or with no duplicated window report zeros — the output
+    keeps every input row (a dedup policy needs the clean docs too).
 
     Oracle-parity note: Spark groups occurrences on ONE xxhash64 over
-    the gram's k token hashes (an 8-byte shuffle key; with the spread()
-    below, measured 30 s → 17 s at sf1 vs shuffling k-long structs off
-    the raw scan) while the oracle groups on gram TEXT. The classification is identical unless two distinct
-    grams collide in the 64-bit space — birthday-bounded at
+    the gram's k token hashes (an 8-byte shuffle key) while the oracle
+    groups on gram TEXT. The classification is identical unless two
+    distinct grams collide in the 64-bit space — birthday-bounded at
     ~n_grams²/2⁶⁵ (≈4e-5 at 27M grams), and a collision only
     over-reports two windows as duplicated. The fraction is one double
     division of exact integers on both sides — bit-equal."""
     from pyspark.sql import Window
 
-    from .text import ngram_hashes
-
-    # One long per gram, derived from the k-token-hash struct. The hash
-    # lambda references ONLY its lambda variable: a captured outer array
-    # expression would be re-evaluated per element (measured O(L²) per
-    # doc — 15× slower at sf1), while ngram_hashes' slice+zip_with form
-    # materializes each slice once per row.
-    gram_ids = F.transform(
-        ngram_hashes(text_col, k),
-        lambda s: F.xxhash64(*[s[f"h{j + 1}"] for j in range(k)]),
-    )
-    # spread() first: tokenize+hash is the CPU-heavy stage and document
-    # corpora arrive as few large files — same rule as minhash_signatures_df
-    # (measured 15 s on 2 scan partitions → ~1 s across the cluster at sf1).
     from .skew import spread
 
-    base = spread(df.select(id_col, text_col), id_col).select(
-        F.col(id_col),
-        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
-        gram_ids.alias("__gs"),
+    toks = spread(df.select(id_col, text_col), id_col).select(
+        id_col, F.posexplode(tokens(text_col)).alias("p0", "__w")
+    ).select(
+        id_col, (F.col("p0") + 1).alias("p"), F.xxhash64("__w").alias("__th")
     )
-    occ = base.select(id_col, F.posexplode("__gs").alias("p0", "g")).select(
-        id_col, (F.col("p0") + 1).alias("p"), "g"
+    wd = Window.partitionBy(id_col).orderBy("p")
+    gram = F.xxhash64(
+        F.col("__th"), *[F.lead("__th", j).over(wd) for j in range(1, k)]
     )
+    n_tok = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    pos = toks.select(
+        id_col, "p", gram.alias("g"), n_tok.cast("long").alias("n_tokens")
+    )
+    # (doc, n_tokens) for the join-back: an agg on the already-doc-keyed
+    # relation — no new shuffle, one row per doc, every doc kept.
+    base = pos.groupBy(id_col).agg(F.first("n_tokens").alias("n_tokens"))
     dpos = (
-        occ.withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        pos.filter(F.col("p") <= F.col("n_tokens") - (k - 1))
+        .withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("g")))
         .filter(F.col("__c") > 1)
         .select(id_col, "p")
     )

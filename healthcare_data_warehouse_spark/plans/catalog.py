@@ -3352,6 +3352,35 @@ def vocab_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_shuffle_shards",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               md5('shard:' || CAST(doc_id AS VARCHAR)) AS m,
+               CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                                    1, 13))::BIGINT % 8 AS INT) AS shard
+        FROM documents)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY m) AS BIGINT)
+               AS pos_in_shard
+    FROM t
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + 8-way shard assignment
+    (operators/curation.py ``shuffle_shards``) — the training-layout
+    step that breaks source/time ordering reproducibly. Shard is a hash
+    mod; pos_in_shard is the two-phase dense key over (shard, md5) —
+    partition-count-invariant and never a per-shard global window (at
+    100 TB a per-shard ROW_NUMBER would funnel corpus/8 rows through
+    single tasks; the oracle's window IS that plan, which single-node
+    DuckDB can afford)."""
+    from ..operators.curation import shuffle_shards
+
+    return shuffle_shards(_t(spark, sf_dir, "documents").select("doc_id"))
+
+
+@query(
     "split_train_val_test",
     oracle="""
     SELECT doc_id,
