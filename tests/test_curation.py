@@ -291,3 +291,24 @@ def test_weighted_sample_zero_weight_excluded_not_fatal(spark):
            for r in weighted_sample(df, "w", n_per_group=5,
                                     group_col="lang").collect()}
     assert got == {"a", "c"}  # zero-weight row excluded, others kept
+
+
+def test_shuffle_shards_deterministic_and_partition_invariant(spark):
+    from healthcare_data_warehouse_spark.operators.curation import shuffle_shards
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["shard"], r["pos_in_shard"])
+         for r in shuffle_shards(df).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos_in_shard"])
+         for r in shuffle_shards(df.repartition(13)).collect()}
+    assert a == b                       # layout independent of partitioning
+    assert len(a) == 500                # every row assigned exactly once
+    shards = {}
+    for shard, pos in a.values():
+        shards.setdefault(shard, []).append(pos)
+    assert set(shards) == set(range(8))
+    for positions in shards.values():
+        # positions are dense 1..n within each shard
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # roughly uniform: no shard more than 2x the expected size
+    assert max(len(p) for p in shards.values()) < 2 * 500 / 8

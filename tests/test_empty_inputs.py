@@ -65,6 +65,7 @@ RISKY = [
     "vocab_bpe_merges",         # BPE argmax loop over an empty vocabulary
     "vocab_bpe_segment",        # zero-merge fold applied to zero documents
     "dedup_substring_spans",    # gram dup-count window over zero occurrences
+    "corpus_shuffle_shards",    # two-phase dense key over zero rows
     "multimodal_audio_meta",    # WAV synth+decode over zero documents
     "multimodal_image_meta",    # PPM synth+decode over zero documents
     "ann_pq_topk",              # PQ index build/probe with no query vector

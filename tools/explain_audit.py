@@ -127,6 +127,7 @@ AUDITED = [
     "quality_repetition_ratio",
     "dedup_substring_spans",
     "vocab_bpe_segment",
+    "corpus_shuffle_shards",
 ]
 
 
