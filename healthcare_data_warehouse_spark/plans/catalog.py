@@ -1341,8 +1341,9 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``duplicated_spans``; Lee et al. 2022): per document, the maximal
     token spans whose every 8-token window recurs somewhere in the
     corpus — the span-level complement to the document-level near-dup
-    family. Three keyed shuffles (spread() CPU re-partition, gram-keyed
-    dup-count window, doc-keyed islands), all linear in corpus tokens;
+    family. Keyed shuffles only (spread() CPU re-partition, gram-keyed
+    dup-count aggregate + skew-immune LEFT SEMI probe, doc-keyed
+    islands), all linear in corpus tokens;
     the oracle replays the same gaps-and-islands merge on
     gram TEXT where Spark groups on fixed-width token-hash structs
     (counts identical absent an xxhash64 token collision, ~1e-9)."""

@@ -64,7 +64,7 @@ RISKY = [
     "graph_pagerank",           # power iteration over an empty NN graph
     "vocab_bpe_merges",         # BPE argmax loop over an empty vocabulary
     "vocab_bpe_segment",        # zero-merge fold applied to zero documents
-    "dedup_substring_spans",    # gram dup-count window over zero occurrences
+    "dedup_substring_spans",    # gram dup-count agg/semijoin over zero occurrences
     "corpus_shuffle_shards",    # two-phase dense key over zero rows
     "multimodal_audio_meta",    # WAV synth+decode over zero documents
     "multimodal_image_meta",    # PPM synth+decode over zero documents

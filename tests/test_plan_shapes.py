@@ -447,7 +447,7 @@ def test_remaining_tpch_shapes_all_equi_join(spark):
 
 
 def test_substring_spans_two_data_shuffles_no_cartesian(spark):
-    # duplicated_spans promises: gram-keyed dup-count window + doc-keyed
+    # duplicated_spans promises: gram-keyed dup-count agg + semijoin, doc-keyed
     # islands/agg — hash-partition exchanges only, never a cartesian or
     # a single-partition global window over the occurrence relation.
     plan = _plan(spark, "dedup_substring_spans")
