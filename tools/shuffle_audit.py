@@ -104,9 +104,18 @@ def main() -> None:
             f"| {name} | {m['exchanges']} | {m['shuffle_mb']} "
             f"| {m['shuffle_records']} | {m['broadcast_mb']} |")
     out = os.path.join(REPO, "docs", "SHUFFLES.md")
+    # Replace only the header+table; everything from the first "## "
+    # section on is hand-written measurement narrative — preserve it.
+    tail = ""
+    if os.path.exists(out):
+        with open(out) as f:
+            prev = f.read()
+        idx = prev.find("\n## ")
+        if idx != -1:
+            tail = prev[idx:]
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(f"wrote {out} ({len(rows)} queries)")
+        f.write("\n".join(lines) + "\n" + tail)
+    print(f"wrote {out} ({len(rows)} queries, narrative preserved)")
     spark.stop()
 
 
