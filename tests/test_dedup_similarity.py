@@ -306,3 +306,19 @@ def test_duplicated_spans_plants_and_merges(spark):
     assert out[5]["n_dup_spans"] == 1 and out[5]["dup_tokens"] == 16
     assert out[5]["dup_fraction"] == 1.0
     assert abs(out[1]["dup_fraction"] - 8 / 14) < 1e-12
+
+
+def test_duplicated_spans_boilerplate_hot_gram(spark):
+    # Every doc shares one boilerplate 8-gram (the hot-key regime the
+    # aggregate+semijoin form exists for): all docs must report exactly
+    # the boilerplate span, nothing more.
+    from healthcare_data_warehouse_spark.operators.dedup import duplicated_spans
+
+    boiler = "this content is provided for informational purposes only"  # 8 tokens
+    rows = [(i, boiler + " " + " ".join(f"u{i}w{j}" for j in range(8)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicated_spans(df, k=8).collect()
+    assert len(out) == 200
+    assert all(r["n_dup_spans"] == 1 and r["dup_tokens"] == 8 for r in out)
+    assert all(r["n_tokens"] == 16 for r in out)
