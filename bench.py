@@ -88,6 +88,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
+    # Triage subset: SPARK_GRAFT_BENCH_ONLY="q1,q2" times just those
+    # headline queries (full-list totals are NOT comparable to a subset
+    # run — use for before/after deltas on individual queries only).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    headline = [q for q in HEADLINE if q in {s.strip() for s in only.split(",")}] \
+        if only.strip() else HEADLINE
+
     import __spark_entry__ as entrymod
     from healthcare_data_warehouse_spark.session import get_spark
 
@@ -103,12 +110,12 @@ def main() -> None:
         assert df.columns  # schema resolved; noop executes the full plan
         df.write.format("noop").mode("overwrite").save()
 
-    for name in HEADLINE:
+    for name in headline:
         run(name, "/root/testdata/sf0.001")
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         best = float("inf")
         for _ in range(2):  # min-of-2: steady-state, robust to host noise
             t0 = time.perf_counter()
