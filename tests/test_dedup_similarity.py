@@ -322,3 +322,17 @@ def test_duplicated_spans_boilerplate_hot_gram(spark):
     assert len(out) == 200
     assert all(r["n_dup_spans"] == 1 and r["dup_tokens"] == 8 for r in out)
     assert all(r["n_tokens"] == 16 for r in out)
+
+
+def test_duplicated_spans_partition_invariant(spark):
+    from healthcare_data_warehouse_spark.operators.dedup import duplicated_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [(i, (shared + f" tail{i}a tail{i}b tail{i}c") if i % 3 == 0
+             else f"solo{i} " + " ".join(f"w{i}x{j}" for j in range(10)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {r["doc_id"]: tuple(r)[1:] for r in duplicated_spans(df, k=8).collect()}
+    b = {r["doc_id"]: tuple(r)[1:]
+         for r in duplicated_spans(df.repartition(17), k=8).collect()}
+    assert a == b and len(a) == 60
