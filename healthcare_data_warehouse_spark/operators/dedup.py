@@ -495,6 +495,30 @@ def duplicated_spans(df: DataFrame, text_col: str = "text",
     ~n_grams²/2⁶⁵ (≈4e-5 at 27M grams), and a collision only
     over-reports two windows as duplicated. The fraction is one double
     division of exact integers on both sides — bit-equal."""
+    base, spans = _dup_span_relations(df, text_col, id_col, k)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            (F.coalesce("dup_tokens", F.lit(0)).cast("double")
+             / F.col("n_tokens")).alias("dup_fraction"),
+        )
+    )
+
+def _dup_span_relations(df: DataFrame, text_col: str, id_col: str,
+                        k: int) -> tuple[DataFrame, DataFrame]:
+    """Shared pipeline behind the span report and the span list:
+    returns (base, spans) — (doc, n_tokens) with every doc kept, and
+    the maximal duplicated spans (doc, island, s, e). Shape documented
+    on ``duplicated_spans``."""
     from pyspark.sql import Window
 
     from .skew import spread
@@ -534,19 +558,19 @@ def duplicated_spans(df: DataFrame, text_col: str = "text",
     spans = isl.groupBy(id_col, "island").agg(
         F.min("p").alias("s"), (F.max("p") + k - 1).alias("e")
     )
-    per_doc = spans.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_dup_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
-    )
-    return (
-        base.select(id_col, "n_tokens")
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
-            (F.coalesce("dup_tokens", F.lit(0)).cast("double")
-             / F.col("n_tokens")).alias("dup_fraction"),
-        )
+    return base, spans
+
+
+def duplicated_span_list(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """The maximal duplicated spans themselves — ``(doc, span_start,
+    span_end)`` in 1-based token positions, inclusive — the direct input
+    to a span CUTTER (Lee et al. 2022 remove duplicated spans rather
+    than whole documents; ``duplicated_spans`` is the per-doc rollup of
+    exactly this relation). Same pipeline, same three keyed shuffles."""
+    _, spans = _dup_span_relations(df, text_col, id_col, k)
+    return spans.select(
+        id_col,
+        F.col("s").cast("long").alias("span_start"),
+        F.col("e").cast("long").alias("span_end"),
     )

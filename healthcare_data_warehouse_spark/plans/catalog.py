@@ -1352,6 +1352,52 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(_t(spark, sf_dir, "documents"), k=8)
 
 
+@query(
+    "dedup_substring_span_list",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        FROM documents
+    ),
+    grams AS MATERIALIZED (
+        SELECT doc_id, p, array_to_string(tk[p:p+7], ' ') AS g
+        FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-8+1)) AS p
+              FROM d WHERE len(tk) >= 8)
+    ),
+    dpos AS (
+        SELECT doc_id, p FROM grams
+        QUALIFY count(*) OVER (PARTITION BY g) > 1
+    ),
+    isl AS (
+        SELECT doc_id, p,
+               SUM(CASE WHEN prev_end IS NULL OR p > prev_end + 1
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p) AS island
+        FROM (SELECT doc_id, p,
+                     max(p) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) + 8 - 1 AS prev_end
+              FROM dpos)
+    )
+    SELECT doc_id,
+           CAST(min(p) AS BIGINT) AS span_start,
+           CAST(max(p) + 8 - 1 AS BIGINT) AS span_end
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def dedup_substring_span_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maximal duplicated spans themselves (operators/dedup.py
+    ``duplicated_span_list``): (doc, span_start, span_end) in 1-based
+    inclusive token positions — the direct input to a span cutter,
+    which removes duplicated text rather than whole documents (Lee et
+    al. 2022). Same pipeline and shuffles as the per-doc report; the
+    oracle replays the islands merge and emits the spans instead of
+    rolling them up."""
+    from ..operators.dedup import duplicated_span_list
+
+    return duplicated_span_list(_t(spark, sf_dir, "documents"), k=8)
+
+
 # MinHash signature CTEs shared by the LSH oracle: same shingles as the
 # rare-shingle oracle, Kirsch-Mitzenmacher h1 + j·h2 permutations from two
 # md5-derived base hashes (bit-identical to operators/dedup.py hash52 use).
