@@ -574,3 +574,51 @@ def duplicated_span_list(df: DataFrame, text_col: str = "text",
         F.col("s").cast("long").alias("span_start"),
         F.col("e").cast("long").alias("span_end"),
     )
+
+
+def cut_duplicated_spans(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """The dedup ACTION to the span report's find: remove every maximal
+    duplicated span from every document — boilerplate scrub (repeated
+    headers/footers/disclaimers vanish corpus-wide; for keep-one-copy
+    semantics, filter ``duplicated_span_list`` to the spans you want cut
+    and apply the same anti-join). Returns (doc, clean_text,
+    n_removed_tokens) for EVERY input doc; a fully-boilerplate doc comes
+    back with empty text, which the quality funnel then drops.
+
+    Shape: the span relation (tiny — maximal spans only) anti-joins the
+    token stream on doc + position-in-range; surviving tokens re-assemble
+    per doc with a sorted collect_list (bounded by document length, the
+    same bound every chunker here relies on). Shuffles: the three span
+    shuffles + one doc-keyed rebuild."""
+    from pyspark.sql import Window as _W  # noqa: F401  (parity with helper)
+
+    from .skew import spread
+
+    base, spans = _dup_span_relations(df, text_col, id_col, k)
+    words = spread(df.select(id_col, text_col), id_col).select(
+        id_col, F.posexplode(tokens(text_col)).alias("p0", "__w")
+    ).select(id_col, (F.col("p0") + 1).alias("p"), "__w")
+    sp = spans.select(F.col(id_col).alias("__sid"), "s", "e")
+    kept = words.join(
+        sp,
+        (words[id_col] == sp["__sid"])
+        & (words["p"] >= sp["s"]) & (words["p"] <= sp["e"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "__w"))),
+                lambda x: x["__w"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("n_tokens") - F.coalesce("__kept", F.lit(0)))
+        .cast("long").alias("n_removed_tokens"),
+    )

@@ -1398,6 +1398,73 @@ def dedup_substring_span_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_list(_t(spark, sf_dir, "documents"), k=8)
 
 
+@query(
+    "corpus_cut_boilerplate",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        FROM documents
+    ),
+    grams AS MATERIALIZED (
+        SELECT doc_id, p, array_to_string(tk[p:p+7], ' ') AS g
+        FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-8+1)) AS p
+              FROM d WHERE len(tk) >= 8)
+    ),
+    dpos AS (
+        SELECT doc_id, p FROM grams
+        QUALIFY count(*) OVER (PARTITION BY g) > 1
+    ),
+    isl AS (
+        SELECT doc_id, p,
+               SUM(CASE WHEN prev_end IS NULL OR p > prev_end + 1
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p) AS island
+        FROM (SELECT doc_id, p,
+                     max(p) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) + 8 - 1 AS prev_end
+              FROM dpos)
+    ),
+    spans AS MATERIALIZED (
+        SELECT doc_id, min(p) AS s, max(p) + 8 - 1 AS e
+        FROM isl GROUP BY doc_id, island
+    ),
+    toks AS (
+        SELECT doc_id, p, tk[p] AS w
+        FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS p
+              FROM d)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.p, t.w FROM toks t
+        WHERE NOT EXISTS (SELECT 1 FROM spans s
+                          WHERE s.doc_id = t.doc_id
+                            AND t.p BETWEEN s.s AND s.e)
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS clean_text,
+               CAST(count(*) AS BIGINT) AS kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(len(d.tk) - coalesce(r.kept, 0) AS BIGINT)
+               AS n_removed_tokens
+    FROM d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def corpus_cut_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION (operators/dedup.py ``cut_duplicated_spans``):
+    remove every maximal duplicated span corpus-wide — boilerplate
+    scrub. Every doc comes back (clean_text, n_removed_tokens); fully-
+    boilerplate docs come back empty for the quality funnel to drop.
+    The span relation is tiny, so its anti-join against the token
+    stream is broadcast-shaped; the rebuild is one doc-keyed sorted
+    collect bounded by document length."""
+    from ..operators.dedup import cut_duplicated_spans
+
+    return cut_duplicated_spans(_t(spark, sf_dir, "documents"), k=8)
+
+
 # MinHash signature CTEs shared by the LSH oracle: same shingles as the
 # rare-shingle oracle, Kirsch-Mitzenmacher h1 + j·h2 permutations from two
 # md5-derived base hashes (bit-identical to operators/dedup.py hash52 use).

@@ -336,3 +336,24 @@ def test_duplicated_spans_partition_invariant(spark):
     b = {r["doc_id"]: tuple(r)[1:]
          for r in duplicated_spans(df.repartition(17), k=8).collect()}
     assert a == b and len(a) == 60
+
+
+def test_cut_duplicated_spans_scrubs_boilerplate(spark):
+    from healthcare_data_warehouse_spark.operators.dedup import cut_duplicated_spans
+
+    boiler = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, boiler + " uniq1a uniq1b uniq1c"),
+        (2, "uniq2a uniq2b " + boiler),
+        (3, "clean3a clean3b clean3c clean3d clean3e clean3f clean3g "
+            "clean3h clean3i"),
+        (4, boiler + " " + boiler),  # fully boilerplate (one merged span)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in cut_duplicated_spans(df, k=8).collect()}
+    assert out[1]["clean_text"] == "uniq1a uniq1b uniq1c"
+    assert out[1]["n_removed_tokens"] == 8
+    assert out[2]["clean_text"] == "uniq2a uniq2b"
+    assert out[3]["clean_text"].startswith("clean3a")  # untouched
+    assert out[3]["n_removed_tokens"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_removed_tokens"] == 16

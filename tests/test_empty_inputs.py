@@ -66,6 +66,7 @@ RISKY = [
     "vocab_bpe_segment",        # zero-merge fold applied to zero documents
     "dedup_substring_spans",    # gram dup-count agg/semijoin over zero occurrences
     "dedup_substring_span_list",  # islands over zero duplicated positions
+    "corpus_cut_boilerplate",   # span anti-join + rebuild over zero rows
     "corpus_shuffle_shards",    # two-phase dense key over zero rows
     "multimodal_audio_meta",    # WAV synth+decode over zero documents
     "multimodal_image_meta",    # PPM synth+decode over zero documents
