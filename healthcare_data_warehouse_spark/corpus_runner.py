@@ -5,7 +5,9 @@ that takes a raw document table through the full curation funnel and
 materializes a training-ready corpus —
 
     ingest → quality filter + exact dedup + per-language token budget
-    (``operators.curation.corpus_clean``) → near-duplicate removal
+    (``operators.curation.corpus_clean``) → boilerplate scrub (cut
+    every maximal duplicated token span, ``dedup.cut_duplicated_spans``)
+    → near-duplicate removal
     (MinHash+LSH candidates, keep the min-id of every candidate pair) →
     benchmark decontamination (eval 5-gram scrub) → context-window
     packing (``operators.curation.pack_token_budget``) → parquet
@@ -64,8 +66,23 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     clean = docs.join(kept_ids, "doc_id", "left_semi")
     manifest["stages"]["clean"] = {"docs": clean.count()}
 
+    # Stage 1.5: boilerplate scrub — cut every maximal duplicated token
+    # span (Lee et al. 2022 find→cut) BEFORE near-dup detection, so
+    # shared headers/footers can't glue otherwise-distinct docs into one
+    # LSH cluster; docs reduced to nothing by the scrub drop here.
+    from .operators.dedup import cut_duplicated_spans
+
+    scrubbed = (
+        clean.join(cut_duplicated_spans(clean), "doc_id")
+        .filter(F.col("clean_text") != "")
+        .withColumn("text", F.col("clean_text"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .drop("clean_text", "n_removed_tokens")
+    )
+    manifest["stages"]["boilerplate_scrub"] = {"docs": scrubbed.count()}
+
     # Stage 2: near-dup removal over the survivors.
-    deduped = drop_near_dups(clean)
+    deduped = drop_near_dups(scrubbed)
     manifest["stages"]["near_dup"] = {"docs": deduped.count()}
 
     # Stage 2.5: benchmark decontamination (GPT-3-style n-gram scrub).

@@ -19,7 +19,9 @@ def test_corpus_pipeline_end_to_end(spark):
 
     s = manifest["stages"]
     # funnel is monotone: each stage keeps a subset
-    assert s["ingest"]["docs"] >= s["clean"]["docs"] >= s["near_dup"]["docs"]
+    assert s["ingest"]["docs"] >= s["clean"]["docs"]
+    assert s["clean"]["docs"] >= s["boilerplate_scrub"]["docs"]
+    assert s["boilerplate_scrub"]["docs"] >= s["near_dup"]["docs"]
     assert s["near_dup"]["docs"] >= s["decontaminated"]["docs"]
     assert s["packed"]["docs"] == s["decontaminated"]["docs"]
     assert s["packed"]["docs"] > 0
