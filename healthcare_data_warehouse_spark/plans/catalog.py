@@ -3965,11 +3965,13 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import PII_PATTERNS, redact_pii
 
     d = _t(spark, sf_dir, "documents")
+    guard = F.col("text").rlike("[0-9@]")  # no pattern matches without one
     return d.select(
         "doc_id",
         redact_pii("text").alias("clean_text"),
         *[
-            F.regexp_count(F.col("text"), F.lit(p)).cast("long").alias(f"n_{name}")
+            F.when(guard, F.regexp_count(F.col("text"), F.lit(p)))
+            .otherwise(0).cast("long").alias(f"n_{name}")
             for name, p, _ in PII_PATTERNS
         ],
     )
