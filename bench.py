@@ -92,8 +92,18 @@ def main() -> None:
     # headline queries (full-list totals are NOT comparable to a subset
     # run — use for before/after deltas on individual queries only).
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
-    headline = [q for q in HEADLINE if q in {s.strip() for s in only.split(",")}] \
-        if only.strip() else HEADLINE
+    if only.strip():
+        wanted = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = sorted(wanted - set(HEADLINE))
+        if unknown:
+            sys.exit(
+                "SPARK_GRAFT_BENCH_ONLY names not in HEADLINE: "
+                + ", ".join(unknown)
+                + "\nvalid: " + ", ".join(HEADLINE)
+            )
+        headline = [q for q in HEADLINE if q in wanted]
+    else:
+        headline = HEADLINE
 
     import __spark_entry__ as entrymod
     from healthcare_data_warehouse_spark.session import get_spark
@@ -124,11 +134,15 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # n_queries makes composition changes visible: cross-round totals are
+    # only apples-to-apples when n_queries matches (new headline queries
+    # inflate the total; compare per-query or same-composition subtotals).
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_queries": len(headline),
         "sf": sf,
     }))
     spark.stop()

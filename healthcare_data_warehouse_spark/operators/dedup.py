@@ -536,9 +536,13 @@ def _dup_span_relations(df: DataFrame, text_col: str, id_col: str,
     pos = toks.select(
         id_col, "p", gram.alias("g"), n_tok.cast("long").alias("n_tokens")
     )
-    # (doc, n_tokens) for the join-back: an agg on the already-doc-keyed
-    # relation — no new shuffle, one row per doc, every doc kept.
-    base = pos.groupBy(id_col).agg(F.first("n_tokens").alias("n_tokens"))
+    # (doc, n_tokens) for the join-back — derived from df ITSELF, not from
+    # the exploded token stream: a NULL-text doc posexplodes to zero rows,
+    # so a pos-only base would silently drop it, while the oracle's LEFT
+    # JOIN keeps it with NULL n_tokens. One row per doc, EVERY input doc
+    # kept (NULL text ⇒ NULL n_tokens, matching the SQL replay).
+    counts = pos.groupBy(id_col).agg(F.first("n_tokens").alias("n_tokens"))
+    base = df.select(id_col).join(counts, id_col, "left")
     win = pos.filter(F.col("p") <= F.col("n_tokens") - (k - 1)).select(
         id_col, "p", "g"
     )
@@ -616,9 +620,12 @@ def cut_duplicated_spans(df: DataFrame, text_col: str = "text",
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("__kept"),
     )
+    # NULL text in ⇒ NULL out (n_tokens is NULL only for NULL-text docs);
+    # a tokenizable doc scrubbed to nothing still comes back as "".
     return base.join(rebuilt, id_col, "left").select(
         id_col,
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.when(F.col("n_tokens").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce("clean_text", F.lit(""))).alias("clean_text"),
         (F.col("n_tokens") - F.coalesce("__kept", F.lit(0)))
         .cast("long").alias("n_removed_tokens"),
     )

@@ -197,12 +197,15 @@ def pii_hit_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document count of each PII pattern class (scrub audit: how much
     PII did the corpus contain, by type) — ``regexp_count`` per pattern,
     single projection, behind the same digit/``@`` necessary-condition
-    guard as ``redact_pii`` (no pattern can match without one)."""
+    guard as ``redact_pii`` (no pattern can match without one). The guard
+    is NULL-preserving: NULL text yields NULL counts (what the unguarded
+    ``regexp_count`` returned), never 0."""
     guard = F.col(text_col).rlike("[0-9@]")
     return df.select(
         "*",
         *[
-            F.when(guard, F.regexp_count(F.col(text_col), F.lit(p)))
+            F.when(F.col(text_col).isNull(), F.lit(None))
+            .when(guard, F.regexp_count(F.col(text_col), F.lit(p)))
             .otherwise(0).cast("long").alias(f"n_{name}")
             for name, p, _ in PII_PATTERNS
         ],

@@ -129,11 +129,21 @@ class TokenAuthority:
         return claims.get("sub")
 
 
-class _ResultCache:
-    """TTL response cache — (name, sorted params) → rows (dashboard.py:77)."""
+CACHE_MAX_ENTRIES = 256              # LRU bound: worst case ~max_rows rows each
 
-    def __init__(self, ttl: float = CACHE_TTL_SECONDS) -> None:
+
+class _ResultCache:
+    """TTL + LRU response cache — (name, sorted params) → rows
+    (dashboard.py:77). Each entry holds up to ``max_rows`` collected rows,
+    so without an entry bound a param-sweeping client (10k distinct
+    filter combinations) would grow driver memory unboundedly inside the
+    TTL window; ``max_entries`` evicts least-recently-USED entries once
+    the cap is hit (dict move-to-end on every get hit)."""
+
+    def __init__(self, ttl: float = CACHE_TTL_SECONDS,
+                 max_entries: int = CACHE_MAX_ENTRIES) -> None:
         self._ttl = ttl
+        self._max = max(1, int(max_entries))
         self._lock = threading.Lock()
         self._data: dict[str, tuple[float, Any]] = {}
         self.hits = 0
@@ -147,14 +157,23 @@ class _ResultCache:
         with self._lock:
             hit = self._data.get(key)
             if hit is not None and hit[0] > time.monotonic():
+                # move-to-end = mark most-recently-used (3.7+ dicts are
+                # insertion-ordered; re-insert refreshes the position)
+                del self._data[key]
+                self._data[key] = hit
                 self.hits += 1
                 return hit[1]
+            if hit is not None:  # expired — drop so it can't pin the LRU
+                del self._data[key]
             self.misses += 1
             return None
 
     def put(self, key: str, value: Any) -> None:
         with self._lock:
+            self._data.pop(key, None)
             self._data[key] = (time.monotonic() + self._ttl, value)
+            while len(self._data) > self._max:
+                self._data.pop(next(iter(self._data)))
 
     def clear(self) -> int:
         with self._lock:
@@ -184,13 +203,14 @@ class ApiServer:
     users: dict[str, str] | None = None
     max_rows: int = DEFAULT_MAX_ROWS
     cache_ttl: float = CACHE_TTL_SECONDS
+    cache_max_entries: int = CACHE_MAX_ENTRIES
     auth: TokenAuthority = field(init=False)
     cache: _ResultCache = field(init=False)
     _httpd: ThreadingHTTPServer | None = field(init=False, default=None)
 
     def __post_init__(self) -> None:
         self.auth = TokenAuthority(self.users)
-        self.cache = _ResultCache(self.cache_ttl)
+        self.cache = _ResultCache(self.cache_ttl, self.cache_max_entries)
 
     # -- query execution ---------------------------------------------------
 

@@ -19,6 +19,28 @@ os.environ.setdefault(
     os.path.join(REPO, f".scratch-pytest-{os.getpid()}"),
 )
 
+
+def _sweep_stale_scratch() -> None:
+    """Remove .scratch-pytest-<pid> dirs left by killed/crashed runs:
+    a dir is stale iff its PID is no longer alive (kill -0 semantics).
+    Runs once at collection start, before any test touches scratch."""
+    import re
+    import shutil
+
+    for name in os.listdir(REPO):
+        m = re.fullmatch(r"\.scratch-pytest-(\d+)", name)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(REPO, name), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — not ours to sweep
+
+
+_sweep_stale_scratch()
+
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 

@@ -357,3 +357,31 @@ def test_cut_duplicated_spans_scrubs_boilerplate(spark):
     assert out[3]["clean_text"].startswith("clean3a")  # untouched
     assert out[3]["n_removed_tokens"] == 0
     assert out[4]["clean_text"] == "" and out[4]["n_removed_tokens"] == 16
+
+
+def test_duplicated_spans_keeps_null_text_docs(spark):
+    """A NULL-text doc posexplodes to zero token rows; the base relation
+    must still carry it (oracle's LEFT JOIN keeps it with NULL n_tokens)."""
+    from healthcare_data_warehouse_spark.operators.dedup import (
+        cut_duplicated_spans,
+        duplicated_spans,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, f"{boiler} unique one"), (2, f"{boiler} other tail"),
+         (3, None)],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r for r in duplicated_spans(df, k=8).collect()}
+    assert set(rep) == {1, 2, 3}
+    assert rep[3]["n_tokens"] is None
+    assert rep[3]["n_dup_spans"] == 0 and rep[3]["dup_tokens"] == 0
+    assert rep[3]["dup_fraction"] is None
+    assert rep[1]["n_dup_spans"] == 1  # the planted boilerplate still found
+
+    cut = {r["doc_id"]: r for r in cut_duplicated_spans(df, k=8).collect()}
+    assert set(cut) == {1, 2, 3}
+    assert cut[3]["clean_text"] is None  # NULL in, NULL out
+    assert cut[3]["n_removed_tokens"] is None
+    assert cut[1]["clean_text"] == "unique one"

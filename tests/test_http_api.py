@@ -146,3 +146,32 @@ def test_token_expiry_claim_checked():
     # Forge an expired token with the wrong key → both paths rejected.
     other = TokenAuthority({"u": "p"})
     assert other.verify(tok) is None
+
+
+def test_cache_lru_entry_bound():
+    from healthcare_data_warehouse_spark.plans.http_api import _ResultCache
+
+    c = _ResultCache(ttl=300, max_entries=16)
+    # 10k distinct param combinations must hold the cache at the cap.
+    for i in range(10_000):
+        c.put(f"k{i}", [{"v": i}])
+    assert len(c._data) == 16
+    # The 16 most recent survive; everything older was evicted.
+    assert c.get("k9999") == [{"v": 9999}]
+    assert c.get("k9984") == [{"v": 9984}]
+    assert c.get("k0") is None
+    # get() refreshes recency: touch k9984, insert one, k9984 survives
+    # while the least-recently-used (k9985) is the one evicted.
+    c.get("k9984")
+    c.put("new", [{"v": -1}])
+    assert c.get("k9984") is not None
+    assert c.get("k9985") is None
+
+
+def test_cache_expired_entries_dropped_on_get():
+    from healthcare_data_warehouse_spark.plans.http_api import _ResultCache
+
+    c = _ResultCache(ttl=-1, max_entries=4)  # already expired on insert
+    c.put("a", [1])
+    assert c.get("a") is None
+    assert "a" not in c._data  # expired entry can't pin an LRU slot

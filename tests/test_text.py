@@ -157,3 +157,19 @@ def test_ngram_hashes_counts_match_string_ngrams(spark):
             .agg(F.collect_list("count").alias("c")).collect()
         }
         assert by_str == by_hash
+
+
+def test_pii_hit_counts_null_preserving(spark):
+    """NULL text → NULL counts (what unguarded regexp_count returned);
+    the digit/@ guard must not silently turn NULL into 0."""
+    from healthcare_data_warehouse_spark.operators.text import pii_hit_counts
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a@b.co"), (2, "no pii here"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_hit_counts(df).collect()}
+    assert out[1]["n_email"] == 1
+    assert out[2]["n_email"] == 0
+    assert all(out[3][f"n_{n}"] is None
+               for n in ("email", "ssn", "phone", "ipv4"))
