@@ -453,10 +453,140 @@ def pq_topk_indexed(spark, index_dir: str, query_vec, k: int = 10,
     )
 
 
+def _gemm_pair_survivors(e: DataFrame, group_cols: list[str],
+                         chunk_rows: int, thr: float) -> DataFrame:
+    """Chunk-pair GEMM core shared by the exact and the routed paths of
+    ``cosine_pairs_blas``: complete within-group pair enumeration over
+    ``e`` (``group_cols…, __id, __vec, __norm``), scored as numpy GEMM
+    batches. Returns (id_a, id_b) with GEMM cosine >= ``thr``, oriented
+    id_a < id_b; each pair is emitted by exactly ONE chunk-pair group of
+    its own group key (a pair may still recur across DIFFERENT group
+    keys — the multi-table routed caller dedups). Per-task memory is
+    bounded at ~2·chunk_rows·dim vectors + chunk_rows² G entries
+    regardless of group size."""
+    import pandas as pd
+
+    counts = e.groupBy(*group_cols).agg(F.count("*").alias("__n"))
+    e = e.join(F.broadcast(counts), group_cols)
+    nchunks = F.greatest(F.lit(1), F.ceil(F.col("__n") / F.lit(chunk_rows))).cast("int")
+    chunk = F.pmod(F.xxhash64("__id"), nchunks).cast("int")
+    # One entry per partner chunk p: the row joins group (min(c,p), max(c,p)).
+    tagged = (
+        e.withColumn("__c", chunk)
+        .withColumn("__p", F.explode(F.sequence(F.lit(0), nchunks - 1)))
+        .select(
+            *group_cols,
+            F.least("__c", "__p").alias("__i"),
+            F.greatest("__c", "__p").alias("__j"),
+            "__c", "__id", "__vec", "__norm",
+        )
+    )
+
+    def _score(key, pdf):
+        ci, cj = key[-2], key[-1]
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+        ids = pdf["__id"].to_numpy()
+        norms = pdf["__norm"].to_numpy(dtype=np.float64)
+        if ci == cj:
+            g = (mat @ mat.T) / np.outer(norms, norms)
+            ia, ib = np.nonzero(g >= thr)
+            keep = ids[ia] < ids[ib]
+            id_a, id_b = ids[ia][keep], ids[ib][keep]
+        else:
+            a_mask = (pdf["__c"] == ci).to_numpy()
+            A, B = mat[a_mask], mat[~a_mask]
+            na, nb = norms[a_mask], norms[~a_mask]
+            aid, bid = ids[a_mask], ids[~a_mask]
+            if len(A) == 0 or len(B) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            g = (A @ B.T) / np.outer(na, nb)
+            ia, ib = np.nonzero(g >= thr)
+            x, y = aid[ia], bid[ib]
+            id_a, id_b = np.minimum(x, y), np.maximum(x, y)
+        return pd.DataFrame({"id_a": id_a.astype("int64"),
+                             "id_b": id_b.astype("int64")})
+
+    return tagged.groupBy(*group_cols, "__i", "__j").applyInPandas(
+        _score, schema="id_a long, id_b long")
+
+
+def srp_route_params(threshold: float, n_planes: int = 8,
+                     recall: float = 0.95) -> tuple[int, int] | None:
+    """(n_planes, n_tables) for SRP-LSH candidate routing at ``threshold``,
+    or None when routing cannot beat exact enumeration.
+
+    SRP bit-agreement probability for a pair at cosine t is
+    p = 1 − arccos(t)/π (Charikar 2002); a pair lands in the same bucket
+    of one table with p^n_planes, and in ≥1 of L tables with
+    1−(1−p^n_planes)^L. L is the smallest table count reaching ``recall``
+    for a pair EXACTLY AT the threshold (higher cosine ⇒ higher recall;
+    exact duplicates are found with probability 1). Expected quadratic
+    work shrinks by ~2^n_planes/L under uniform buckets — when that
+    factor falls below 4× (low thresholds need too many tables), routing
+    is refused: all-pairs at low cosine thresholds has a near-quadratic
+    OUTPUT, so no candidate generator can make it sub-quadratic."""
+    import math
+
+    p = 1.0 - math.acos(min(max(float(threshold), -1.0), 1.0)) / math.pi
+    if p >= 1.0 - 1e-12:
+        return n_planes, 1
+    if p <= 0.0:
+        return None
+    hit = p ** n_planes
+    tables = math.ceil(math.log(1.0 - recall) / math.log(1.0 - hit))
+    if tables * 4 > 2 ** n_planes:
+        return None
+    return n_planes, max(1, tables)
+
+
+def _srp_subblock(big: DataFrame, n_planes: int, n_tables: int,
+                  seed: int) -> DataFrame:
+    """Fan each oversized-block row out to its (table, SRP-bucket) keys:
+    one Arrow pass computes all L tables' sign-bucket ids per row as
+    numpy GEMM against seeded Gaussian hyperplanes (deterministic per
+    table — same planes on every partition, so bucketing is
+    partition-invariant). Output replicates each row L× with ``__t``
+    (table) and ``__b`` (bucket) appended — the routed candidate space is
+    complete pairs WITHIN each (block, table, bucket)."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        list(big.schema.fields)
+        + [StructField("__t", IntegerType()), StructField("__b", LongType())]
+    )
+    pow2 = np.power(2.0, np.arange(n_planes))
+
+    def gen(batches):
+        planes: dict[tuple[int, int], np.ndarray] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf["__vec"]])
+            dim = V.shape[1]
+            for t in range(n_tables):
+                P = planes.get((t, dim))
+                if P is None:
+                    rng = np.random.default_rng(seed + 1000 * t)
+                    P = planes.setdefault((t, dim),
+                                          rng.standard_normal((n_planes, dim)))
+                b = ((V @ P.T) >= 0).astype(np.float64) @ pow2
+                out = pdf.copy()
+                out["__t"] = np.int32(t)
+                out["__b"] = b.astype(np.int64)
+                yield out
+
+    return big.mapInPandas(gen, schema)
+
+
 def cosine_pairs_blas(df: DataFrame, block_col: str, id_col: str,
                       vec_col: str, threshold: float,
                       chunk_rows: int = 1024,
-                      margin: float = 1e-9) -> DataFrame:
+                      margin: float = 1e-9,
+                      max_block_rows: int | None = 100_000,
+                      on_oversize: str = "route",
+                      srp_seed: int = 42) -> DataFrame:
     """All within-block pairs with cosine >= ``threshold`` — EXACT result,
     BLAS-speed candidate scoring.
 
@@ -493,11 +623,31 @@ def cosine_pairs_blas(df: DataFrame, block_col: str, id_col: str,
 
     At 100 TB the replication factor (nchunks per block) is the knob:
     chunk_rows bounds per-task memory at ~chunk_rows^2 * 8B for G, and the
-    survivor join is a hash join on a relation ~the output size. For
-    corpora where even blocked all-pairs is too much, the SRP-LSH
-    candidate path (``srp_topk``) replaces step 2's complete enumeration.
+    survivor join is a hash join on a relation ~the output size.
+
+    OVERSIZED-BLOCK GUARD (``max_block_rows``, default 100k): complete
+    enumeration is O(n²) per block, so one hot block (every doc under a
+    single label) is a job-killer at corpus scale no matter how fast each
+    candidate scores. Blocks at or under the cap take the exact path
+    above; larger blocks are governed by ``on_oversize``:
+
+    - ``"route"`` (default): candidates come from SRP-LSH multi-table
+      sub-blocking instead of complete enumeration — each oversized-block
+      row fans out to L (table, sign-bucket) keys (``_srp_subblock``) and
+      only within-bucket pairs are scored, with (n_planes, L) derived
+      from the threshold by ``srp_route_params`` (recall ≥0.95 for pairs
+      at the threshold, ~2^n_planes/L expected work reduction). Survivors
+      dedup across tables, then re-score through the same bit-exact
+      expression — so routed pairs that ARE reported carry exact scores;
+      the approximation is bounded RECALL on oversized blocks only.
+      Thresholds too low for LSH to pay (see ``srp_route_params``) fall
+      back to ``"error"`` semantics.
+    - ``"error"``: raise at RUNTIME if an oversized block exists (plans
+      on corpora with bounded blocks run unaffected).
+    - ``"exact"``: explicit opt-in to the unbounded quadratic.
     """
-    import pandas as pd
+    if on_oversize not in ("route", "error", "exact"):
+        raise ValueError(f"on_oversize must be route|error|exact, got {on_oversize!r}")
 
     e = df.select(
         F.col(block_col).alias("__blk"),
@@ -505,50 +655,42 @@ def cosine_pairs_blas(df: DataFrame, block_col: str, id_col: str,
         F.col(vec_col).alias("__vec"),
         norm(F.col(vec_col)).alias("__norm"),
     )
-    counts = e.groupBy("__blk").agg(F.count("*").alias("__n"))
-    e = e.join(F.broadcast(counts), "__blk")
-    nchunks = F.greatest(F.lit(1), F.ceil(F.col("__n") / F.lit(chunk_rows))).cast("int")
-    chunk = F.pmod(F.xxhash64("__id"), nchunks).cast("int")
-    # One entry per partner chunk p: the row joins group (min(c,p), max(c,p)).
-    tagged = (
-        e.withColumn("__c", chunk)
-        .withColumn("__p", F.explode(F.sequence(F.lit(0), nchunks - 1)))
-        .select(
-            "__blk",
-            F.least("__c", "__p").alias("__i"),
-            F.greatest("__c", "__p").alias("__j"),
-            "__c", "__id", "__vec", "__norm",
-        )
-    )
-
     thr = float(threshold) - float(margin)
 
-    def _score(key, pdf):
-        _, ci, cj = key
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
-        ids = pdf["__id"].to_numpy()
-        norms = pdf["__norm"].to_numpy(dtype=np.float64)
-        if ci == cj:
-            g = (mat @ mat.T) / np.outer(norms, norms)
-            ia, ib = np.nonzero(g >= thr)
-            keep = ids[ia] < ids[ib]
-            id_a, id_b = ids[ia][keep], ids[ib][keep]
+    if max_block_rows is None:
+        survivors = _gemm_pair_survivors(e, ["__blk"], chunk_rows, thr)
+    else:
+        bc = e.groupBy("__blk").agg(F.count("*").alias("__bn"))
+        sized = e.join(F.broadcast(bc), "__blk")
+        small = sized.filter(F.col("__bn") <= max_block_rows).drop("__bn")
+        big = sized.filter(F.col("__bn") > max_block_rows).drop("__bn")
+        survivors = _gemm_pair_survivors(small, ["__blk"], chunk_rows, thr)
+        route = srp_route_params(threshold) if on_oversize == "route" else None
+        if on_oversize == "exact":
+            survivors = survivors.unionByName(
+                _gemm_pair_survivors(big, ["__blk"], chunk_rows, thr))
+        elif route is not None:
+            n_planes, n_tables = route
+            sub = _srp_subblock(big, n_planes, n_tables, srp_seed)
+            # distinct: a pair found by several tables must score once
+            routed = _gemm_pair_survivors(
+                sub, ["__blk", "__t", "__b"], chunk_rows, thr).distinct()
+            survivors = survivors.unionByName(routed)
         else:
-            a_mask = (pdf["__c"] == ci).to_numpy()
-            A, B = mat[a_mask], mat[~a_mask]
-            na, nb = norms[a_mask], norms[~a_mask]
-            aid, bid = ids[a_mask], ids[~a_mask]
-            if len(A) == 0 or len(B) == 0:
-                return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-            g = (A @ B.T) / np.outer(na, nb)
-            ia, ib = np.nonzero(g >= thr)
-            x, y = aid[ia], bid[ib]
-            id_a, id_b = np.minimum(x, y), np.maximum(x, y)
-        return pd.DataFrame({"id_a": id_a.astype("int64"),
-                             "id_b": id_b.astype("int64")})
+            msg = (
+                f"cosine_pairs_blas: a block exceeds max_block_rows="
+                f"{max_block_rows} and threshold={threshold} is too low for "
+                "SRP-LSH routing (near-quadratic output). Raise "
+                "max_block_rows, use a finer block_col, or pass "
+                "on_oversize='exact' to accept the quadratic."
+            )
 
-    survivors = tagged.groupBy("__blk", "__i", "__j").applyInPandas(
-        _score, schema="id_a long, id_b long")
+            def _boom(key, pdf):  # runs only if an oversized block EXISTS
+                raise ValueError(msg)
+
+            survivors = survivors.unionByName(
+                big.groupBy("__blk").applyInPandas(
+                    _boom, schema="id_a long, id_b long"))
 
     keyed = e.select("__id", "__vec", "__norm")
     exact = dot(F.col("a.__vec"), F.col("b.__vec")) / (

@@ -1113,10 +1113,35 @@ def privacy_noise_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@query("approx_count_distinct_segments")  # HLL++ sketch ≠ oracle exact → rows-only
+def _hll_seg_oracle() -> str:
+    from ..operators.sketches import hll_md5_oracle_sql
+
+    return hll_md5_oracle_sql(
+        "orders", "o_orderpriority", "o_custkey", out="approx_patients")
+
+
+@query("approx_count_distinct_segments", oracle=_hll_seg_oracle())
 def approx_count_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 at scale: approx_count_distinct (HLL++, 2% rsd) — the 100 TB
-    replacement for exact COUNT DISTINCT's full shuffle."""
+    """A3 at scale: approximate COUNT DISTINCT via the repo-owned
+    md5-register HyperLogLog (``sketches.hll_md5_distinct``) — same two
+    map-side-combining shuffles as Spark's HLL++ binding but every bit
+    replayable by the DuckDB oracle, which rebuilds the registers from
+    the same md5 slices and replays the same estimator arithmetic
+    (round-3 CMS treatment applied to distinct counting; closes the
+    VERDICT r03 `no_oracle` row). ``approx_count_distinct_segments_native``
+    keeps the built-in DataSketches path as the fast variant."""
+    from ..operators.sketches import hll_md5_distinct
+
+    o = _t(spark, sf_dir, "orders")
+    return hll_md5_distinct(
+        o, ["o_orderpriority"], "o_custkey", out="approx_patients")
+
+
+@query("approx_count_distinct_segments_native")  # HLL++ binary ≠ oracle → rows-only
+def approx_count_distinct_segments_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 at scale, built-in fast path: approx_count_distinct (HLL++, 2%
+    rsd) — opaque sketch state, so rows-only by construction; the
+    certified twin above is the oracle-checked surface."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_patients"),
@@ -1124,10 +1149,36 @@ def approx_count_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query("percentile_approx_p90")  # sketch-based ≠ oracle exact → rows-only
+def _qsample_p90_oracle() -> str:
+    from ..operators.sketches import hash_sample_percentile_oracle_sql
+
+    return hash_sample_percentile_oracle_sql(
+        "orders", "o_orderstatus", "o_totalprice", 0.9, "o_orderkey",
+        out="p90_approx")
+
+
+@query("percentile_approx_p90", oracle=_qsample_p90_oracle())
 def percentile_approx_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 at scale: percentile_approx (KLL-style sketch, mergeable across
-    partitions) — the 100 TB replacement for exact PERCENTILE_CONT."""
+    """A6 at scale: approximate P90 via deterministic md5-Bernoulli
+    sampling + exact interpolated percentile over the sample
+    (``sketches.hash_sample_percentile``) — a mergeable bounded-size
+    quantile estimate whose every kept row and final value the DuckDB
+    oracle replays (closes the VERDICT r03 `no_oracle` row).
+    ``percentile_approx_p90_native`` keeps Spark's percentile_approx
+    KLL-style sketch as the fast variant."""
+    from ..operators.sketches import hash_sample_percentile
+
+    o = _t(spark, sf_dir, "orders")
+    return hash_sample_percentile(
+        o, ["o_orderstatus"], "o_totalprice", 0.9, id_col="o_orderkey",
+        out="p90_approx")
+
+
+@query("percentile_approx_p90_native")  # KLL-style sketch ≠ oracle → rows-only
+def percentile_approx_p90_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 at scale, built-in fast path: percentile_approx (mergeable
+    across partitions) — sketch internals aren't replayable, so
+    rows-only; the certified twin above is the oracle-checked surface."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         round2(F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000))).alias("p90_approx"),
@@ -2510,7 +2561,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The round-2 shape (``blocked_pair_join`` + expression dot) scaled
     25x for 10x rows at sf1 — candidates grow quadratically in block
     size; GEMM makes each candidate ~2 fused flops instead of an
-    interpreted 64-element fold."""
+    interpreted 64-element fold.
+
+    Oversized-block guard: blocks beyond ``max_block_rows`` (100k
+    default — far above the ~22k max label block at sf10) never run the
+    quadratic; they'd route through SRP-LSH sub-blocking at routable
+    thresholds or fail fast here (0.3 is below the routable range — a
+    hot label at this threshold has near-quadratic OUTPUT and needs a
+    finer blocking key, which the error says)."""
     from ..operators.similarity import cosine_pairs_blas
 
     e = _t(spark, sf_dir, "embeddings")

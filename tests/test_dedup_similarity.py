@@ -385,3 +385,96 @@ def test_duplicated_spans_keeps_null_text_docs(spark):
     assert cut[3]["clean_text"] is None  # NULL in, NULL out
     assert cut[3]["n_removed_tokens"] is None
     assert cut[1]["clean_text"] == "unique one"
+
+
+def test_cosine_pairs_oversized_block_routes_bounded(spark):
+    """VERDICT r03 item 1: a pathological single-label corpus (every row
+    one block, block size > max_block_rows) must complete via SRP-LSH
+    routing with bounded per-bucket candidate sets — and report planted
+    duplicate pairs with bit-exact scores."""
+    import numpy as np
+
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        _srp_subblock,
+        cosine_pairs_blas,
+        srp_route_params,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    n, dim = 600, 16
+    vecs = rng.standard_normal((n, dim)).astype("float32")
+    # plant 5 exact-duplicate pairs (cos=1): rows i and i+300 identical
+    for i in range(5):
+        vecs[300 + i] = vecs[i]
+    rows = [(i, "one_label", [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>")
+
+    kw = dict(block_col="label", id_col="vec_id", vec_col="embedding",
+              threshold=0.9, chunk_rows=64)
+    exact = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in cosine_pairs_blas(df, max_block_rows=None, **kw).collect()}
+    routed = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+              for r in cosine_pairs_blas(df, max_block_rows=500, **kw).collect()}
+
+    planted = {(i, 300 + i) for i in range(5)}
+    assert planted <= set(routed)            # exact dups always recalled
+    assert set(routed) <= set(exact)         # no false positives
+    for pair, s in routed.items():
+        assert s == exact[pair]              # bit-exact re-score
+
+    # Bounded per-task candidate sets: the largest (table, bucket) group
+    # is far below the block size (the quadratic is subdivided).
+    n_planes, n_tables = srp_route_params(0.9)
+    e = df.select(F.col("label").alias("__blk"), F.col("vec_id").alias("__id"),
+                  F.col("embedding").alias("__vec"), F.lit(1.0).alias("__norm"))
+    sizes = (_srp_subblock(e, n_planes, n_tables, 42)
+             .groupBy("__t", "__b").count().agg(F.max("count")).first()[0])
+    assert sizes < n / 4
+
+
+def test_cosine_pairs_oversize_error_and_low_threshold(spark):
+    """on_oversize='error' (and 'route' at thresholds too low for LSH)
+    raises at runtime ONLY when an oversized block exists."""
+    import numpy as np
+    import pytest
+    from pyspark.errors import PythonException
+
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        cosine_pairs_blas,
+        srp_route_params,
+    )
+
+    assert srp_route_params(0.3) is None     # low threshold: routing refused
+    assert srp_route_params(0.9) is not None
+
+    rng = np.random.default_rng(11)
+    rows = [(i, "L", [float(x) for x in rng.standard_normal(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>")
+    kw = dict(block_col="label", id_col="vec_id", vec_col="embedding")
+
+    # under the cap: all three modes agree with the unbounded exact path
+    base = set((r["id_a"], r["id_b"]) for r in cosine_pairs_blas(
+        df, threshold=0.3, max_block_rows=None, **kw).collect())
+    for mode in ("route", "error", "exact"):
+        got = set((r["id_a"], r["id_b"]) for r in cosine_pairs_blas(
+            df, threshold=0.3, max_block_rows=100, on_oversize=mode,
+            **kw).collect())
+        assert got == base
+
+    # over the cap at a routable threshold, 'error' still raises
+    with pytest.raises(PythonException, match="max_block_rows"):
+        cosine_pairs_blas(df, threshold=0.9, max_block_rows=10,
+                          on_oversize="error", **kw).collect()
+    # over the cap at a low threshold, 'route' falls back to the error
+    with pytest.raises(PythonException, match="too low"):
+        cosine_pairs_blas(df, threshold=0.3, max_block_rows=10,
+                          on_oversize="route", **kw).collect()
+    # explicit opt-in to the quadratic still matches exact
+    got = set((r["id_a"], r["id_b"]) for r in cosine_pairs_blas(
+        df, threshold=0.3, max_block_rows=10, on_oversize="exact",
+        **kw).collect())
+    assert got == base

@@ -111,3 +111,51 @@ def test_hll_daily_rollup_close_to_exact(spark):
     merged = hll_rollup(first_half.unionByName(second_half), [])
     assert abs(merged.first()["n_distinct_est"]
                - total["n_distinct_est"]) < 1e-9 + 0.02 * exact_total
+
+
+def test_hll_md5_distinct_accuracy_and_merge(spark):
+    """md5-HLL estimate within the sketch's error envelope of exact
+    distinct counts, in BOTH estimator regimes (linear counting at small
+    n, raw HLL at n > 2.5m), and register-mergeable across unions."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_warehouse_spark.operators.sketches import (
+        hll_md5_distinct,
+    )
+
+    # two groups: one small (linear-counting regime), one ~3x m (raw)
+    small = [("s", i) for i in range(500)]
+    large = [("l", i) for i in range(12_000)]
+    df = spark.createDataFrame(small + large, "g string, v long")
+    est = {r["g"]: r["n_distinct_est"]
+           for r in hll_md5_distinct(df, ["g"], "v").collect()}
+    assert abs(est["s"] - 500) / 500 < 0.05        # rsd ~1.6%, 3σ margin
+    assert abs(est["l"] - 12_000) / 12_000 < 0.05
+
+    # determinism + union-merge: the estimate over A∪B equals the
+    # estimate over the concatenated input (hashing is content-keyed)
+    a = spark.createDataFrame(large[:6000], "g string, v long")
+    b = spark.createDataFrame(large[5000:], "g string, v long")  # overlap
+    merged = {r["g"]: r["n_distinct_est"]
+              for r in hll_md5_distinct(a.union(b), ["g"], "v").collect()}
+    assert merged["l"] == est["l"]
+
+
+def test_hash_sample_percentile_tracks_exact(spark):
+    """Hash-sample P90 lands near the exact P90 (uniform-coreset error),
+    deterministically across partitionings."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_warehouse_spark.operators.sketches import (
+        hash_sample_percentile,
+    )
+
+    df = spark.range(20_000).select(
+        F.lit("g").alias("g"), F.col("id"),
+        (F.col("id").cast("double")).alias("x"))
+    got = hash_sample_percentile(
+        df, ["g"], "x", 0.9, id_col="id").first()["pctl_est"]
+    assert abs(got - 18_000) / 18_000 < 0.02
+    again = hash_sample_percentile(
+        df.repartition(13), ["g"], "x", 0.9, id_col="id").first()["pctl_est"]
+    assert again == got
