@@ -2051,6 +2051,21 @@ def ml_predict_readmission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predict_readmission(spark, sf_dir)
 
 
+@query("ml_anomaly_iforest")  # random-tree ensemble — rows-only + rank pytest
+def ml_anomaly_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IsolationForest anomaly scoring at functional parity with the
+    reference's sklearn model (ml_pipeline.py:250-253) — pure-numpy
+    iTrees fit on a bounded deterministic hash-sample, broadcast as flat
+    node arrays, scored distributed in one Arrow pass
+    (``ml.iforest.iforest_anomalies``). Rows-only by construction
+    (randomized tree ensemble — no SQL replay exists); score sanity and
+    ≥0.8 rank agreement with the oracled quantile/MAD outlier paths are
+    pytest-asserted on planted outliers."""
+    from ..ml.iforest import iforest_anomalies
+
+    return iforest_anomalies(spark, sf_dir)
+
+
 @query(
     "anomaly_listing",
     oracle="""
