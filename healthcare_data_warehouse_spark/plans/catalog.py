@@ -2673,6 +2673,28 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_auto_agg",
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS cnt,
+           {_osum('l_extendedprice')} AS total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_auto_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated skew cutover (VERDICT r03 item 5): ``skew.auto_agg``
+    samples the key distribution, then picks plain vs salted two-phase
+    aggregation itself — values identical either way (this oracle is the
+    plain aggregate; l_returnflag's ~50% 'N' share trips the salted
+    path here, proving the cutover preserves results). The pytest twin
+    drives a synthetic 90%-hot-key corpus through the same decision."""
+    from ..operators.skew import auto_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    return auto_agg(li, "l_returnflag", "l_extendedprice",
+                    sample_fraction=0.5)
+
+
+@query(
     "skew_salted_join",
     oracle=f"""
     SELECT s_nationkey, count(*) AS cnt,

@@ -160,3 +160,42 @@ def test_auto_join_matches_plain_join(spark):
     small2 = small.filter(F.col("k") != "hot")
     left = auto_join(big, small2, "k", how="left", sample_fraction=0.5)
     assert left.count() == big.count()
+
+
+def test_auto_agg_salts_90pct_hot_key_and_matches_plain(spark):
+    """VERDICT r03 item 5 acceptance: a 90%-hot-key corpus trips the
+    automatic salting decision, and the salted aggregate's output equals
+    the plain aggregation exactly."""
+    from healthcare_data_warehouse_spark.operators.skew import (
+        auto_agg,
+        choose_salt_buckets,
+    )
+
+    hot = spark.createDataFrame(
+        [("hot", float(i % 97)) for i in range(900)]
+        + [(f"k{i}", float(i)) for i in range(100)],
+        "k string, m double")
+    # the decision itself: 90% share >> 0.2 threshold → salted
+    assert choose_salt_buckets(hot, "k", sample_fraction=0.5) > 1
+
+    got = {r["k"]: (r["cnt"], r["total"])
+           for r in auto_agg(hot, "k", "m", sample_fraction=0.5).collect()}
+    want = {r["k"]: (r["cnt"], r["total"])
+            for r in hot.groupBy("k").agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.col("m").cast("decimal(18,4)"))
+                .cast("double").alias("total")).collect()}
+    assert got == want
+
+    # uniform corpus: decision stays plain, output identical too
+    uni = spark.createDataFrame(
+        [(f"k{i % 40}", float(i)) for i in range(1000)], "k string, m double")
+    assert choose_salt_buckets(uni, "k", sample_fraction=0.5) == 1
+    got_u = {r["k"]: (r["cnt"], r["total"])
+             for r in auto_agg(uni, "k", "m", sample_fraction=0.5).collect()}
+    want_u = {r["k"]: (r["cnt"], r["total"])
+              for r in uni.groupBy("k").agg(
+                  F.count("*").alias("cnt"),
+                  F.sum(F.col("m").cast("decimal(18,4)"))
+                  .cast("double").alias("total")).collect()}
+    assert got_u == want_u
