@@ -54,17 +54,29 @@ def _mh_pair(s: Column) -> tuple[Column, Column]:
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles. Oracle (DuckDB):
     ``list_distinct(list_transform(generate_series(1, len(toks)-n+1),
-    i -> toks[i] || ' ' || ... ))`` — 1-based element_at on both sides.
+    i -> toks[i] || ' ' || ... ))`` — identical output, built here as a
+    zip of n shifted slices.
 
-    Docs with fewer than n tokens yield an EMPTY array: Spark's
-    ``sequence(1, 0)`` counts DOWN to [1, 0] (unlike DuckDB's empty
-    generate_series), so the index list is sliced to the shingle count —
-    slice(_, 1, 0) is [] — before element_at ever runs."""
+    Shape matters more than it looks: the earlier form captured the
+    token array (a ``split`` over the full text) inside a ``transform``
+    lambda, and interpreted HOF evaluation re-evaluates CAPTURED outer
+    expressions per element — the split ran ~n×n_shingles times per row
+    and dominated every shingle consumer at scale (jstack at sf30 showed
+    all 32 cores inside ``StringSplit.nullSafeEval``). Slices evaluate
+    their argument once (argument position, not capture), and the
+    ``zip_with`` lambdas reference ONLY their lambda variables, so the
+    split now runs n times per row, independent of document length.
+
+    Docs with fewer than n tokens yield an EMPTY array: n_sh clamps at 0
+    and slice(_, 1, 0) is []."""
     t = tokens(text)
     n_sh = F.greatest(F.lit(0), F.size(t) - (n - 1))
-    idx = F.slice(F.sequence(F.lit(1), F.greatest(F.lit(1), n_sh)), F.lit(1), n_sh)
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])  # noqa: E731
-    return F.array_distinct(F.transform(idx, gram))
+    out = F.slice(t, F.lit(1), n_sh)
+    for j in range(1, n):
+        shifted = F.slice(t, F.lit(1 + j), n_sh)
+        out = F.zip_with(out, shifted,
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(out)
 
 
 # ---------------------------------------------------------------------------
@@ -113,9 +125,24 @@ def minhash_signature(text: Column | str, num_hashes: int = 16, n: int = 3) -> C
             _mh_pair(s)[1].alias("b"),
         ),
     )
+    # One fold over the shingle pairs, min-reducing all num_hashes lanes
+    # at once: `pairs` sits in ARGUMENT position (evaluated once per
+    # row); the per-j form (transform over j capturing `pairs`) re-built
+    # every shingle's md5 pair num_hashes times in interpreted eval.
+    # acc/p are lambda VARIABLES — bound values, never re-evaluated.
+    sentinel = (1 << 63) - 1  # far above any md5-52-bit-derived lane value
+    init = F.array_repeat(F.lit(sentinel).cast("long"), num_hashes)
+    lanes = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    folded = F.aggregate(
+        pairs,
+        init,
+        lambda acc, p: F.zip_with(
+            acc, lanes, lambda a, j: F.least(a, p["a"] + j * p["b"])),
+    )
+    # zero shingles → the old array_min-of-empty NULL lanes
     return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(F.transform(pairs, lambda p: p["a"] + j * p["b"])),
+        folded,
+        lambda x: F.when(x == sentinel, F.lit(None).cast("long")).otherwise(x),
     )
 
 
@@ -237,12 +264,17 @@ def simhash64(text: Column | str, bits: int = 48) -> Column:
             lambda acc, h: acc + F.when(h.bitwiseAND(pow2(i)) != 0, 1).otherwise(-1),
         ),
     )
-    return F.aggregate(
+    # Assemble from bit_votes in ARGUMENT position (one evaluation): the
+    # earlier fold over a bit-index sequence CAPTURED bit_votes in its
+    # lambda, re-running all bits×tokens vote work once per bit
+    # (interpreted HOF capture — see dedup.shingles).
+    weighted = F.zip_with(
+        bit_votes,
         F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(F.element_at(bit_votes, i + 1) > 0, pow2(i)).otherwise(F.lit(0).cast("long")),
+        lambda v, i: F.when(v > 0, pow2(i)).otherwise(F.lit(0).cast("long")),
     )
+    return F.aggregate(weighted, F.lit(0).cast("long"),
+                       lambda acc, x: acc + x)
 
 
 def simhash_signatures_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -750,7 +750,9 @@ def cosine_pairs_blas(df: DataFrame, block_col: str, id_col: str,
 
 def nn_top1_blas(df: DataFrame, block_col: str, id_col: str,
                  vec_col: str, chunk_rows: int = 1024,
-                 margin: float = 1e-9) -> DataFrame:
+                 margin: float = 1e-9,
+                 max_block_rows: int | None = 100_000,
+                 on_oversize: str = "error") -> DataFrame:
     """Each row's EXACT top-1 cosine neighbor within its block
     (deterministic argmax: score desc, neighbor id asc) — GEMM-speed
     candidate generation, bit-exact final scoring.
@@ -770,9 +772,22 @@ def nn_top1_blas(df: DataFrame, block_col: str, id_col: str,
     Returns (src, dst): src = every row id that has a neighbor in its
     block, dst = its exact top-1 neighbor. The output feeds NN-graph
     consumers (clustering, PageRank).
+
+    Oversized-block guard (mirrors ``cosine_pairs_blas``): complete
+    enumeration is O(n²) per block, so blocks beyond ``max_block_rows``
+    fail fast by default (``on_oversize="error"``) rather than silently
+    job-killing at corpus scale — EXACT top-1 has no sub-quadratic
+    complete algorithm (the nearest neighbor can sit at any cosine, so
+    LSH bucketing cannot guarantee it); route genuinely hot blocks
+    through the ANN index paths (IVF/PQ per-query top-k) and accept
+    approximate neighbors, or opt into the quadratic with
+    ``on_oversize="exact"``.
     """
     import pandas as pd
     from pyspark.sql import Window
+
+    if on_oversize not in ("error", "exact"):
+        raise ValueError(f"on_oversize must be error|exact, got {on_oversize!r}")
 
     e = df.select(
         F.col(block_col).alias("__blk"),
@@ -782,6 +797,24 @@ def nn_top1_blas(df: DataFrame, block_col: str, id_col: str,
     )
     counts = e.groupBy("__blk").agg(F.count("*").alias("__n"))
     e = e.join(F.broadcast(counts), "__blk")
+
+    guard = None
+    if max_block_rows is not None and on_oversize == "error":
+        msg = (
+            f"nn_top1_blas: a block exceeds max_block_rows={max_block_rows}; "
+            "exact all-pairs top-1 is quadratic per block. Use a finer "
+            "block_col, the ANN index paths (ivf_topk_indexed/"
+            "pq_topk_indexed) for approximate neighbors, or pass "
+            "on_oversize='exact' to accept the quadratic."
+        )
+
+        def _boom(key, pdf):  # runs only if an oversized block EXISTS
+            raise ValueError(msg)
+
+        guard = (
+            e.filter(F.col("__n") > max_block_rows)
+            .groupBy("__blk").applyInPandas(_boom, schema="src long, dst long")
+        )
     nchunks = F.greatest(F.lit(1), F.ceil(F.col("__n") / F.lit(chunk_rows))).cast("int")
     chunk = F.pmod(F.xxhash64("__id"), nchunks).cast("int")
     tagged = (
@@ -839,6 +872,8 @@ def nn_top1_blas(df: DataFrame, block_col: str, id_col: str,
 
     cands = tagged.groupBy("__blk", "__i", "__j").applyInPandas(
         _cands, schema="src long, dst long")
+    if guard is not None:
+        cands = cands.unionByName(guard)
 
     keyed = e.select("__id", "__vec", "__norm")
     exact = dot(F.col("a.__vec"), F.col("b.__vec")) / (

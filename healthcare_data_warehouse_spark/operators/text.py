@@ -76,9 +76,14 @@ def ngrams(text: Column | str, n: int = 2) -> Column:
     fewer than n tokens yields an empty array."""
     t = tokens(text)
     n_g = F.greatest(F.lit(0), F.size(t) - (n - 1))
-    idx = F.slice(F.sequence(F.lit(1), F.greatest(F.lit(1), n_g)), F.lit(1), n_g)
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])  # noqa: E731
-    return F.transform(idx, gram)
+    # Zip of n shifted slices, NOT transform-with-capture: a captured
+    # token array re-tokenizes per element in interpreted HOF eval (see
+    # dedup.shingles); slices evaluate their argument once per row.
+    out = F.slice(t, F.lit(1), n_g)
+    for j in range(1, n):
+        out = F.zip_with(out, F.slice(t, F.lit(1 + j), n_g),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return out
 
 
 def ngram_hashes(text: Column | str, n: int = 2) -> Column:

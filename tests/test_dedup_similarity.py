@@ -478,3 +478,35 @@ def test_cosine_pairs_oversize_error_and_low_threshold(spark):
         df, threshold=0.3, max_block_rows=10, on_oversize="exact",
         **kw).collect())
     assert got == base
+
+
+def test_nn_top1_oversize_guard(spark):
+    """nn_top1_blas fails fast on an oversized block (exact top-1 has no
+    sub-quadratic complete path) and matches the unguarded result under
+    explicit opt-in."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors import PythonException
+
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        nn_top1_blas,
+    )
+
+    rng = np.random.default_rng(13)
+    rows = [(i, "L", [float(x) for x in rng.standard_normal(8)])
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>")
+    kw = dict(block_col="label", id_col="vec_id", vec_col="embedding")
+
+    base = sorted((r["src"], r["dst"]) for r in nn_top1_blas(
+        df, max_block_rows=None, **kw).collect())
+    under = sorted((r["src"], r["dst"]) for r in nn_top1_blas(
+        df, max_block_rows=100, **kw).collect())
+    assert under == base
+    with pytest.raises(PythonException, match="max_block_rows"):
+        nn_top1_blas(df, max_block_rows=10, **kw).collect()
+    opt_in = sorted((r["src"], r["dst"]) for r in nn_top1_blas(
+        df, max_block_rows=10, on_oversize="exact", **kw).collect())
+    assert opt_in == base

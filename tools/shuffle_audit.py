@@ -50,6 +50,7 @@ def audit_query(df) -> dict[str, int]:
     nodes: list = []
     _walk(plan, nodes)
     shuffle_bytes = shuffle_records = broadcast_bytes = n_exchanges = 0
+    spill_bytes = 0
     for n in nodes:
         nm = n.getClass().getSimpleName()
         m = _metrics(n)
@@ -59,11 +60,14 @@ def audit_query(df) -> dict[str, int]:
             shuffle_records += m.get("shuffleRecordsWritten", 0)
         elif "BroadcastExchange" in nm:
             broadcast_bytes += m.get("dataSize", 0)
+        # spill shows up on sorts/aggregates/joins under memory pressure
+        spill_bytes += m.get("spillSize", 0)
     return {
         "exchanges": n_exchanges,
         "shuffle_mb": round(shuffle_bytes / 1e6, 3),
         "shuffle_records": shuffle_records,
         "broadcast_mb": round(broadcast_bytes / 1e6, 3),
+        "spill_mb": round(spill_bytes / 1e6, 3),
     }
 
 
@@ -96,13 +100,14 @@ def main() -> None:
         "that shuffles pre-filter rows, shows up here before it shows up in",
         "wall clock at 100 TB.",
         "",
-        "| query | exchanges | shuffle MB | shuffle records | broadcast MB |",
-        "|---|---|---|---|---|",
+        "| query | exchanges | shuffle MB | shuffle records | broadcast MB | spill MB |",
+        "|---|---|---|---|---|---|",
     ]
     for name, m in rows:
         lines.append(
             f"| {name} | {m['exchanges']} | {m['shuffle_mb']} "
-            f"| {m['shuffle_records']} | {m['broadcast_mb']} |")
+            f"| {m['shuffle_records']} | {m['broadcast_mb']} "
+            f"| {m['spill_mb']} |")
     out = os.path.join(REPO, "docs", "SHUFFLES.md")
     # Replace only the header+table; everything from the first "## "
     # section on is hand-written measurement narrative — preserve it.
