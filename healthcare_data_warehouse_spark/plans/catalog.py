@@ -2886,6 +2886,48 @@ def stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_user_profiles_v2",
+    oracle="""
+    SELECT user_id, count(*) AS total_events,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS total_value,
+           CAST(LEAST(count(*), 8) AS INTEGER) AS recent_n
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_user_profiles_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State API v2 (transformWithStateInPandas) twin of
+    stream_user_profiles: named ValueState + bounded ListState per user,
+    RocksDB state store, protobuf state-server worker protocol
+    (streaming/stateful_v2.py — incl. the vendored-runtime bootstrap
+    that makes this entry runnable in containers without protobuf).
+    Hash-green on the batch-invariant columns: total_value carried as
+    exact int64 micro-units (associative — stream ≡ batch bit-for-bit)
+    and recent_n, which drains to LEAST(total_events, RECENT_K)
+    regardless of micro-batch boundaries. ``bursts``/``deviation`` are
+    by construction properties of batch boundaries and stay out of the
+    certified projection (covered by tests/test_streaming_v2.py)."""
+    from ..streaming.pipelines import run_stream_to_memory
+    from ..streaming.stateful_v2 import streaming_user_profiles_v2, tws_session
+
+    with tws_session(spark):
+        out = run_stream_to_memory(
+            streaming_user_profiles_v2(spark, sf_dir),
+            f"user_profiles_v2_{abs(hash(sf_dir)) % 10000}",
+            output_mode="update",
+        )
+    # update-mode sink may hold multiple versions per user; keep the latest
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("total_events"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "total_events", "total_value", "recent_n")
+    )
+
+
+@query(
     "stream_fanout_totals",
     oracle="""
     SELECT user_id, event_type,

@@ -1,12 +1,14 @@
 """transformWithStateInPandas (state API v2) operator tests.
 
-The engine integration needs google.protobuf (Spark's TWS driver worker
-protocol) which this container lacks, so those tests are skipif-gated on
-HAS_TWS_RUNTIME. The processor's fold logic is pure pandas and is pinned
-here unconditionally against fake state handles: profile parity with the
-v1 batch-twin semantics, the bounded ListState window, and the deviation
-flag — including the cross-batch state-carry behavior the real state
-store would provide.
+The engine integration needs google.protobuf (Spark's TWS worker
+protocol); stateful_v2 bootstraps the vendored pure-Python runtime when
+site-packages lacks it (_vendor/README.md), so the live-stream parity
+test runs for real in this container — skipif survives only as a guard
+for an environment with neither. The processor's fold logic is pure
+pandas and is additionally pinned against fake state handles: profile
+parity with the v1 batch-twin semantics, the bounded ListState window,
+and the deviation flag — including the cross-batch state-carry behavior
+the real state store provides.
 """
 
 from __future__ import annotations
@@ -114,7 +116,7 @@ def test_state_carries_across_incarnations_like_recovery():
 
 
 @pytest.mark.skipif(not HAS_TWS_RUNTIME,
-                    reason="google.protobuf absent: TWS driver worker cannot start")
+                    reason="google.protobuf absent and no vendored runtime")
 def test_v2_stream_matches_v1_and_batch(spark):
     from conftest import SF_SMOKE
     from healthcare_data_warehouse_spark.sources.loaders import load_table
@@ -126,13 +128,15 @@ def test_v2_stream_matches_v1_and_batch(spark):
     )
     from healthcare_data_warehouse_spark.streaming.stateful_v2 import (
         streaming_user_profiles_v2,
+        tws_session,
     )
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    out = run_stream_to_memory(
-        streaming_user_profiles_v2(spark, SF_SMOKE), "v2_profiles_t",
-        output_mode="update")
+    with tws_session(spark):
+        out = run_stream_to_memory(
+            streaming_user_profiles_v2(spark, SF_SMOKE), "v2_profiles_t",
+            output_mode="update")
     w = Window.partitionBy("user_id").orderBy(F.desc("total_events"))
     latest = (out.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") == 1).drop("__rn"))
