@@ -25,6 +25,17 @@ L_DIVERSITY = 3
 T_CLOSENESS = 0.2
 PRIVACY_BUDGET_MAX_EPSILON = 1.0
 
+# Fact-input size above which wide analytic joins switch from the
+# join-then-aggregate plan to the staged aggregate-below-join plan
+# (pre-reduce the fact on the join key before shuffling it). Below the
+# cutover the direct plan wins: the dims broadcast and the fact never
+# shuffles at all, so adding a pre-aggregation exchange would be pure
+# overhead. Above it the dims stop fitting broadcast, every joined byte
+# rides a shuffle, and shrinking the fact FIRST is the dominant term.
+STAGED_JOIN_CUTOVER_BYTES = int(
+    os.environ.get("SPARK_GRAFT_STAGED_JOIN_BYTES", str(512 << 20))
+)
+
 # Driver test data (TESTDATA.md).
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

