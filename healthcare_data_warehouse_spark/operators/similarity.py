@@ -498,16 +498,34 @@ def pq_topk_indexed(spark, index_dir: str, query_vec, k: int = 10,
 
 
 def _gemm_pair_survivors(e: DataFrame, group_cols: list[str],
-                         chunk_rows: int, thr: float) -> DataFrame:
+                         chunk_rows: int, thr: float,
+                         pre_margin: float = 1e-4) -> DataFrame:
     """Chunk-pair GEMM core shared by the exact and the routed paths of
     ``cosine_pairs_blas``: complete within-group pair enumeration over
-    ``e`` (``group_cols…, __id, __vec, __norm``), scored as numpy GEMM
-    batches. Returns (id_a, id_b) with GEMM cosine >= ``thr``, oriented
-    id_a < id_b; each pair is emitted by exactly ONE chunk-pair group of
-    its own group key (a pair may still recur across DIFFERENT group
-    keys — the multi-table routed caller dedups). Per-task memory is
-    bounded at ~2·chunk_rows·dim vectors + chunk_rows² G entries
-    regardless of group size."""
+    ``e`` (``group_cols…, __id, __vec, __norm``), prescreened as float32
+    GEMM batches and finalized IN-TASK with the exact sequential-double
+    cosine. Returns (id_a, id_b, cosine_sim) with exact cosine >=
+    ``thr``, oriented id_a < id_b; each pair is emitted by exactly ONE
+    chunk-pair group of its own group key (a pair may still recur across
+    DIFFERENT group keys — the multi-table routed caller dedups).
+
+    Two-precision discipline: the quadratic part runs as float32 GEMM
+    (vectors are float32 at rest — half the bandwidth and ~2x the FLOPS
+    of float64), whose cosine error is bounded by ~dim·eps32 ≈ 3.9e-6
+    (Cauchy-Schwarz bounds the absolute sum by the norm product), so a
+    ``pre_margin`` of 1e-4 makes the prescreen a >25x-safety superset.
+    Prescreen survivors — a set ~the OUTPUT size, not the candidate
+    count — are then scored with numpy ``cumsum`` over the exact double
+    products: cumsum is a strict left-to-right IEEE double fold, i.e.
+    bit-identical to the Catalyst ``aggregate(zip_with(...))`` dot the
+    naive form (and the DuckDB oracle) computes, and the row's stored
+    ``__norm`` doubles are reused verbatim — so the emitted score needs
+    no join-back re-score stage at all.
+
+    Per-task memory is bounded at ~2·chunk_rows·dim vectors + a
+    stripe×chunk_rows float32 G slab + a score-batch of exact products,
+    regardless of group size (chunk_rows trades shuffle replication —
+    one copy per partner chunk — against task count, not memory)."""
     import pandas as pd
 
     counts = e.groupBy(*group_cols).agg(F.count("*").alias("__n"))
@@ -526,32 +544,69 @@ def _gemm_pair_survivors(e: DataFrame, group_cols: list[str],
         )
     )
 
+    # GEMM stripe height (rows of G per slab) and exact-score batch
+    # (pairs per cumsum call): both bound peak memory independent of
+    # chunk_rows and of how dense the survivor set is.
+    stripe = 512
+    score_batch = 1 << 18
+    pre = thr - pre_margin
+
+    def _pairs(A32, B32, A64, B64, na, nb, aid, bid, same):
+        out_a, out_b, out_s = [], [], []
+        for s in range(0, len(A32), stripe):
+            t = s + stripe
+            g = (A32[s:t] @ B32.T).astype(np.float64) / np.outer(na[s:t], nb)
+            ia, ib = np.nonzero(g >= pre)
+            if same:
+                keep = aid[s:t][ia] < bid[ib]
+                ia, ib = ia[keep], ib[keep]
+            for u in range(0, len(ia), score_batch):
+                v = u + score_batch
+                iau, ibu = ia[u:v], ib[u:v]
+                # exact sequential double fold == aggregate(zip_with(...))
+                prods = A64[s:t][iau] * B64[ibu]
+                dots = np.cumsum(prods, axis=1)[:, -1]
+                cs = dots / (na[s:t][iau] * nb[ibu])
+                m = cs >= thr
+                x, y = aid[s:t][iau][m], bid[ibu][m]
+                if not same:
+                    x, y = np.minimum(x, y), np.maximum(x, y)
+                out_a.append(x); out_b.append(y); out_s.append(cs[m])
+        if not out_a:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.float64))
+        return (np.concatenate(out_a), np.concatenate(out_b),
+                np.concatenate(out_s))
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "cosine_sim": pd.Series([], dtype="float64")})
+
     def _score(key, pdf):
         ci, cj = key[-2], key[-1]
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+        m32 = np.stack(pdf["__vec"].to_numpy()).astype(np.float32, copy=False)
+        m64 = m32.astype(np.float64)
         ids = pdf["__id"].to_numpy()
         norms = pdf["__norm"].to_numpy(dtype=np.float64)
         if ci == cj:
-            g = (mat @ mat.T) / np.outer(norms, norms)
-            ia, ib = np.nonzero(g >= thr)
-            keep = ids[ia] < ids[ib]
-            id_a, id_b = ids[ia][keep], ids[ib][keep]
+            id_a, id_b, cs = _pairs(m32, m32, m64, m64, norms, norms,
+                                    ids, ids, same=True)
         else:
             a_mask = (pdf["__c"] == ci).to_numpy()
-            A, B = mat[a_mask], mat[~a_mask]
+            A32, B32 = m32[a_mask], m32[~a_mask]
+            A64, B64 = m64[a_mask], m64[~a_mask]
             na, nb = norms[a_mask], norms[~a_mask]
             aid, bid = ids[a_mask], ids[~a_mask]
-            if len(A) == 0 or len(B) == 0:
-                return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-            g = (A @ B.T) / np.outer(na, nb)
-            ia, ib = np.nonzero(g >= thr)
-            x, y = aid[ia], bid[ib]
-            id_a, id_b = np.minimum(x, y), np.maximum(x, y)
+            if len(A32) == 0 or len(B32) == 0:
+                return empty
+            id_a, id_b, cs = _pairs(A32, B32, A64, B64, na, nb,
+                                    aid, bid, same=False)
         return pd.DataFrame({"id_a": id_a.astype("int64"),
-                             "id_b": id_b.astype("int64")})
+                             "id_b": id_b.astype("int64"),
+                             "cosine_sim": cs})
 
     return tagged.groupBy(*group_cols, "__i", "__j").applyInPandas(
-        _score, schema="id_a long, id_b long")
+        _score, schema="id_a long, id_b long, cosine_sim double")
 
 
 def srp_route_params(threshold: float, n_planes: int = 8,
@@ -626,8 +681,8 @@ def _srp_subblock(big: DataFrame, n_planes: int, n_tables: int,
 
 def cosine_pairs_blas(df: DataFrame, block_col: str, id_col: str,
                       vec_col: str, threshold: float,
-                      chunk_rows: int = 1024,
-                      margin: float = 1e-9,
+                      chunk_rows: int = 4096,
+                      pre_margin: float = 1e-4,
                       max_block_rows: int | None = 100_000,
                       on_oversize: str = "route",
                       srp_seed: int = 42) -> DataFrame:
@@ -637,10 +692,11 @@ def cosine_pairs_blas(df: DataFrame, block_col: str, id_col: str,
     The naive shape (``blocked_pair_join`` + per-pair ``zip_with`` dot)
     scores every candidate pair through a Catalyst higher-order function:
     correct, but the per-pair interpreter cost dominates once blocks are
-    thousands of rows (candidates grow quadratically in block size while
-    survivors stay rare — sf1 measured 20M candidates for 14k survivors).
-    Here the quadratic part runs as numpy GEMM and only the tiny survivor
-    set pays the exact Catalyst expression:
+    thousands of rows (candidates grow quadratically in block size —
+    sf10 measures 2G candidates for 24M output pairs).
+    Here the quadratic part runs as float32 numpy GEMM and only the
+    prescreen survivors (~output-sized) pay the exact sequential score,
+    computed IN the same task (no join-back stage):
 
     1. Chunk each block into ``ceil(n_block / chunk_rows)`` hash-chunks
        (``xxhash64(id) % nchunks`` — no global row_number window, so no
@@ -649,25 +705,18 @@ def cosine_pairs_blas(df: DataFrame, block_col: str, id_col: str,
        ((block, i, j), i <= j) — replication factor = nchunks per row,
        the standard blocked all-pairs matrix shape. Each group is one
        Arrow batch to one task: parallelism = blocks x nchunks^2/2.
-    3. ``applyInPandas`` per group: stack the two chunks' vectors into
-       float64 matrices A, B; G = (A @ B.T) / outer(norm_a, norm_b);
-       emit id pairs with G >= threshold - margin, oriented id_a < id_b.
-    4. Join survivors back to the (id, vec, norm) relation and re-score
-       with the SAME sequential-double expression the naive form uses.
-
-    Step 3 is a PRESCREEN, not the answer: GEMM reassociates the sum, so
-    its value can differ from the sequential dot in the last ulps. The
-    margin makes the prescreen a mathematical superset: for 64-dim unit
-    ratios both summation orders err from the true value by at most
-    ~n*eps = 64*1.1e-16 ~ 7e-15 (Cauchy-Schwarz bounds sum|a_i b_i| by
-    norm_a*norm_b), so any pair whose exact cosine passes the threshold
-    sits within 1.5e-14 << margin of its GEMM score. No false negatives;
-    false positives are removed by the final exact filter. Output is
-    bit-identical to the naive form.
+    3. ``applyInPandas`` per group (``_gemm_pair_survivors``): float32
+       GEMM prescreen at threshold - 1e-4 (a proven superset: float32
+       GEMM cosine error is bounded by ~dim·eps32 ≈ 3.9e-6), then the
+       exact left-to-right double fold via ``cumsum`` — bit-identical
+       to the ``aggregate(zip_with(...))`` expression and to DuckDB's
+       ``list_cosine_similarity`` — on survivors only, filtered at the
+       true threshold. Output is bit-identical to the naive form.
 
     At 100 TB the replication factor (nchunks per block) is the knob:
-    chunk_rows bounds per-task memory at ~chunk_rows^2 * 8B for G, and the
-    survivor join is a hash join on a relation ~the output size.
+    chunk_rows sets the replication (shuffled bytes = input x nchunks)
+    while the striped GEMM keeps per-task memory at ~stripe x chunk_rows
+    x 4B for G; nothing downstream shuffles more than the output itself.
 
     OVERSIZED-BLOCK GUARD (``max_block_rows``, default 100k): complete
     enumeration is O(n²) per block, so one hot block (every doc under a
@@ -699,26 +748,29 @@ def cosine_pairs_blas(df: DataFrame, block_col: str, id_col: str,
         F.col(vec_col).alias("__vec"),
         norm(F.col(vec_col)).alias("__norm"),
     )
-    thr = float(threshold) - float(margin)
+    thr = float(threshold)
+    pm = float(pre_margin)
 
     if max_block_rows is None:
-        survivors = _gemm_pair_survivors(e, ["__blk"], chunk_rows, thr)
+        survivors = _gemm_pair_survivors(e, ["__blk"], chunk_rows, thr, pm)
     else:
         bc = e.groupBy("__blk").agg(F.count("*").alias("__bn"))
         sized = e.join(F.broadcast(bc), "__blk")
         small = sized.filter(F.col("__bn") <= max_block_rows).drop("__bn")
         big = sized.filter(F.col("__bn") > max_block_rows).drop("__bn")
-        survivors = _gemm_pair_survivors(small, ["__blk"], chunk_rows, thr)
+        survivors = _gemm_pair_survivors(small, ["__blk"], chunk_rows, thr, pm)
         route = srp_route_params(threshold) if on_oversize == "route" else None
         if on_oversize == "exact":
             survivors = survivors.unionByName(
-                _gemm_pair_survivors(big, ["__blk"], chunk_rows, thr))
+                _gemm_pair_survivors(big, ["__blk"], chunk_rows, thr, pm))
         elif route is not None:
             n_planes, n_tables = route
             sub = _srp_subblock(big, n_planes, n_tables, srp_seed)
             # distinct: a pair found by several tables must score once
+            # distinct is safe WITH the score: the exact fold gives the
+            # same bits for the same pair in every table
             routed = _gemm_pair_survivors(
-                sub, ["__blk", "__t", "__b"], chunk_rows, thr).distinct()
+                sub, ["__blk", "__t", "__b"], chunk_rows, thr, pm).distinct()
             survivors = survivors.unionByName(routed)
         else:
             msg = (
@@ -734,18 +786,11 @@ def cosine_pairs_blas(df: DataFrame, block_col: str, id_col: str,
 
             survivors = survivors.unionByName(
                 big.groupBy("__blk").applyInPandas(
-                    _boom, schema="id_a long, id_b long"))
+                    _boom, schema="id_a long, id_b long, cosine_sim double"))
 
-    keyed = e.select("__id", "__vec", "__norm")
-    exact = dot(F.col("a.__vec"), F.col("b.__vec")) / (
-        F.col("a.__norm") * F.col("b.__norm"))
-    return (
-        survivors
-        .join(keyed.alias("a"), survivors.id_a == F.col("a.__id"))
-        .join(keyed.alias("b"), survivors.id_b == F.col("b.__id"))
-        .select("id_a", "id_b", exact.alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
-    )
+    # scores are already exact (in-task sequential fold) and filtered at
+    # the true threshold — no join-back stage
+    return survivors.select("id_a", "id_b", "cosine_sim")
 
 
 def nn_top1_blas(df: DataFrame, block_col: str, id_col: str,
