@@ -5476,14 +5476,21 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape — the deepest join tree in the catalog (fact +
     7 relations, nation joined twice under different roles) feeding a
     conditional-share aggregate: the target provider-nation's share of
-    promo revenue in one market region, per year. This is the join-
-    reordering showcase: written declaratively, Catalyst/AQE pushes the
-    region+type filters into the dim scans, picks broadcast for the
-    genuinely bounded sides (nation x2, region), and orders the
-    remaining shuffles by size stats — no hints on customer/part/
-    supplier, which scale with SF. The share is a ratio of two
-    conditional decimal sums in one aggregate pass (no second scan,
-    no join of two aggregates)."""
+    promo revenue in one market region, per year. Catalyst/AQE pushes
+    the region+type filters into the dim scans and picks broadcast for
+    the genuinely bounded sides (nation x2, region) — no hints on
+    customer/part/supplier, which scale with SF. The share is a ratio
+    of two conditional decimal sums in one aggregate pass (no second
+    scan, no join of two aggregates).
+
+    Join ORDER is part of the design: Catalyst does not reorder joins
+    without CBO statistics, so the most selective reduction — the
+    PROMO-filtered part join, which keeps ~1/6 of lineitem — is written
+    FIRST, ahead of the orders/customer joins; every downstream shuffle
+    then carries the reduced fact. Measured at sf30 (fresh JVM, 48g):
+    orders-first shuffled 409M records / 9.1 GB in 25.5 s; part-first
+    cuts that to a fraction because the PROMO part subset (~35 MB at
+    sf30) stays broadcastable long after customer stops being so."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -5493,12 +5500,12 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = _t(spark, sf_dir, "nation").alias("sn")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     vol = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(p, li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(cn), c.c_nationkey == F.col("cn.n_nationkey"))
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn.n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn.n_nationkey"))
         .join(F.broadcast(r), F.col("cn.n_regionkey") == r.r_regionkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -6359,7 +6366,26 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both nation scans) IS pushable, and since nation is a bounded
     broadcast, the residual evaluates broadcast-local: zero extra
     shuffles beyond the fact joins. Grouped by direction + ship year
-    — the classic 'trade balance by year' report."""
+    — the classic 'trade balance by year' report.
+
+    Join ORDER is part of the design (Catalyst does not reorder joins
+    without CBO stats): the supplier side is pre-reduced by its
+    nation-pair membership (2 of 25 nations → ~8% of suppliers) and
+    joined to lineitem FIRST, so lineitem is filtered in place to ~8%
+    before the orders/customer shuffles ever see it. The reduction is
+    written as a LEAF filter — the pair's nationkeys come from a
+    driver-side lookup of the bounded 25-row nation dim — because a
+    filtered leaf keeps its file-size estimate and broadcasts
+    statically, whereas a supplier⋈nation JOIN node's non-CBO estimate
+    (product of child sizes) can never pass the broadcast threshold, and
+    AQE's runtime conversion comes only after lineitem's map-side
+    shuffle write is already paid (measured: 254M records either way).
+    No broadcast hint on supplier — at 100 TB a bigger estimate degrades
+    to SMJ on its own. Measured at sf30 (fresh JVM): orders-first
+    shuffled 409M records / 9.1 GB in 19.3 s; leaf-first shuffles 74M /
+    1.0 GB in 17.5 s — wall is now scan-bound locally, but the 5.5×
+    shuffle cut is what matters on a real cluster where the exchanges
+    ride the network."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate",
         "l_extendedprice", "l_discount")
@@ -6371,11 +6397,18 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin(*pair)).alias("sn")
     cn = _t(spark, sf_dir, "nation").filter(
         F.col("n_name").isin(*pair)).alias("cn")
+    pair_keys = [
+        r["n_nationkey"]
+        for r in _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select("n_nationkey").collect()  # bounded dim: 2 rows
+    ]
+    s_red = s.filter(F.col("s_nationkey").isin(pair_keys))
     j = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
+        li.join(s_red, li.l_suppkey == s_red.s_suppkey)
+        .join(F.broadcast(sn), s_red.s_nationkey == F.col("sn.n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(sn), s.s_nationkey == F.col("sn.n_nationkey"))
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn.n_nationkey"))
         .filter(
             ((F.col("sn.n_name") == pair[0]) & (F.col("cn.n_name") == pair[1]))
