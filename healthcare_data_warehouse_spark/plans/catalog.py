@@ -1233,10 +1233,14 @@ def percentile_approx_p90_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting over the corpus (token budgeting)."""
+    """Whitespace token counting over the corpus (token budgeting).
+    spread() ahead of the CPU-bound tokenize (few byte-sized input
+    splits otherwise cap the map stage at 14 tasks; sf10 4.6 s → 1.5 s
+    including the shuffle, back-to-back min-of-2)."""
+    from ..operators.skew import spread
     from ..operators.text import token_count
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     return d.select("doc_id", token_count("text").alias("token_count"))
 
 
@@ -1258,10 +1262,17 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features (C4/Gopher-style filters): lengths,
-    word stats, stopword ratio — all JVM-side expressions."""
+    word stats, stopword ratio — all JVM-side expressions. spread()
+    ahead of the tokenize: the documents scan yields few byte-sized
+    splits (14 at sf10) for a CPU-bound stage, so the map stage runs at
+    less than half the machine with a straggler tail; the explicit
+    repartition is the same CPU-amplification trade corpus_clean makes.
+    Together with the one-aggregate quality_features rewrite: sf10
+    14.3 s → 2.2 s back-to-back."""
+    from ..operators.skew import spread
     from ..operators.text import quality_features
 
-    return quality_features(_t(spark, sf_dir, "documents"))
+    return quality_features(spread(_t(spark, sf_dir, "documents"), "doc_id"))
 
 
 @query(
@@ -1273,10 +1284,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized-content fingerprint for cross-corpus identity."""
+    """Normalized-content fingerprint for cross-corpus identity.
+    spread() ahead of the regex+md5 (CPU-bound on few input splits)."""
+    from ..operators.skew import spread
     from ..operators.text import fingerprint
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     return d.select("doc_id", fingerprint("text").alias("fp"))
 
 
@@ -3210,9 +3223,20 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct tokens, and the share of the single most frequent word
     bigram (repetitive boilerplate scores high). One explode + two keyed
     aggregates, CPU spread before tokenize; docs under 2 tokens drop (no
-    bigram exists)."""
+    bigram exists — explode of the empty gram array emits no rows, so
+    the inner join drops them like the oracle's JOIN).
+
+    Bigrams are ``ngram_hashes`` token-hash structs, not concatenated
+    strings: the output exposes only the frequency ratio, so grouping on
+    fixed-width longs skips the per-occurrence string build and halves
+    the aggregate's hash/compare bytes (same identity-by-hash acceptance
+    as quality_bigram_lm). The previous form built grams with
+    transform(sequence(...), i -> element_at(t, i)) where ``t`` was a
+    CAPTURED outer split — interpreted HOF eval re-tokenizes per
+    element, O(n_tokens²) per doc (the dedup.shingles capture pitfall);
+    measured at sf10 back-to-back: 28.2 s → 4.9 s."""
     from ..operators.skew import spread
-    from ..operators.text import tokens
+    from ..operators.text import ngram_hashes, tokens
 
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     toks = tokens("text")
@@ -3220,17 +3244,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
         .alias("distinct_token_ratio"),
-        F.col("text"),
     )
-    t = F.split(F.trim(F.col("text")), r"\s+")
-    idx = F.sequence(F.lit(1), F.size(t) - 1)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1))
-    )
-    g = (
-        d.filter(F.size(t) >= 2)
-        .select("doc_id", F.explode(grams).alias("gram"))
-    )
+    g = d.select("doc_id", F.explode(ngram_hashes("text", 2)).alias("gram"))
     gc = g.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
     r = gc.groupBy("doc_id").agg(
         F.max("c").alias("top_c"), F.sum("c").alias("tot")
@@ -6824,11 +6839,26 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     World!' and 'hello world' collide on the SAME md5 fingerprint
     (exact-dedup recall depends entirely on this step; the fingerprint
     column feeds dedup_exact / cross_source_overlap directly). Pure
-    native string expressions — scan-parallel, no shuffle at all."""
-    d = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " ")),
-        " +", " ")
+    native string expressions; codegen subexpression elimination
+    computes the shared normalize chain once for both output columns.
+
+    The normalize is split-on-runs, NOT the literal regex-replace chain
+    the oracle spells: ``regexp_replace(lower, '[^a-z0-9 ]', ' ')`` fires
+    the match loop once PER CHARACTER (appendReplacement allocation per
+    hit), while ``split(lower, '[^a-z0-9]+')`` fires once per separator
+    RUN and array_join(filter(.., x != ''), ' ') rebuilds the collapsed,
+    trimmed string in one pass — bit-identical output (0 mismatches over
+    the full sf1 corpus; the leading/trailing empty split cells are
+    exactly the trim, the run-split is exactly the ' +' collapse).
+    With spread() ahead of the CPU-bound pass (14 byte-sized scan splits
+    at sf10 otherwise): measured sf10 15.6 s → 1.5 s, 10.6×."""
+    from ..operators.skew import spread
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    norm = F.array_join(
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                 lambda x: x != ""),
+        " ")
     return d.select("doc_id", norm.alias("norm_text"),
                     F.md5(norm).alias("norm_fingerprint"))
 
