@@ -447,9 +447,14 @@ def rare_feature_pairs(df: DataFrame, text_col: str = "text",
     connected-components loop uses."""
     from .skew import spread
 
-    t = spread(
-        df.filter(F.size(tokens(text_col)) >= n), id_col
-    ).select(
+    # No "size(tokens) >= n" pre-filter: it costs a SECOND full tokenize
+    # at scan parallelism (the pushed-down predicate re-evaluates the
+    # split), while shingles() of a shorter doc is already an empty
+    # array — empty arrays explode to no feature rows, so such docs can
+    # never pair and the output is identical with the filter gone. The
+    # checkpoint carries a few empty-array rows instead (sf10:
+    # 8.6 s → 6.2 s, oracle-identical).
+    t = spread(df, id_col).select(
         F.col(id_col),
         F.transform(shingles(text_col, n),
                     lambda s: F.xxhash64(s)).alias("__sh"),

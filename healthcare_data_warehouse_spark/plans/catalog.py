@@ -3362,11 +3362,16 @@ def pack_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: 32-token chunks with 8-token overlap
-    (stride 24) — sequence+explode+slice, no shuffle anywhere; the whole
-    plan is one codegen'd projection fan-out, linear in corpus size."""
+    (stride 24) — sequence+explode+slice; the chunk build itself is one
+    codegen'd projection fan-out, linear in corpus size and shuffle-free.
+    The one exchange here is the spread() ahead of it: the local fixture
+    scan yields 14 byte-sized splits for a CPU-bound stage (sf10
+    6.2 s → 1.7 s); on a production layout with thousands of splits the
+    spread is unnecessary and the operator runs scan-parallel."""
     from ..operators.curation import chunk_documents
+    from ..operators.skew import spread
 
-    return chunk_documents(_t(spark, sf_dir, "documents"),
+    return chunk_documents(spread(_t(spark, sf_dir, "documents"), "doc_id"),
                            chunk_tokens=32, overlap=8)
 
 
@@ -7113,6 +7118,12 @@ def search_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     terms = ["join", "hash"]
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    # explode THEN filter, deliberately: pre-filtering inside the array
+    # (F.filter HOF before the explode) was measured SLOWER here — the
+    # interpreted per-element lambda costs more than codegen generating
+    # the narrow (doc_id, term) rows and filtering them in the same
+    # codegen stage (sf10 back-to-back: 2.1 s vs 2.5 s). The HOF form
+    # only pays when the generated rows are wide (see bm25_topk).
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("term"))
         .filter(F.col("term").isin(*terms))
@@ -7303,6 +7314,8 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     terms = ["join", "hash"]
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    # explode then filter — the HOF pre-filter loses on narrow rows
+    # (see search_conjunctive for the measured trade)
     lex_scores = (
         d.select("doc_id", F.explode(tokens("text")).alias("term"))
         .filter(F.col("term").isin(*terms))
@@ -7383,16 +7396,23 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df) is a single IEEE op, bit-identical by construction. The numpy
     replica pytest pins the same pipeline end-to-end."""
     from ..operators.skew import spread
-    from ..operators.text import tokens
+    from ..operators.text import _contains_any, tokens
 
     terms, k1, b = ["join", "hash"], 1.2, 0.75
     d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    # filter-before-explode: only query-term occurrences are generated,
+    # and dl still counts EVERY token (it sizes the full array before
+    # the filter). Unlike the narrow-row cases (search_conjunctive,
+    # hybrid_search_rrf — where the interpreted HOF lambda loses to
+    # codegen explode+filter), here each generated row carries dl, so
+    # shrinking the generated stream pays: sf10 back-to-back
+    # 5.8 s → 4.8 s.
     toks = d.select("doc_id", F.size(tokens("text")).alias("dl"),
-                    F.explode(tokens("text")).alias("term"))
-    tf = (
-        toks.filter(F.col("term").isin(*terms))
-        .groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    )
+                    F.explode(
+                        F.filter(tokens("text"), _contains_any(tuple(terms)))
+                    ).alias("term"))
+    tf = toks.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
     stats = d.select(F.size(tokens("text")).alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
