@@ -36,6 +36,18 @@ STAGED_JOIN_CUTOVER_BYTES = int(
     os.environ.get("SPARK_GRAFT_STAGED_JOIN_BYTES", str(512 << 20))
 )
 
+# Materialize-for-reuse cutover: when a corpus-derived intermediate
+# feeds multiple consumers with no exchange for ReuseExchange to dedupe
+# (partition-local aggregation after spread()), localCheckpoint it only
+# above this much estimated INPUT (scan bytes, Catalyst stats). Below,
+# recomputing the chain per consumer is cheaper than the
+# materialization round-trip — measured both ways on quality_bigram_lm
+# (sf1: checkpoint +5 s; sf10: checkpoint −2.5 s). Order-of-magnitude
+# gate, same discipline as STAGED_JOIN_CUTOVER_BYTES.
+CHECKPOINT_REUSE_CUTOVER_BYTES = int(
+    os.environ.get("SPARK_GRAFT_CHECKPOINT_REUSE_BYTES", str(32 << 20))
+)
+
 # Driver test data (TESTDATA.md).
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

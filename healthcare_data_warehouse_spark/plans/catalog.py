@@ -4751,14 +4751,18 @@ def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread() layout (HashPartitioning(doc_id) satisfies the composite
     grouping), so there is no exchange for ReuseExchange to dedupe —
     without intervention the tokenize-explode-aggregate chain runs once
-    PER CONSUMER. localCheckpoint materializes it once instead: one
-    linear write of the same bytes a reuse-exchange would have moved,
-    measured at sf10 11.8 s → 9.3 s steady-state (an explicit
-    repartition-for-reuse was tried and loses: shuffling the
-    occurrence-collapsed rows costs more than the recompute it saves,
-    13.2 s; the remaining time is the one spread shuffle of the corpus
-    text plus the single explode-aggregate pass, both irreducible for
-    these semantics).
+    PER CONSUMER. Above CHECKPOINT_REUSE_CUTOVER_BYTES of input,
+    localCheckpoint materializes it once instead: one linear write of
+    the same bytes a reuse-exchange would have moved, measured at sf10
+    11.8 s → 9.3 s steady-state (an explicit repartition-for-reuse was
+    tried and loses: shuffling the occurrence-collapsed rows costs more
+    than the recompute it saves, 13.2 s; the remaining time is the one
+    spread shuffle of the corpus text plus the single explode-aggregate
+    pass, both irreducible for these semantics). Below the cutover the
+    recompute is cheaper than the materialization and the checkpoint is
+    skipped — bench showed it costing +0.6 s at sf0.1 and +5 s inside
+    the sf1 38-query run (same size-gated-physical-plan discipline as
+    join_3way).
 
     Exactness: the per-occurrence DECIMAL(24,12) sum the oracle
     computes equals n_occ × the rounded term exactly (a decimal times
@@ -4769,17 +4773,20 @@ def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~2x measured at sf1), and the start-word denominator is a groupBy
     on h1 with no string split. Counts match the oracle's string grams
     absent a 64-bit token-hash collision (~1e-9 at this vocabulary)."""
-    from ..operators.skew import spread
+    from ..config import CHECKPOINT_REUSE_CUTOVER_BYTES
+    from ..operators.skew import relation_size_bytes, spread
     from ..operators.text import ngram_hashes
 
-    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    d = spread(docs, "doc_id")
     wd = (
         d.select("doc_id", F.explode(ngram_hashes("text", 2)).alias("g"))
         .select("doc_id", "g.h1", "g.h2")
         .groupBy("doc_id", "h1", "h2")
         .agg(F.count(F.lit(1)).alias("n_occ"))
-        .localCheckpoint(eager=False)
     )
+    if relation_size_bytes(docs) > CHECKPOINT_REUSE_CUTOVER_BYTES:
+        wd = wd.localCheckpoint(eager=False)
     cb = wd.groupBy("h1", "h2").agg(F.sum("n_occ").alias("c_bi"))
     cs = cb.groupBy("h1").agg(F.sum("c_bi").alias("c_start"))
     rate = cb.join(cs, "h1").select(
