@@ -15,6 +15,7 @@ benchmark exists to track). Session startup is excluded.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -120,8 +121,22 @@ def main() -> None:
         assert df.columns  # schema resolved; noop executes the full plan
         df.write.format("noop").mode("overwrite").save()
 
+    def release_blocks() -> None:
+        # Queries here are independent, so any block a query pinned
+        # (persist for two-pass key numbering, localCheckpoint for
+        # lineage truncation) is garbage once it returns — but the JVM
+        # only reaps those blocks after Python GC drops the py4j refs
+        # and ContextCleaner runs. Over a long multi-query run at big SF
+        # the leftovers age the old-gen and late queries pay 2-3x in GC,
+        # so evict explicitly between queries (outside the timed region).
+        gc.collect()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+        spark.catalog.clearCache()
+
     for name in headline:
         run(name, "/root/testdata/sf0.001")
+        release_blocks()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
@@ -132,6 +147,7 @@ def main() -> None:
             run(name, sf_dir)
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        release_blocks()
 
     total = round(sum(timings.values()), 3)
     # n_queries makes composition changes visible: cross-round totals are
