@@ -510,10 +510,13 @@ def _gemm_pair_survivors(e: DataFrame, group_cols: list[str],
     DIFFERENT group keys — the multi-table routed caller dedups).
 
     Two-precision discipline: the quadratic part runs as float32 GEMM
-    (vectors are float32 at rest — half the bandwidth and ~2x the FLOPS
-    of float64), whose cosine error is bounded by ~dim·eps32 ≈ 3.9e-6
-    (Cauchy-Schwarz bounds the absolute sum by the norm product), so a
-    ``pre_margin`` of 1e-4 makes the prescreen a >25x-safety superset.
+    over UNIT-NORMALIZED copies (normalized in double, rounded to
+    float32 — half the bandwidth and ~2x the FLOPS of float64), so every
+    GEMM entry is a cosine with error bounded by ~dim·eps32 ≈ 3.9e-6
+    regardless of vector scale (normalizing first is what makes the
+    bound scale-free: raw-product GEMM underflows near-FLT_MIN vectors
+    to dot 0 and drops true matches). A ``pre_margin`` of 1e-4 thus
+    makes the prescreen a >25x-safety superset.
     Prescreen survivors — a set ~the OUTPUT size, not the candidate
     count — are then scored with numpy ``cumsum`` over the exact double
     products: cumsum is a strict left-to-right IEEE double fold, i.e.
@@ -555,7 +558,9 @@ def _gemm_pair_survivors(e: DataFrame, group_cols: list[str],
         out_a, out_b, out_s = [], [], []
         for s in range(0, len(A32), stripe):
             t = s + stripe
-            g = (A32[s:t] @ B32.T).astype(np.float64) / np.outer(na[s:t], nb)
+            # A32/B32 are pre-NORMALIZED: entries of g are already
+            # cosines, O(1) magnitude at any vector scale.
+            g = (A32[s:t] @ B32.T).astype(np.float64)
             ia, ib = np.nonzero(g >= pre)
             if same:
                 keep = aid[s:t][ia] < bid[ib]
@@ -584,10 +589,24 @@ def _gemm_pair_survivors(e: DataFrame, group_cols: list[str],
 
     def _score(key, pdf):
         ci, cj = key[-2], key[-1]
-        m32 = np.stack(pdf["__vec"].to_numpy()).astype(np.float32, copy=False)
-        m64 = m32.astype(np.float64)
+        raw = np.stack(pdf["__vec"].to_numpy())
+        m64 = raw.astype(np.float64)
         ids = pdf["__id"].to_numpy()
         norms = pdf["__norm"].to_numpy(dtype=np.float64)
+        # Normalize in DOUBLE, then round to float32 for the GEMM: the
+        # prescreen matrix holds unit vectors, so its entries are true
+        # cosines with error ~dim·eps32 at ANY vector scale. GEMM-ing the
+        # RAW float32 values and dividing by the norm product afterwards
+        # is NOT scale-free: a pair of tiny vectors (components near
+        # FLT_MIN) underflows the float32 dot to 0 while its true cosine
+        # is 1.0, and the prescreen silently drops a qualifying pair
+        # (hypothesis-found). Zero-norm vectors divide by 1 instead: the
+        # normalized row stays all-zero and no pair involving it can
+        # reach any positive prescreen threshold; if thr <= pre_margin
+        # lets one through, the exact 0/0 = NaN re-score still drops it
+        # exactly like the naive expression path.
+        safe = np.where(norms == 0.0, 1.0, norms)
+        m32 = (m64 / safe[:, None]).astype(np.float32)
         if ci == cj:
             id_a, id_b, cs = _pairs(m32, m32, m64, m64, norms, norms,
                                     ids, ids, same=True)
@@ -880,6 +899,10 @@ def nn_top1_blas(df: DataFrame, block_col: str, id_col: str,
         mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
         ids = pdf["__id"].to_numpy()
         norms = pdf["__norm"].to_numpy(dtype=np.float64)
+        # normalize BEFORE the GEMM (see _gemm_pair_survivors): entries
+        # become true cosines at any vector scale instead of raw dots
+        # that can under/overflow ahead of the norm-product division
+        mat = mat / np.where(norms == 0.0, 1.0, norms)[:, None]
 
         def emit(g, src_ids, dst_ids):
             # per source row: all partners within margin of its row max
@@ -893,7 +916,7 @@ def nn_top1_blas(df: DataFrame, block_col: str, id_col: str,
         if ci == cj:
             if len(ids) < 2:
                 return pd.DataFrame({"src": [], "dst": []}).astype("int64")
-            g = (mat @ mat.T) / np.outer(norms, norms)
+            g = mat @ mat.T
             np.fill_diagonal(g, -np.inf)  # a row is not its own neighbor
             s, d = emit(g, ids, ids)
             srcs.append(s); dsts.append(d)
@@ -901,9 +924,8 @@ def nn_top1_blas(df: DataFrame, block_col: str, id_col: str,
             a_mask = (pdf["__c"] == ci).to_numpy()
             A, B = mat[a_mask], mat[~a_mask]
             if len(A) and len(B):
-                na, nb = norms[a_mask], norms[~a_mask]
                 aid, bid = ids[a_mask], ids[~a_mask]
-                g = (A @ B.T) / np.outer(na, nb)
+                g = A @ B.T
                 s, d = emit(g, aid, bid)
                 srcs.append(s); dsts.append(d)
                 s, d = emit(g.T, bid, aid)

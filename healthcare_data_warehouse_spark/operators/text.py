@@ -144,6 +144,91 @@ def ngram_hashes(text: Column | str, n: int = 2) -> Column:
     return acc
 
 
+def dup_ngram_coverage(df: DataFrame, n: int = 2, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style duplicate n-gram character coverage (Rae 2021,
+    "Scaling Language Models" §A1.1 "fraction of characters in duplicate
+    n-grams"; same family as the reference's quality gates).
+
+    A gram VALUE is *duplicated* when it occurs >= 2 times within one
+    document; a document's coverage is the set of token positions lying
+    under any occurrence of a duplicated gram, each position counted
+    ONCE even where occurrences overlap (``x x x`` has two occurrences
+    of the bigram ``x x`` sharing the middle token — coverage is 3
+    tokens, not 4). Returns one row per input document:
+    ``(id_col, dup_chars, total_chars)`` — documents with < n tokens (no
+    grams) or no duplicated grams get dup_chars = 0.
+
+    Scale shape: gram identities are xxhash64 token structs (the
+    ``ngram_hashes`` identity-by-hash acceptance), each carrying the n
+    covered token LENGTHS, so coverage never re-reads the token array —
+    3 linear doc-keyed shuffles (gram aggregate, position dedup, per-doc
+    sum) and a co-partitioned left join back to per-doc totals. No
+    window sort: the gram aggregate collects start offsets with a plain
+    hash aggregate (per-gram-per-doc lists are bounded by doc length).
+    """
+    toks = tokens(text_col)
+    arr = df.select(
+        id_col,
+        F.transform(toks, lambda w: F.xxhash64(w)).alias("hs"),
+        F.transform(toks, lambda w: F.length(w)).alias("ls"),
+    )
+    m = F.greatest(F.lit(0), F.size("hs") - (n - 1))
+
+    def _pair(j: int) -> Column:
+        return F.zip_with(F.slice("hs", 1 + j, m), F.slice("ls", 1 + j, m),
+                          lambda h, l: F.struct(h.alias("h1"), l.alias("l1")))
+
+    def _extend(width: int):
+        # factory, not a default arg: pyspark passes one Column per
+        # lambda PARAMETER, so an `i=i` capture would receive a Column
+        return lambda p, q: F.struct(
+            *[p[f"h{k + 1}"].alias(f"h{k + 1}") for k in range(width)],
+            q["h1"].alias(f"h{width + 1}"),
+            *[p[f"l{k + 1}"].alias(f"l{k + 1}") for k in range(width)],
+            q["l1"].alias(f"l{width + 1}"),
+        )
+
+    gh = _pair(0)
+    for j in range(1, n):
+        gh = F.zip_with(gh, _pair(j), _extend(j))
+
+    base = arr.select(
+        id_col,
+        F.aggregate("ls", F.lit(0).cast("long"), lambda a, x: a + x)
+        .alias("total_chars"),
+    )
+    occ = arr.select(id_col, F.posexplode(gh).alias("gpos", "g"))
+    # Group key is the whole struct: the l-fields are a function of the
+    # gram value, so they never split an (h1..hn) group.
+    dup = (
+        occ.groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"), F.collect_list("gpos").alias("starts"))
+        .where(F.col("c") >= 2)
+    )
+    cov = (
+        dup.select(id_col, "g", F.explode("starts").alias("gpos"))
+        .select(
+            id_col,
+            F.explode(F.array(*[
+                F.struct((F.col("gpos") + j).alias("pos"),
+                         F.col("g")[f"l{j + 1}"].alias("plen"))
+                for j in range(n)
+            ])).alias("pc"),
+        )
+        .select(id_col, "pc.pos", "pc.plen")
+    )
+    dup_chars = (
+        cov.groupBy(id_col, "pos").agg(F.max("plen").alias("plen"))
+        .groupBy(id_col).agg(F.sum("plen").alias("dup_chars"))
+    )
+    return base.join(dup_chars, id_col, "left").select(
+        id_col,
+        F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+        "total_chars",
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lower-cased text. Oracle:

@@ -3260,6 +3260,67 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_dup_ngram_chars",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+    tot AS (
+        SELECT doc_id, SUM(len(tok)) AS total_chars
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        GROUP BY 1),
+    g AS (
+        SELECT doc_id, i AS gpos, toks[i] || ' ' || toks[i + 1] AS gram
+        FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+        WHERE len(toks) >= 2),
+    dup AS (
+        SELECT doc_id, gpos
+        FROM (SELECT doc_id, gpos,
+                     count(*) OVER (PARTITION BY doc_id, gram) AS c
+              FROM g)
+        WHERE c >= 2),
+    cov AS (
+        SELECT DISTINCT doc_id, gpos + o AS pos
+        FROM dup, LATERAL (SELECT unnest(generate_series(0, 1)) AS o)),
+    dc AS (
+        SELECT cov.doc_id, SUM(len(t.toks[cov.pos])) AS dup_chars
+        FROM cov JOIN t ON cov.doc_id = t.doc_id
+        GROUP BY 1)
+    SELECT t.doc_id,
+           CASE WHEN tot.total_chars = 0 THEN 0.0
+                ELSE CAST(COALESCE(dc.dup_chars, 0) AS DOUBLE)
+                     / tot.total_chars
+           END AS dup_ngram_char_frac
+    FROM t
+    JOIN tot ON t.doc_id = tot.doc_id
+    LEFT JOIN dc ON t.doc_id = dc.doc_id
+    """,
+)
+def text_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition gate #2 (completes text_repetition's
+    distinct-ratio/top-gram pair): fraction of a document's characters
+    lying under DUPLICATED word bigrams, overlap counted once — the
+    'fraction of characters in duplicate n-grams' filter of Rae 2021
+    §A1.1. Boilerplate that repeats whole phrases scores high even when
+    no single gram dominates (which top_bigram_frac would miss).
+
+    EVERY document is kept (dup-free and sub-bigram docs score 0.0) —
+    the coverage operator left-joins per-doc totals. The fraction is a
+    single long/long double division, bit-identical to the oracle's."""
+    from ..operators.skew import spread
+    from ..operators.text import dup_ngram_coverage
+
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    cov = dup_ngram_coverage(d, n=2)
+    return cov.select(
+        "doc_id",
+        F.when(F.col("total_chars") == 0, F.lit(0.0))
+        .otherwise(F.col("dup_chars").cast("double") / F.col("total_chars"))
+        .alias("dup_ngram_char_frac"),
+    )
+
+
+@query(
     "embedding_dim_profile",
     oracle="""
     WITH e AS (

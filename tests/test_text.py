@@ -173,3 +173,25 @@ def test_pii_hit_counts_null_preserving(spark):
     assert out[2]["n_email"] == 0
     assert all(out[3][f"n_{n}"] is None
                for n in ("email", "ssn", "phone", "ipv4"))
+
+
+def test_dup_ngram_coverage_bigrams(spark):
+    from healthcare_data_warehouse_spark.operators.text import dup_ngram_coverage
+    rows = [
+        (1, "aa bb aa bb cc"),   # "aa bb" dup at pos 0,2 → cover {0,1,2,3} = 8 of 10
+        (2, "xx xx xx"),         # overlapping dup occurrences: cover 3 tokens, not 4
+        (3, "one two three"),    # no dup gram → 0
+        (4, "solo"),             # < n tokens → no grams → 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["dup_chars"], r["total_chars"])
+           for r in dup_ngram_coverage(df, n=2).collect()}
+    assert got == {1: (8, 10), 2: (6, 6), 3: (0, 11), 4: (0, 4)}
+
+
+def test_dup_ngram_coverage_trigrams(spark):
+    from healthcare_data_warehouse_spark.operators.text import dup_ngram_coverage
+    # "a b c" repeats 3× → every trigram value occurs >= 2× → full coverage
+    df = spark.createDataFrame([(1, "a b c a b c a b c")], ["doc_id", "text"])
+    r = dup_ngram_coverage(df, n=3).collect()[0]
+    assert (r["dup_chars"], r["total_chars"]) == (9, 9)
