@@ -126,3 +126,36 @@ def test_gemm_pair_search_equals_naive_on_random_vectors(spark, vecs, chunk):
         df, "label", "vec_id", "embedding",
         threshold=0.3, chunk_rows=chunk).collect()}
     assert got == naive
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from("ab cd e ff".split()),
+                         min_size=0, max_size=20), min_size=1, max_size=6),
+       st.integers(2, 3))
+def test_dup_ngram_coverage_matches_bruteforce(spark, docs, n):
+    """dup_ngram_coverage == a brute-force per-doc reference (gram value
+    occurring >=2x; covered positions deduped across overlapping
+    occurrences) for arbitrary small-vocab token lists and n in {2,3}."""
+    from healthcare_data_warehouse_spark.operators.text import dup_ngram_coverage
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(3)
+    got = {r["doc_id"]: (r["dup_chars"], r["total_chars"])
+           for r in dup_ngram_coverage(df, n=n).collect()}
+
+    want = {}
+    for i, toks in enumerate(docs):
+        # NB: Spark's split(trim(''), '\s+') and an empty python list
+        # differ: '' tokenizes to [''] (one zero-length token) — mirror it.
+        toks = toks if toks else [""]
+        grams = [tuple(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+        from collections import Counter
+        c = Counter(grams)
+        covered = set()
+        for j, g in enumerate(grams):
+            if c[g] >= 2:
+                covered.update(range(j, j + n))
+        want[i] = (sum(len(toks[p]) for p in covered),
+                   sum(len(t) for t in toks))
+    assert got == want
