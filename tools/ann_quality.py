@@ -75,6 +75,16 @@ def main() -> None:
             emb, q, k=k, n_lists=16, n_probe=4),
         "IVF indexed (16 lists, probe 4)": lambda q: ivf_topk_indexed(
             spark, ivf_dir, qvecs[q], k=k, n_probe=4, exclude_id=q),
+        # probe sweep: the recall knob, measured — recall must climb
+        # toward 1.0 as probed lists approach n_lists (at probe=16 the
+        # scan is exhaustive and any shortfall would be a bucketing bug)
+        "IVF indexed (16 lists, probe 8)": lambda q: ivf_topk_indexed(
+            spark, ivf_dir, qvecs[q], k=k, n_probe=8, exclude_id=q),
+        "IVF indexed (16 lists, probe 12)": lambda q: ivf_topk_indexed(
+            spark, ivf_dir, qvecs[q], k=k, n_probe=12, exclude_id=q),
+        "IVF indexed (16 lists, probe 16 = exhaustive)": lambda q:
+            ivf_topk_indexed(spark, ivf_dir, qvecs[q], k=k, n_probe=16,
+                             exclude_id=q),
         "PQ train-per-call (m=8, refine 100)": lambda q: pq_topk(
             emb, q, k=k, m=8, codebook_k=16, refine=100),
         "PQ indexed (m=8, refine 100)": lambda q: pq_topk_indexed(
