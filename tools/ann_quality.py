@@ -89,6 +89,13 @@ def main() -> None:
             emb, q, k=k, m=8, codebook_k=16, refine=100),
         "PQ indexed (m=8, refine 100)": lambda q: pq_topk_indexed(
             spark, pq_dir, qvecs[q], k=k, refine=100, exclude_id=q),
+        # refine sweep: PQ's recall knob — the ADC shortlist size fed to
+        # the exact re-rank; at refine = corpus size the ADC order stops
+        # mattering and recall must reach 1.0
+        "PQ indexed (m=8, refine 200)": lambda q: pq_topk_indexed(
+            spark, pq_dir, qvecs[q], k=k, refine=200, exclude_id=q),
+        "PQ indexed (m=8, refine 400)": lambda q: pq_topk_indexed(
+            spark, pq_dir, qvecs[q], k=k, refine=400, exclude_id=q),
     }
 
     exact: dict[int, set] = {}
