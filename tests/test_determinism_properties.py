@@ -159,3 +159,38 @@ def test_dup_ngram_coverage_matches_bruteforce(spark, docs, n):
         want[i] = (sum(len(toks[p]) for p in covered),
                    sum(len(t) for t in toks))
     assert got == want
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c"]),
+                         min_size=0, max_size=12), min_size=1, max_size=6))
+def test_duplicated_spans_matches_bruteforce(spark, docs):
+    """duplicated_spans == an independent python reference (corpus-wide
+    k-gram multiset -> duplicated windows -> gaps-and-islands merge) on
+    random tiny-vocab corpora, k=3 — exercising cross-doc duplication,
+    self-duplication, overlap merging, and sub-k docs together."""
+    from healthcare_data_warehouse_spark.operators.dedup import duplicated_spans
+
+    k = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(3)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_tokens"])
+           for r in duplicated_spans(df, k=k).collect()}
+
+    from collections import Counter
+    toks = {i: (t if t else [""]) for i, t in enumerate(docs)}  # '' -> ['']
+    grams = Counter(g for t in toks.values()
+                    for g in (tuple(t[j:j + k]) for j in range(len(t) - k + 1)))
+    want = {}
+    for i, t in toks.items():
+        dpos = [j + 1 for j in range(len(t) - k + 1)
+                if grams[tuple(t[j:j + k])] > 1]   # 1-based window starts
+        spans = []
+        for p in dpos:
+            if spans and p <= spans[-1][1] + 1:    # overlaps/adjoins island
+                spans[-1][1] = p + k - 1
+            else:
+                spans.append([p, p + k - 1])
+        want[i] = (len(t), len(spans), sum(e - s + 1 for s, e in spans))
+    assert got == want
