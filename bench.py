@@ -124,11 +124,18 @@ def main() -> None:
     # The explicit JVM GC below costs ~30 ms per call — worth it only
     # when the run is big enough to age the heap (measured: saves 100+ s
     # at sf30, costs ~1 s total at sf0.1 where nothing accumulates).
-    sf_bytes = sum(
-        os.path.getsize(os.path.join(sf_dir, f))
-        for f in os.listdir(sf_dir)
-        if os.path.isfile(os.path.join(sf_dir, f))
-    )
+    # os.walk, not listdir: Spark-style parquet DIRECTORIES (part files
+    # under <table>.parquet/) must count toward the size heuristic and
+    # get page-cache warmed too, or `heavy` underestimates and the warm
+    # silently skips them, reintroducing the cold-scan smear.
+    def _sf_files(d: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(d):
+            out.extend(os.path.join(root, f) for f in files)
+        return sorted(out)
+
+    sf_files = _sf_files(sf_dir)
+    sf_bytes = sum(os.path.getsize(p) for p in sf_files)
     heavy = sf_bytes > 256 << 20
 
     def release_blocks() -> None:
@@ -168,12 +175,10 @@ def main() -> None:
     # on whether the data had just been generated). Steady-state
     # engine time is what this benchmark tracks; cold-scan behavior is
     # a property of the storage tier, not the query plans.
-    for entry in sorted(os.listdir(sf_dir)):
-        p = os.path.join(sf_dir, entry)
-        if os.path.isfile(p):
-            with open(p, "rb") as fh:
-                while fh.read(1 << 24):
-                    pass
+    for p in sf_files:
+        with open(p, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
 
     timings: dict[str, float] = {}
     for name in headline:

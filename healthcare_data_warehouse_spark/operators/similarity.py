@@ -859,6 +859,12 @@ def nn_top1_blas(df: DataFrame, block_col: str, id_col: str,
         F.col(vec_col).alias("__vec"),
         norm(F.col(vec_col)).alias("__norm"),
     )
+    # cosine is undefined against a zero vector: as a source its GEMM row
+    # is all zeros (row_max 0 emits EVERY partner), and its exact re-score
+    # is 0/0 = NaN, which Spark orders as the LARGEST double — the window
+    # argmax would pick a NaN-scored arbitrary partner. Drop zero-norm
+    # rows up front; they have no defined neighbor in either direction.
+    e = e.filter(F.col("__norm") > 0.0)
     counts = e.groupBy("__blk").agg(F.count("*").alias("__n"))
     e = e.join(F.broadcast(counts), "__blk")
 
@@ -950,6 +956,9 @@ def nn_top1_blas(df: DataFrame, block_col: str, id_col: str,
         .join(keyed.alias("b"), cands.dst == F.col("b.__id"))
         .select("src", "dst", exact.alias("s"))
     )
+    # belt-and-braces: zero-norm rows are filtered above, but a NaN score
+    # must never reach the argmax window (Spark sorts NaN as largest)
+    scored = scored.filter(~F.isnan(F.col("s")))
     w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))

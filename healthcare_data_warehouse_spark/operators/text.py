@@ -195,8 +195,13 @@ def dup_ngram_coverage(df: DataFrame, n: int = 2, id_col: str = "doc_id",
 
     base = arr.select(
         id_col,
-        F.aggregate("ls", F.lit(0).cast("long"), lambda a, x: a + x)
-        .alias("total_chars"),
+        # coalesce: NULL text -> NULL token array -> NULL fold; the
+        # contract is "EVERY document is kept, scoring 0.0", so an
+        # absent text is a zero-length text, not a dropped row
+        F.coalesce(
+            F.aggregate("ls", F.lit(0).cast("long"), lambda a, x: a + x),
+            F.lit(0).cast("long"),
+        ).alias("total_chars"),
     )
     occ = arr.select(id_col, F.posexplode(gh).alias("gpos", "g"))
     # Group key is the whole struct: the l-fields are a function of the

@@ -3287,12 +3287,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cov JOIN t ON cov.doc_id = t.doc_id
         GROUP BY 1)
     SELECT t.doc_id,
-           CASE WHEN tot.total_chars = 0 THEN 0.0
+           CASE WHEN COALESCE(tot.total_chars, 0) = 0 THEN 0.0
                 ELSE CAST(COALESCE(dc.dup_chars, 0) AS DOUBLE)
                      / tot.total_chars
            END AS dup_ngram_char_frac
     FROM t
-    JOIN tot ON t.doc_id = tot.doc_id
+    LEFT JOIN tot ON t.doc_id = tot.doc_id
     LEFT JOIN dc ON t.doc_id = dc.doc_id
     """,
 )

@@ -45,7 +45,8 @@ GOLD_SHARED_TABLES = ("customer", "orders", "nation", "region", "events")
 def materialize_gold(spark: SparkSession, sf_dir: str, gold_dir: str,
                      queries: tuple[str, ...] = GOLD_QUERIES,
                      shared_scan: bool = False,
-                     shared_tables: tuple[str, ...] = GOLD_SHARED_TABLES) -> dict:
+                     shared_tables: tuple[str, ...] = GOLD_SHARED_TABLES,
+                     pii_check: bool = True) -> dict:
     """Run each gold query and persist its (small) result as parquet.
     Returns the manifest (also written to gold_dir/_manifest.json).
 
@@ -56,10 +57,26 @@ def materialize_gold(spark: SparkSession, sf_dir: str, gold_dir: str,
     plan — ``load_table`` builds the identical plan each call, so all N
     queries hit one InMemoryRelation instead of N parquet scans each).
     The cache is dropped before returning — it exists for the duration of
-    the batch, a scheduling decision, not ambient state."""
+    the batch, a scheduling decision, not ambient state.
+
+    ``pii_check=True`` (default) enforces the SURVEY §7.3 invariant on
+    every card before it is written: the physical plan must not scan a
+    PII column (gold is post-staging — only the dim builders are
+    licensed to read raw ``c_name``, and only to hash it). A violating
+    query raises ``PIILeakError`` and nothing is materialized for it."""
+    from ..operators.pii_guard import assert_no_pii_scan
     from ..sources.loaders import load_table
 
     qs = catalog.queries()
+    if pii_check:
+        # Pre-pass, BEFORE any shared-scan persist: the invariant is
+        # about what each card's own plan reads from storage, and the
+        # uncached plan shows the true pruned parquet ReadSchema (a
+        # cached full-table relation would embed its full-column build
+        # scan in every substituted plan and mask the signal). Raises
+        # before anything is materialized.
+        for name in queries:
+            assert_no_pii_scan(qs[name](spark, sf_dir))
     manifest: dict = {"sf_dir": sf_dir, "tables": {}}
     small_file_rows = 100_000
     cached = []

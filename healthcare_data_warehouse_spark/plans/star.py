@@ -142,7 +142,20 @@ def fact_orders(spark: SparkSession, sf_dir: str | None = None,
         .withColumn("cost_with_privacy", with_privacy_noise_hash("o_totalprice", "o_orderkey"))
         .withColumn("order_year", F.year("o_orderdate"))
     )
-    return add_dense_key(fact, ["o_orderdate", "o_orderkey"], key_col="order_key")
+    fact = add_dense_key(fact, ["o_orderdate", "o_orderkey"], key_col="order_key")
+    # Enforced (not just conventional) PII invariant: the ETL builders
+    # are LICENSED to scan c_name (staging's validity filter checks it,
+    # the dim hashes it) but the fact's OUTPUT must not carry it — a
+    # future edit that threads a raw PII column through fails here, at
+    # build time, instead of silently shipping it downstream. Gold and
+    # serving plans get the stricter scan-level check
+    # (plans/gold.py materialize_gold pii_check).
+    from ..operators.pii_guard import DEFAULT_PII, PIILeakError
+    leaked_out = set(fact.columns) & set(DEFAULT_PII)
+    if leaked_out:
+        raise PIILeakError(
+            f"fact output carries raw PII columns {sorted(leaked_out)}")
+    return fact
 
 
 def write_fact_partitioned(fact: DataFrame, path: str) -> None:

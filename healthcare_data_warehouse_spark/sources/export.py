@@ -11,15 +11,54 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: Default driver-side collect bound for exports. Export results are
+#: aggregated reports (KPI blocks, top-k listings) — thousands of rows,
+#: not facts. 1M rows of a typical report row (~100 B) is ~100 MB at
+#: the driver: far above any real report, far below an OOM.
+DEFAULT_EXPORT_MAX_ROWS = 1_000_000
 
-def export_csv(df: DataFrame, path: str) -> None:
-    """Single-file CSV export of a (small, aggregated) result."""
-    df.toPandas().to_csv(path, index=False)
+
+class ExportTooLargeError(ValueError):
+    """Raised when an export's result exceeds its row cap — almost
+    always a plan mistake (exporting a fact table instead of the
+    aggregate). Exports collect at the driver by design; at warehouse
+    scale an unbounded ``toPandas`` of a 100 TB fact would OOM the
+    driver long before the write starts, so the cap fails fast with
+    the fix in the message."""
 
 
-def export_excel(sheets: dict[str, DataFrame], path: str) -> bool:
+def _bounded_pandas(df: DataFrame, max_rows: int | None):
+    """``toPandas`` behind a ``limit(n+1)`` probe: collects at most
+    max_rows+1 rows (never the unbounded result), then raises if the
+    probe row shows the result is over-cap. Mirrors the serving layer's
+    ``max_rows`` page bound (plans/http_api.py)."""
+    if max_rows is None:
+        return df.toPandas()
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ExportTooLargeError(
+            f"export result exceeds max_rows={max_rows}; exports are "
+            "driver-side collects meant for aggregated reports. Aggregate "
+            "or LIMIT the query first, write large results with "
+            "df.write.parquet/csv (distributed), or raise max_rows "
+            "explicitly if the size is intended."
+        )
+    return pdf
+
+
+def export_csv(df: DataFrame, path: str,
+               max_rows: int | None = DEFAULT_EXPORT_MAX_ROWS) -> None:
+    """Single-file CSV export of a (small, aggregated) result.
+    Row-capped (see ExportTooLargeError); pass ``max_rows=None`` only
+    when the caller has already bounded the plan."""
+    _bounded_pandas(df, max_rows).to_csv(path, index=False)
+
+
+def export_excel(sheets: dict[str, DataFrame], path: str,
+                 max_rows: int | None = DEFAULT_EXPORT_MAX_ROWS) -> bool:
     """Multi-sheet Excel export, one query result per sheet
-    (export_utils.py:43-64). Returns False when openpyxl is unavailable."""
+    (export_utils.py:43-64). Returns False when openpyxl is unavailable.
+    Each sheet is row-capped (see ExportTooLargeError)."""
     try:
         import openpyxl  # noqa: F401
         import pandas as pd
@@ -27,7 +66,8 @@ def export_excel(sheets: dict[str, DataFrame], path: str) -> bool:
         return False
     with pd.ExcelWriter(path, engine="openpyxl") as writer:
         for sheet_name, df in sheets.items():
-            df.toPandas().to_excel(writer, sheet_name=sheet_name[:31], index=False)
+            _bounded_pandas(df, max_rows).to_excel(
+                writer, sheet_name=sheet_name[:31], index=False)
     return True
 
 

@@ -83,3 +83,49 @@ def test_composed_report_exports(spark, tmp_path):
     csv2 = str(tmp_path / "preds.csv")
     export_ml_predictions(spark, SF_SMOKE, csv2, limit=5)
     assert len(pd.read_csv(csv2)) <= 5
+
+
+def test_export_row_cap_raises_with_clear_message(spark, tmp_path):
+    # an accidental full-fact export must fail fast instead of OOMing
+    # the driver: the cap collects at most max_rows+1 rows via limit()
+    import pytest
+
+    from healthcare_data_warehouse_spark.sources.export import (
+        ExportTooLargeError,
+        export_csv,
+    )
+
+    df = spark.range(100).toDF("k")
+    path = str(tmp_path / "capped.csv")
+    with pytest.raises(ExportTooLargeError, match="max_rows=10"):
+        export_csv(df, path, max_rows=10)
+    assert not os.path.exists(path)  # nothing written on refusal
+
+    export_csv(df, path, max_rows=100)  # at-cap result exports fine
+    import pandas as pd
+
+    assert len(pd.read_csv(path)) == 100
+
+
+def test_export_excel_row_cap(spark, tmp_path):
+    # openpyxl present: the cap raises per sheet. openpyxl absent: the
+    # import gate returns False before any collect (both paths bounded).
+    import pytest
+
+    from healthcare_data_warehouse_spark.sources.export import (
+        ExportTooLargeError,
+        export_excel,
+    )
+
+    df = spark.range(50).toDF("k")
+    try:
+        import openpyxl  # noqa: F401
+        have_openpyxl = True
+    except ImportError:
+        have_openpyxl = False
+    if have_openpyxl:
+        with pytest.raises(ExportTooLargeError):
+            export_excel({"s": df}, str(tmp_path / "capped.xlsx"), max_rows=5)
+    else:
+        assert export_excel({"s": df}, str(tmp_path / "capped.xlsx"),
+                            max_rows=5) is False

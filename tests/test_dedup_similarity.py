@@ -510,3 +510,31 @@ def test_nn_top1_oversize_guard(spark):
     opt_in = sorted((r["src"], r["dst"]) for r in nn_top1_blas(
         df, max_block_rows=10, on_oversize="exact", **kw).collect())
     assert opt_in == base
+
+
+def test_nn_top1_blas_drops_zero_norm_rows(spark):
+    """A zero vector has undefined cosine against everything: its GEMM
+    row is all zeros (row_max 0 would emit EVERY partner) and its exact
+    re-score is 0/0 = NaN, which Spark orders as the LARGEST double —
+    without the guard the window argmax picks a NaN-scored arbitrary
+    partner. Zero-norm rows must appear neither as src nor as dst, and
+    the remaining rows' edges must be unaffected."""
+    from healthcare_data_warehouse_spark.operators.similarity import nn_top1_blas
+
+    v = [1.0, 2.0, 3.0, 4.0]
+    w = [4.0, 3.0, 2.0, 1.0]
+    z = [0.0, 0.0, 0.0, 0.0]
+    rows = [(0, 1, v), (1, 1, w), (2, 1, z), (3, 1, z)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    for chunk_rows in (1, 100):
+        got = {r["src"]: r["dst"] for r in nn_top1_blas(
+            df, "label", "vec_id", "embedding",
+            chunk_rows=chunk_rows).collect()}
+        assert got == {0: 1, 1: 0}, (chunk_rows, got)
+
+    # a block left with <2 usable rows after the zero-norm drop emits
+    # nothing rather than a degenerate edge
+    only_zero = spark.createDataFrame(
+        [(0, 1, z), (1, 1, v)], "vec_id long, label int, embedding array<float>")
+    assert nn_top1_blas(only_zero, "label", "vec_id", "embedding").count() == 0

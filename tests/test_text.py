@@ -195,3 +195,28 @@ def test_dup_ngram_coverage_trigrams(spark):
     df = spark.createDataFrame([(1, "a b c a b c a b c")], ["doc_id", "text"])
     r = dup_ngram_coverage(df, n=3).collect()[0]
     assert (r["dup_chars"], r["total_chars"]) == (9, 9)
+
+
+def test_dup_ngram_coverage_null_and_empty_text_kept(spark):
+    """The contract is 'EVERY document is kept, scoring 0.0': a NULL or
+    empty text must yield (dup_chars=0, total_chars=0), not a dropped
+    row or NULL totals — and the catalog's frac expression then gives
+    exactly 0.0 (both sides of the oracle agree via LEFT JOIN/COALESCE)."""
+    from healthcare_data_warehouse_spark.operators.text import dup_ngram_coverage
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a a a")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["dup_chars"], r["total_chars"])
+           for r in dup_ngram_coverage(df, n=2).collect()}
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 0)
+    assert got[3] == (3, 3)  # overlap counted once
+
+    frac = (
+        dup_ngram_coverage(df, n=2)
+        .select("doc_id",
+                F.when(F.col("total_chars") == 0, F.lit(0.0))
+                .otherwise(F.col("dup_chars").cast("double")
+                           / F.col("total_chars")).alias("f"))
+        .collect())
+    assert {r["doc_id"]: r["f"] for r in frac} == {1: 0.0, 2: 0.0, 3: 1.0}
