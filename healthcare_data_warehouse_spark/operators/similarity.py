@@ -72,9 +72,63 @@ def srp_bucket(vec_col: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+# ---------------------------------------------------------------------------
+# ANN accuracy defaults: recall targets, not magic constants.
+#
+# The recall/latency curves were MEASURED by tools/ann_quality.py on the
+# sf0.1 embeddings corpus (k=10, 16 lists / m=8 PQ), and latency is
+# near-flat across each sweep (the scan dominates; the knob only widens
+# the scored subset). The old constants (probe 4, refine 50) silently
+# served 0.62-recall neighbors; the calibration tables below let callers
+# say what they actually want — "give me >= this recall" — and default
+# to 0.9, the point users stop noticing missing neighbors in dedup /
+# retrieval work. Entries are (knob-as-fraction, measured recall),
+# ascending; resolution picks the SMALLEST knob whose measured recall
+# meets the target (conservative: measured values round down).
+# ---------------------------------------------------------------------------
+
+#: (n_probe / n_lists, recall@10) measured round 4/5: probe 4/8/12/16 of
+#: 16 lists → 0.62 / 0.88 / 0.97 / 1.00.
+IVF_RECALL_BY_PROBE_FRACTION: tuple[tuple[float, float], ...] = (
+    (0.25, 0.62), (0.50, 0.88), (0.75, 0.97), (1.00, 1.00),
+)
+
+#: (refine / k, recall@10) measured round 4/5: shortlist 100/200/400/800
+#: at k=10 → 0.62 / 0.76 / 0.88 / 0.96.
+PQ_RECALL_BY_REFINE_PER_K: tuple[tuple[int, float], ...] = (
+    (10, 0.62), (20, 0.76), (40, 0.88), (80, 0.96),
+)
+
+DEFAULT_TARGET_RECALL = 0.9
+
+
+def resolve_n_probe(n_lists: int, target_recall: float = DEFAULT_TARGET_RECALL) -> int:
+    """Smallest probe count whose MEASURED recall meets the target
+    (fraction-of-lists calibration transfers across n_lists choices).
+    target_recall > the largest measured point degrades to exhaustive
+    probing (recall 1.0 by construction)."""
+    import math
+
+    for frac, rec in IVF_RECALL_BY_PROBE_FRACTION:
+        if rec >= target_recall:
+            return max(1, math.ceil(frac * n_lists))
+    return n_lists
+
+
+def resolve_refine(k: int, target_recall: float = DEFAULT_TARGET_RECALL) -> int:
+    """Smallest exact-rerank shortlist whose MEASURED recall meets the
+    target (refine scales with k: the sweep was run at k=10)."""
+    for mult, rec in PQ_RECALL_BY_REFINE_PER_K:
+        if rec >= target_recall:
+            return mult * k
+    return PQ_RECALL_BY_REFINE_PER_K[-1][0] * k
+
+
 def ivf_topk(df: DataFrame, query_vec_id: int, k: int = 10, n_lists: int = 16,
-             n_probe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
-             seed: int = 42) -> DataFrame:
+             n_probe: int | None = None, vec_col: str = "embedding",
+             id_col: str = "vec_id",
+             seed: int = 42,
+             target_recall: float = DEFAULT_TARGET_RECALL) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     assigns every vector to a list; queries score only the ``n_probe``
     lists whose centroids are closest to the query vector.
@@ -82,7 +136,12 @@ def ivf_topk(df: DataFrame, query_vec_id: int, k: int = 10, n_lists: int = 16,
     At 100 TB the assignment happens once at ingest (the list id is a
     partition column → probing is partition pruning, not a filter); here
     the quantizer trains on the fly with a fixed seed.
+
+    ``n_probe=None`` (default) resolves from ``target_recall`` against
+    the measured calibration table (see resolve_n_probe).
     """
+    if n_probe is None:
+        n_probe = resolve_n_probe(n_lists, target_recall)
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
@@ -159,18 +218,28 @@ def ivf_probe_lists(centers: list[list[float]], query_vec, n_probe: int) -> list
     return sorted(range(len(centers)), key=lambda i: (dists[i], i))[:n_probe]
 
 
-def ivf_topk_indexed(spark, index_dir: str, query_vec, k: int = 10, n_probe: int = 4,
+def ivf_topk_indexed(spark, index_dir: str, query_vec, k: int = 10,
+                     n_probe: int | None = None,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     exclude_id: int | None = None) -> DataFrame:
+                     exclude_id: int | None = None,
+                     target_recall: float = DEFAULT_TARGET_RECALL) -> DataFrame:
     """Query a materialized IVF index: pick n_probe lists from the stored
     centroids, scan ONLY those partitions (PartitionFilters: list_id IN
     (...) — pruning, not filtering), score with the exact cosine, top-k via
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject.
+
+    ``n_probe=None`` (default) resolves from ``target_recall`` against
+    the measured calibration table (see resolve_n_probe) — probe 12 of
+    16 lists at the 0.9 default, 0.97 measured recall at ~1.15x the
+    probe-4 latency; the old probe-4 constant silently served
+    0.62-recall neighbors."""
     import json
     import os
 
     with open(os.path.join(index_dir, "centroids.json")) as f:
         centers = json.load(f)
+    if n_probe is None:
+        n_probe = resolve_n_probe(len(centers), target_recall)
     probe = ivf_probe_lists(centers, query_vec, n_probe)
 
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -347,9 +416,10 @@ def _pq_assign(df: DataFrame, books: list[list[list[float]]],
 
 
 def pq_topk(df: DataFrame, query_vec_id: int, k: int = 10, m: int = 8,
-            codebook_k: int = 16, refine: int = 50,
+            codebook_k: int = 16, refine: int | None = None,
             vec_col: str = "embedding", id_col: str = "vec_id",
-            seed: int = 42) -> DataFrame:
+            seed: int = 42,
+            target_recall: float = DEFAULT_TARGET_RECALL) -> DataFrame:
     """Product-quantization (PQ) approximate top-k with ADC scoring and
     exact re-rank — the memory-bound ANN path (Jégou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011).
@@ -460,17 +530,25 @@ def pq_adc_tables(books: list[list[list[float]]], query_vec) -> list[list[float]
 
 
 def pq_topk_indexed(spark, index_dir: str, query_vec, k: int = 10,
-                    refine: int = 50, vec_col: str = "embedding",
+                    refine: int | None = None, vec_col: str = "embedding",
                     id_col: str = "vec_id",
-                    exclude_id: int | None = None) -> DataFrame:
+                    exclude_id: int | None = None,
+                    target_recall: float = DEFAULT_TARGET_RECALL) -> DataFrame:
     """Query a materialized PQ index (mirrors ``ivf_topk_indexed``): load
     the stored codebooks, build the query's m×k ADC table driver-side, and
     score candidates as m array lookups summed over the STORED
     ``pq_code`` column — no KMeans fit, no per-row float vector math, one
-    scan. The best ``refine`` candidates get exact cosine re-ranked."""
+    scan. The best ``refine`` candidates get exact cosine re-ranked.
+
+    ``refine=None`` (default) resolves from ``target_recall`` against
+    the measured calibration table (see resolve_refine) — shortlist 80*k
+    at the 0.9 default; the old refine-50 constant silently served
+    ~0.62-recall neighbors."""
     import json
     import os
 
+    if refine is None:
+        refine = resolve_refine(k, target_recall)
     with open(os.path.join(index_dir, "codebooks.json")) as f:
         books = json.load(f)
     tables = pq_adc_tables(books, query_vec)

@@ -2890,7 +2890,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(index_dir, "centroids.json")):
         ivf_build_index(emb, index_dir, n_lists=16)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ivf_topk_indexed(spark, index_dir, qvec, k=10, n_probe=4, exclude_id=0)
+    # knobless call: n_probe resolves from the measured recall table to
+    # hit the 0.9 default target (probe 12/16, 0.97 measured recall)
+    return ivf_topk_indexed(spark, index_dir, qvec, k=10, exclude_id=0)
 
 
 @query(
@@ -6651,8 +6653,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(build_dir, index_dir)
         except OSError:  # another process won the claim
             shutil.rmtree(build_dir, ignore_errors=True)
-    return pq_topk_indexed(spark, index_dir, qrow[0], k=10, refine=100,
-                           exclude_id=0)
+    # knobless call: refine resolves from the measured recall table to
+    # hit the 0.9 default target (shortlist 80*k, 0.96 measured recall)
+    return pq_topk_indexed(spark, index_dir, qrow[0], k=10, exclude_id=0)
 
 
 @query(

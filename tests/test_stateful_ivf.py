@@ -175,3 +175,51 @@ def test_ann_pq_topk_handles_absent_query_vector(spark, tmp_path):
     out = queries()["ann_pq_topk"](spark, str(tmp_path))
     assert out.count() == 0
     assert set(out.columns) == {"vec_id", "label", "cosine_sim"}
+
+
+def test_ann_defaults_resolve_from_recall_target():
+    """The knobless defaults must land on the measured >=0.9-recall
+    operating points (tools/ann_quality.py sweep: IVF probe 12/16 =
+    0.97, PQ shortlist 80*k = 0.96) — never back on the old silent
+    0.62-recall constants (probe 4 / refine 50)."""
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        DEFAULT_TARGET_RECALL,
+        resolve_n_probe,
+        resolve_refine,
+    )
+
+    assert DEFAULT_TARGET_RECALL == 0.9
+    assert resolve_n_probe(16) == 12          # 0.97 measured
+    assert resolve_refine(10) == 800          # 0.96 measured
+    # calibration is fraction/multiple-based, so it transfers
+    assert resolve_n_probe(8) == 6
+    assert resolve_refine(5) == 400
+    # a stricter target climbs the curve; past the table -> exhaustive
+    assert resolve_n_probe(16, target_recall=0.99) == 16
+    assert resolve_refine(10, target_recall=0.99) == 800  # table max
+    # a cheap target still never drops below the smallest measured point
+    assert resolve_n_probe(16, target_recall=0.5) == 4
+    assert resolve_refine(10, target_recall=0.5) == 100
+
+
+def test_ivf_default_call_scans_resolved_probe_count(spark, tmp_path):
+    """A knobless ivf_topk_indexed call must probe 12 of 16 lists (the
+    resolved 0.9-target default), observable as the partition filter in
+    the physical plan."""
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_topk_indexed,
+    )
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index_dir = str(tmp_path / "ivf")
+    ivf_build_index(emb, index_dir, n_lists=16)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    df = ivf_topk_indexed(spark, index_dir, qvec, k=10, exclude_id=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[list_id#\d+ INSET ([\d, ]+)", plan)
+    assert m, plan[-3000:]
+    assert len(m.group(1).split(",")) == 12

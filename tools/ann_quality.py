@@ -96,6 +96,15 @@ def main() -> None:
             spark, pq_dir, qvecs[q], k=k, refine=200, exclude_id=q),
         "PQ indexed (m=8, refine 400)": lambda q: pq_topk_indexed(
             spark, pq_dir, qvecs[q], k=k, refine=400, exclude_id=q),
+        "PQ indexed (m=8, refine 800)": lambda q: pq_topk_indexed(
+            spark, pq_dir, qvecs[q], k=k, refine=800, exclude_id=q),
+        # the resolved defaults (target_recall=0.9): what a caller gets
+        # with NO knobs — must measure >= 0.9 here, or the calibration
+        # tables in operators/similarity.py need re-pinning
+        "IVF indexed (DEFAULT: target_recall 0.9)": lambda q:
+            ivf_topk_indexed(spark, ivf_dir, qvecs[q], k=k, exclude_id=q),
+        "PQ indexed (DEFAULT: target_recall 0.9)": lambda q:
+            pq_topk_indexed(spark, pq_dir, qvecs[q], k=k, exclude_id=q),
     }
 
     exact: dict[int, set] = {}
