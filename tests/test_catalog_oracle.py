@@ -35,3 +35,32 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "balance_group" in df.columns
+
+
+def test_driver_window_is_curated_and_fully_oracled():
+    """The external gate hash-checks the FIRST 50 queries() entries; the
+    window must stay 50 names, every one with a DuckDB oracle (no wasted
+    rows-only slots), and include the LLM-pipeline flagships so the
+    driver certifies the beyond-reference operators."""
+    from healthcare_data_warehouse_spark.plans.catalog import (
+        DRIVER_WINDOW,
+        oracle_sql,
+        queries,
+    )
+
+    assert len(DRIVER_WINDOW) == 50
+    first50 = list(queries().keys())[:50]
+    assert first50 == list(DRIVER_WINDOW)
+    osql = oracle_sql()
+    assert all(n in osql for n in first50)
+    flagships = {"dedup_exact", "dedup_minhash_lsh", "dedup_substring_spans",
+                 "dedup_embedding_cosine", "corpus_clean", "stream_hourly_agg",
+                 "text_tokens", "text_quality", "doc_fingerprint",
+                 "text_lang_profile", "text_langid"}
+    assert flagships <= set(first50)
+    # demoted extras still registered (full local gate covers them)
+    qs = queries()
+    for n in ("scan_jsonl", "profile_lineitem", "audit_access_report",
+              "privacy_suppression", "approx_count_distinct_segments_native",
+              "percentile_approx_p90_native"):
+        assert n in qs and n not in first50
