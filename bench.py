@@ -27,6 +27,10 @@ sys.path.insert(0, REPO)
 HEADLINE = [
     "agg_by_agegroup",
     "join_3way",
+    # round-5: the bucketed-layout variant of join_3way (zero-exchange
+    # fact join off the ingest-time bucketed tables; its first timed run
+    # pays the one-off layout build, min-of-2 reports the steady state)
+    "join_3way_bucketed",
     "join_fact_dims",
     "agg_monthly_trend",
     "percentile_p90",
@@ -180,7 +184,11 @@ def main() -> None:
             while fh.read(1 << 24):
                 pass
 
+    from healthcare_data_warehouse_spark import decisions as _decisions
+
+    _decisions.drain()  # discard warm-up decisions; stamp only timed ones
     timings: dict[str, float] = {}
+    regimes: dict[str, dict] = {}
     for name in headline:
         best = float("inf")
         for _ in range(2):  # min-of-2: steady-state, robust to host noise
@@ -188,12 +196,25 @@ def main() -> None:
             run(name, sf_dir)
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # Plan-regime stamp: size-gated operators log which physical
+        # strategy they chose (see decisions.py); recording it beside
+        # the wall time makes the artifact self-evident — a slow
+        # join_3way row now SAYS whether the staged plan ran or the
+        # cutover failed to engage, instead of leaving it to forensics.
+        drained = _decisions.drain()
+        for qname, facts in drained.items():
+            regimes.setdefault(name if qname == "<anonymous>" else qname,
+                               {}).update(facts)
         release_blocks()
 
     total = round(sum(timings.values()), 3)
     # n_queries makes composition changes visible: cross-round totals are
     # only apples-to-apples when n_queries matches (new headline queries
     # inflate the total; compare per-query or same-composition subtotals).
+    # provenance: the run conditions that round-over-round comparisons
+    # need — this host drifts 2-4x hour-to-hour, so a number without its
+    # conditions (and the agg_by_agegroup drift canary, re-timeable in
+    # seconds via SPARK_GRAFT_BENCH_ONLY) is unreadable later.
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -201,6 +222,19 @@ def main() -> None:
         "queries": timings,
         "n_queries": len(headline),
         "sf": sf,
+        "regimes": regimes,
+        "provenance": {
+            "fresh_jvm": True,  # this harness always builds its own session
+            "page_cache_warmed": True,
+            "heavy_gc_mode": bool(heavy),
+            "sf_bytes": sf_bytes,
+            "runs_per_query": 2,
+            "aggregation": "min",
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+            "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", ""),
+            "drift_canary": {"query": "agg_by_agegroup",
+                             "sec": timings.get("agg_by_agegroup")},
+        },
     }))
     spark.stop()
 

@@ -1043,3 +1043,169 @@ def nn_top1_blas(df: DataFrame, block_col: str, id_col: str,
         .filter(F.col("__rn") == 1)
         .select("src", "dst")
     )
+
+
+def cosine_topk_per_row_blas(df: DataFrame, block_col: str, id_col: str,
+                             vec_col: str, k: int = 5,
+                             threshold: float = 0.0,
+                             chunk_rows: int = 1024,
+                             margin: float = 1e-9,
+                             max_block_rows: int | None = 100_000) -> DataFrame:
+    """Each row's EXACT top-k cosine neighbors within its block, at or
+    above ``threshold`` — the LINEAR-output near-dup listing (output ≤
+    k rows per input row) that replaces the all-pairs variant when the
+    pair count would be quadratic by semantics. Deterministic ordering:
+    score desc, neighbor id asc.
+
+    Same chunk-pair GEMM decomposition as ``nn_top1_blas``, generalized
+    reduction: each chunk-pair group emits, per row, every partner whose
+    GEMM cosine is within ``margin`` of the row's k-th largest IN THAT
+    GROUP (a true global top-k partner ranks ≤ k within any group that
+    contains it — a subset rank never exceeds the global rank — so it is
+    always emitted by its group), intersected with the threshold
+    prescreen (GEMM ≥ threshold − margin, a superset of the exact
+    filter). Candidates are scored IN-TASK with the exact sequential
+    double fold (``cumsum`` — bit-identical to the
+    ``aggregate(zip_with(...))`` expression and the DuckDB oracle; same
+    discipline as ``_gemm_pair_survivors``, no join-back stage), then
+    one bounded per-source window keeps the global top-k. Identical
+    output to exact all-pairs scoring + top-k, at GEMM cost.
+
+    Scale shape: candidate volume is O(rows · nchunks · k) — LINEAR in
+    corpus size for fixed block sizes — and the final window partitions
+    by source id over ≤ nchunks·k rows each, so no stage holds more than
+    a bounded multiple of the output. chunk_rows stays at 1024 — the A/B
+    at sf10 (200k vectors, warmed, same session) measured 17.7 s at 1024
+    vs 21.1 s at 4096: larger chunks DO cut candidate duplication
+    (nchunks·k per row) but cost more in task granularity (fewer,
+    lumpier GEMM groups under-use the 32 cores) than the smaller window
+    input saves. Zero-norm rows are dropped up
+    front (cosine undefined; same discipline as nn_top1_blas).
+
+    Returns (src, dst, cosine_sim). Oversized-block guard mirrors
+    ``nn_top1_blas`` (exact top-k has no sub-quadratic complete
+    algorithm; route hot blocks through the ANN index paths instead).
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+
+    e = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col)).alias("__norm"),
+    )
+    e = e.filter(F.col("__norm") > 0.0)
+    counts = e.groupBy("__blk").agg(F.count("*").alias("__n"))
+    e = e.join(F.broadcast(counts), "__blk")
+
+    guard = None
+    if max_block_rows is not None:
+        msg = (
+            f"cosine_topk_per_row_blas: a block exceeds "
+            f"max_block_rows={max_block_rows}; exact all-pairs top-k is "
+            "quadratic per block. Use a finer block_col or the ANN index "
+            "paths (ivf_topk_indexed/pq_topk_indexed) for approximate "
+            "neighbors."
+        )
+
+        def _boom(key, pdf):  # runs only if an oversized block EXISTS
+            raise ValueError(msg)
+
+        guard = (
+            e.filter(F.col("__n") > max_block_rows)
+            .groupBy("__blk").applyInPandas(
+                _boom, schema="src long, dst long, cosine_sim double")
+        )
+    nchunks = F.greatest(F.lit(1), F.ceil(F.col("__n") / F.lit(chunk_rows))).cast("int")
+    chunk = F.pmod(F.xxhash64("__id"), nchunks).cast("int")
+    tagged = (
+        e.withColumn("__c", chunk)
+        .withColumn("__p", F.explode(F.sequence(F.lit(0), nchunks - 1)))
+        .select(
+            "__blk",
+            F.least("__c", "__p").alias("__i"),
+            F.greatest("__c", "__p").alias("__j"),
+            "__c", "__id", "__vec", "__norm",
+        )
+    )
+
+    mg = float(margin)
+    thr = float(threshold)
+    kk = int(k)
+
+    def _cands(key, pdf):
+        _, ci, cj = key
+        raw = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+        ids = pdf["__id"].to_numpy()
+        norms = pdf["__norm"].to_numpy(dtype=np.float64)
+        # unit-normalized GEMM prescreen (scale-free error bound); raw
+        # doubles kept for the in-task exact fold
+        mat = raw / norms[:, None]
+
+        def emit(g, src_ids, dst_ids, A64, B64, na, nb):
+            # per source row: every partner within margin of the row's
+            # group k-th largest, above the threshold prescreen
+            if g.size == 0:
+                return [], [], []
+            w = g.shape[1]
+            if w > kk:
+                kth = np.partition(g, w - kk, axis=1)[:, w - kk:w - kk + 1]
+            else:
+                kth = np.full((g.shape[0], 1), -np.inf)
+            cut = np.maximum(kth - mg, thr - mg)
+            ia, ib = np.nonzero(g >= cut)
+            if not len(ia):
+                return [], [], []
+            # exact sequential double fold == aggregate(zip_with(...))
+            prods = A64[ia] * B64[ib]
+            dots = np.cumsum(prods, axis=1)[:, -1]
+            cs = dots / (na[ia] * nb[ib])
+            m = cs >= thr
+            return src_ids[ia][m], dst_ids[ib][m], cs[m]
+
+        srcs, dsts, sims = [], [], []
+        if ci == cj:
+            if len(ids) < 2:
+                return pd.DataFrame({
+                    "src": pd.Series([], dtype="int64"),
+                    "dst": pd.Series([], dtype="int64"),
+                    "cosine_sim": pd.Series([], dtype="float64")})
+            g = mat @ mat.T
+            np.fill_diagonal(g, -np.inf)  # a row is not its own neighbor
+            s, d, c = emit(g, ids, ids, raw, raw, norms, norms)
+            srcs.append(s); dsts.append(d); sims.append(c)
+        else:
+            a_mask = (pdf["__c"] == ci).to_numpy()
+            A, B = mat[a_mask], mat[~a_mask]
+            if len(A) and len(B):
+                aid, bid = ids[a_mask], ids[~a_mask]
+                A64, B64 = raw[a_mask], raw[~a_mask]
+                na, nb = norms[a_mask], norms[~a_mask]
+                g = A @ B.T
+                s, d, c = emit(g, aid, bid, A64, B64, na, nb)
+                srcs.append(s); dsts.append(d); sims.append(c)
+                s, d, c = emit(g.T, bid, aid, B64, A64, nb, na)
+                srcs.append(s); dsts.append(d); sims.append(c)
+        if not srcs:
+            return pd.DataFrame({
+                "src": pd.Series([], dtype="int64"),
+                "dst": pd.Series([], dtype="int64"),
+                "cosine_sim": pd.Series([], dtype="float64")})
+        return pd.DataFrame({
+            "src": np.concatenate(srcs).astype("int64"),
+            "dst": np.concatenate(dsts).astype("int64"),
+            "cosine_sim": np.concatenate(sims).astype("float64"),
+        })
+
+    cands = tagged.groupBy("__blk", "__i", "__j").applyInPandas(
+        _cands, schema="src long, dst long, cosine_sim double")
+    if guard is not None:
+        cands = cands.unionByName(guard)
+
+    w = Window.partitionBy("src").orderBy(F.desc("cosine_sim"), F.asc("dst"))
+    return (
+        cands.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= kk)
+        .select("src", "dst", "cosine_sim")
+    )

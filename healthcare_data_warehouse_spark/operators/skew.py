@@ -174,7 +174,11 @@ def auto_join(big: DataFrame, small: DataFrame, on: str, how: str = "inner",
     "we know diagnosis J18.9 is half the table" tuning decision; the
     detection is one sampled aggregate, so the cost of asking is fixed
     while the cost of NOT salting a hot key grows with the data."""
+    from .. import decisions
+
     buckets = choose_salt_buckets(big, on, hot_threshold, sample_fraction, seed)
+    decisions.record(**{f"auto_join[{on}]": "plain" if buckets <= 1
+                        else f"salted:{buckets}"})
     if buckets <= 1:
         return big.join(small, on, how)
     return salted_join(big, small, on, salt_buckets=buckets, how=how)
@@ -191,7 +195,11 @@ def auto_agg(df: DataFrame, key: str, measure: str,
     decimal(18,4) before the final double cast), so the decision is
     purely physical — the aggregate twin of ``auto_join``, closing the
     manual-cutover gap (VERDICT r03 item 5)."""
+    from .. import decisions
+
     buckets = choose_salt_buckets(df, key, hot_threshold, sample_fraction, seed)
+    decisions.record(**{f"auto_agg[{key}]": "plain" if buckets <= 1
+                        else f"salted:{buckets}"})
     if buckets <= 1:
         return df.groupBy(key).agg(
             F.count("*").alias("cnt"),

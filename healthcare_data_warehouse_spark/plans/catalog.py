@@ -58,7 +58,22 @@ _REGISTRY: dict[str, CatalogEntry] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        _REGISTRY[name] = CatalogEntry(fn=fn, oracle=oracle)
+        import functools
+
+        from .. import decisions
+
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            # scope plan-regime decision recording to this query name so
+            # size-gated operators (staged joins, skew cutovers) can log
+            # WHICH regime they chose — see decisions.py
+            token = decisions.set_current_query(name)
+            try:
+                return fn(*args, **kwargs)
+            finally:
+                decisions.reset_current_query(token)
+
+        _REGISTRY[name] = CatalogEntry(fn=wrapped, oracle=oracle)
         return fn
     return deco
 
@@ -284,13 +299,20 @@ def join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulates in decimal at every stage (cast to double exactly once,
     at the end), so sums-of-sums equal the one-shot dsum — pinned by
     tests/test_adaptive_plans.py against the oracle either way."""
+    from .. import decisions
     from ..config import STAGED_JOIN_CUTOVER_BYTES
     from ..operators.skew import relation_size_bytes
 
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    if relation_size_bytes(li) <= STAGED_JOIN_CUTOVER_BYTES:
+    li_bytes = relation_size_bytes(li)
+    decisions.record(
+        plan="direct" if li_bytes <= STAGED_JOIN_CUTOVER_BYTES else "staged",
+        relation_size_bytes=li_bytes,
+        cutover_bytes=STAGED_JOIN_CUTOVER_BYTES,
+    )
+    if li_bytes <= STAGED_JOIN_CUTOVER_BYTES:
         return (
             li.join(o, li["l_orderkey"] == o["o_orderkey"])
             .join(c, o["o_custkey"] == c["c_custkey"])
@@ -308,6 +330,60 @@ def join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_custkey")
         .agg(F.sum("__cnt").alias("__cnt"), F.sum("__rev").alias("__rev"))
+    )
+    return (
+        per_cust.join(c, per_cust["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("__cnt").alias("order_line_count"),
+            F.sum("__rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_3way_bucketed",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS order_line_count,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_3way_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 on the bucketed-fact layout: same result as ``join_3way``, but
+    lineitem⋈orders runs with ZERO exchange — both sides are materialized
+    bucketed+sorted on the order key at ingest
+    (sources/bucketing.py ensure_order_bucketed_layout), so the big join
+    is a SortMergeJoin over co-bucketed pre-sorted files (no Exchange,
+    no Sort below the join; pinned in tests/test_plan_shapes.py). The
+    only data-scale shuffle left is the per-customer partial aggregate
+    (map-side combine reduces each task to its distinct customers before
+    the exchange), then a customers-sized join + 5-row reduce.
+
+    vs the staged plan (join_3way above cutover): staged pays one
+    fact-wide shuffle to pre-reduce per order; bucketing moves that
+    shuffle to INGEST (paid once, amortized over every order-grained
+    query) — the classic layout-for-compute trade. Bit parity discipline
+    matches the staged path: decimal accumulation at every stage, one
+    double cast at the end, so the gate hash-matches the same oracle.
+    """
+    from .. import decisions
+    from ..sources.bucketing import ensure_order_bucketed_layout
+
+    li_t, ord_t = ensure_order_bucketed_layout(spark, sf_dir)
+    decisions.record(plan="bucketed", tables=[li_t, ord_t])
+    li, o = spark.table(li_t), spark.table(ord_t)
+    c = _t(spark, sf_dir, "customer")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)")
+    per_cust = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("__cnt"), F.sum(rev).alias("__rev"))
     )
     return (
         per_cust.join(c, per_cust["o_custkey"] == c["c_custkey"])
@@ -2684,6 +2760,49 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_blas(
         e, block_col="label", id_col="vec_id", vec_col="embedding",
         threshold=0.3)
+
+
+@query(
+    "dedup_embedding_topk",
+    oracle="""
+    SELECT src, dst, cosine_sim FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+                   AS cosine_sim,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) DESC,
+                       b.vec_id) AS rn
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.3
+    ) WHERE rn <= 5
+    """,
+)
+def dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LINEAR-output form: each doc's exact top-5
+    neighbors at cosine >= 0.3 within its label block (score desc,
+    neighbor id asc). The all-pairs listing (``dedup_embedding_cosine``)
+    is quadratic BY SEMANTICS — 220M pairs at sf30 — but the pipeline
+    decision ("is this doc a near-dup, and of what") only needs the best
+    few neighbors per doc, which bounds output at k rows per input row.
+
+    Runs through ``similarity.cosine_topk_per_row_blas``: chunk-pair
+    GEMM candidates (each group emits its per-row group-top-k within the
+    float margin — a superset of the global top-k since subset rank
+    never exceeds global rank), exact sequential-double re-score,
+    threshold filter, one bounded per-source window. Output bit-matches
+    DuckDB's all-pairs + row_number oracle."""
+    from ..operators.similarity import cosine_topk_per_row_blas
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_per_row_blas(
+        e, block_col="label", id_col="vec_id", vec_col="embedding",
+        k=5, threshold=0.3)
 
 
 @query(

@@ -46,6 +46,11 @@ def get_spark(app_name: str = "healthcare-dw-spark", cpus: int | None = None) ->
         # side's SCAN — at 100 TB this skips most of the fact before the
         # shuffle (the win broadcast joins get, without the memory bound).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # trust per-bucket sort order from bucketed scans (off by default
+        # since SPARK-28632; write_bucketed guarantees the one-file-per-
+        # bucket layout it requires) — removes the runtime Sort under
+        # every co-bucketed SortMergeJoin
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -95,6 +100,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
+        # trust per-bucket sort order from bucketed scans: off by default
+        # since SPARK-28632 because it requires one file per bucket —
+        # which write_bucketed guarantees (key-aligned repartition before
+        # the write) — and it removes the runtime Sort under every
+        # co-bucketed SortMergeJoin
+        ("spark.sql.legacy.bucketedTableScan.outputOrdering", "true"),
     ):
         try:
             spark.conf.set(key, val)

@@ -538,3 +538,64 @@ def test_nn_top1_blas_drops_zero_norm_rows(spark):
     only_zero = spark.createDataFrame(
         [(0, 1, z), (1, 1, v)], "vec_id long, label int, embedding array<float>")
     assert nn_top1_blas(only_zero, "label", "vec_id", "embedding").count() == 0
+
+
+def test_cosine_topk_per_row_matches_naive_window(spark):
+    """GEMM group-top-k candidates + exact re-score must equal the naive
+    all-pairs top-k (threshold, score desc, dst asc) in both single- and
+    multi-chunk regimes — including tiny chunk sizes that maximize the
+    number of chunk-pair groups a true neighbor can hide in."""
+    from pyspark.sql import Window
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        cosine_topk_per_row_blas, dot, norm)
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    k, thr = 3, 0.3
+    e = emb.select("vec_id", "label", "embedding",
+                   norm(F.col("embedding")).alias("__n"))
+    a, b = e.alias("a"), e.alias("b")
+    sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.__n") * F.col("b.__n"))
+    sym = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                  & (F.col("a.vec_id") != F.col("b.vec_id")))
+           .select(F.col("a.vec_id").alias("src"),
+                   F.col("b.vec_id").alias("dst"), sim.alias("s"))
+           .filter(F.col("s") >= thr))
+    w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
+    naive = {(r["src"], r["dst"], r["s"]) for r in (
+        sym.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k).collect())}
+
+    for chunk_rows in (7, 100000):
+        got = {(r["src"], r["dst"], r["cosine_sim"]) for r in
+               cosine_topk_per_row_blas(
+                   emb, "label", "vec_id", "embedding", k=k, threshold=thr,
+                   chunk_rows=chunk_rows).collect()}
+        assert got == naive, f"chunk_rows={chunk_rows}"
+
+
+def test_cosine_topk_per_row_output_is_linear_bounded(spark):
+    """<= k rows per source, exact ties broken on lowest dst, zero-norm
+    rows absent from both sides."""
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        cosine_topk_per_row_blas)
+
+    v = [1.0, 2.0, 3.0, 4.0]
+    z = [0.0, 0.0, 0.0, 0.0]
+    rows = [(i, 1, v) for i in range(6)] + [(6, 1, z)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    out = cosine_topk_per_row_blas(
+        df, "label", "vec_id", "embedding", k=2, threshold=0.5,
+        chunk_rows=2).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r["dst"])
+    assert 6 not in by_src
+    assert all(6 not in d for d in by_src.values())
+    for src, dsts in by_src.items():
+        assert len(dsts) == 2
+        # all cosines tie at exactly 1.0 -> the two LOWEST other ids win
+        expect = sorted(i for i in range(6) if i != src)[:2]
+        assert sorted(dsts) == expect, (src, dsts)

@@ -464,3 +464,31 @@ def test_substring_spans_two_data_shuffles_no_cartesian(spark):
     assert all(k in ("hashpartitioning", "HashedRelationBroadcastMode")
                for k in exchanges)
     assert "rangepartitioning" not in plan
+
+
+def test_join_3way_bucketed_fact_join_is_exchange_free(spark):
+    """The bucketed-layout variant's big join (lineitem⋈orders) must run
+    bucket-local: zero Exchange and zero Sort anywhere below the
+    per-customer aggregate, in BOTH join regimes — broadcast (small SF)
+    and the 100 TB SortMergeJoin regime (no-auto-broadcast), where the
+    co-bucketed pre-sorted files make SMJ exchange-free AND sort-free.
+    Total exchanges stay at exactly 2 (per-customer partials + the
+    5-group final), in both regimes."""
+    import re
+
+    # small-SF regime: whatever Catalyst picks, the fact join adds no
+    # exchange — only the two aggregate exchanges exist
+    plan = _plan(spark, "join_3way_bucketed")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert len(re.findall(r"\bSort \[", plan)) == 0
+
+    with _no_auto_broadcast(spark):
+        plan = _plan(spark, "join_3way_bucketed")
+        assert "SortMergeJoin [l_orderkey" in plan  # 100 TB regime engaged
+        # the bucketed fact sides contribute ZERO exchange and ZERO sort:
+        # the only additions vs the broadcast regime are the
+        # customers-sized SMJ's exchange+sorts (bounded by |customer|)
+        assert "Sort [l_orderkey" not in plan
+        assert "Sort [o_orderkey" not in plan
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3
+        assert len(re.findall(r"\bSort \[", plan)) == 2
