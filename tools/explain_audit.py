@@ -19,6 +19,8 @@ sys.path.insert(0, REPO)
 AUDITED = [
     "agg_by_agegroup",
     "join_3way",
+    "join_3way_bucketed",
+    "dedup_embedding_topk",
     "join_fact_dims",
     "topk_highcost",
     "window_rownumber_keys",
