@@ -396,6 +396,36 @@ def join_3way_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_size_histogram",
+    oracle="""
+    SELECT lines_per_order, count(*) AS order_count
+    FROM (SELECT l_orderkey, count(*) AS lines_per_order
+          FROM lineitem GROUP BY l_orderkey)
+    GROUP BY lines_per_order
+    """,
+)
+def order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order distribution (the order-size profile a capacity
+    planner reads) — the SECOND consumer of the bucketed order layout,
+    demonstrating the amortization claim: the per-order count runs as a
+    bucket-local HashAggregate with ZERO exchange (the scan is already
+    hash-distributed on l_orderkey), so the only shuffle is the ~7-row
+    histogram reduce. Without the layout this query pays a full
+    fact-wide shuffle on l_orderkey — the exact shuffle the ingest-time
+    bucketed write amortizes across every order-grained query
+    (join_3way_bucketed is the first consumer). Plan pinned in
+    tests/test_plan_shapes.py."""
+    from ..sources.bucketing import ensure_order_bucketed_layout
+
+    li_t, _ = ensure_order_bucketed_layout(spark, sf_dir)
+    li = spark.table(li_t)
+    return (
+        li.groupBy("l_orderkey").agg(F.count("*").alias("lines_per_order"))
+        .groupBy("lines_per_order").agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
     "leftjoin_agg",
     oracle=f"""
     SELECT n_name,

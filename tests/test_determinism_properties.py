@@ -194,3 +194,50 @@ def test_duplicated_spans_matches_bruteforce(spark, docs):
                 spans.append([p, p + k - 1])
         want[i] = (len(t), len(spans), sum(e - s + 1 for s, e in spans))
     assert got == want
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(VEC, min_size=2, max_size=24), st.integers(2, 7),
+       st.integers(1, 4))
+def test_cosine_topk_per_row_equals_naive_on_random_vectors(
+        spark, vecs, chunk, k):
+    """cosine_topk_per_row_blas == naive all-pairs + window top-k, bit
+    for bit, for arbitrary vectors, chunkings, and k (the per-group
+    group-top-k emission must never drop a global top-k partner; the
+    exact in-task fold must match the Catalyst expression exactly,
+    including the threshold boundary and the dst-asc tie-break)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        cosine_topk_per_row_blas, dot, norm)
+
+    vecs = [v for v in vecs if any(x != 0.0 for x in v)]
+    if len(vecs) < 2:
+        return
+    rows = [(i, i % 2, v) for i, v in enumerate(vecs)]  # two blocks
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>").repartition(3)
+
+    thr = 0.3
+    e = df.select("vec_id", "label", "embedding",
+                  norm(F.col("embedding")).alias("__n"))
+    a, b = e.alias("a"), e.alias("b")
+    sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.__n") * F.col("b.__n"))
+    w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
+    naive = {(r["src"], r["dst"]): r["s"] for r in (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("src"),
+                F.col("b.vec_id").alias("dst"), sim.alias("s"))
+        .filter(F.col("s") >= thr)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k).collect())}
+
+    got = {(r["src"], r["dst"]): r["cosine_sim"] for r in
+           cosine_topk_per_row_blas(
+               df, "label", "vec_id", "embedding", k=k, threshold=thr,
+               chunk_rows=chunk).collect()}
+    assert got == naive

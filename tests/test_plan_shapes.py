@@ -492,3 +492,17 @@ def test_join_3way_bucketed_fact_join_is_exchange_free(spark):
         assert "Sort [o_orderkey" not in plan
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3
         assert len(re.findall(r"\bSort \[", plan)) == 2
+
+
+def test_order_size_histogram_per_order_agg_is_exchange_free(spark):
+    """The second bucketed-layout consumer: the fact-wide per-order
+    count aggregates bucket-locally (zero exchange below it); the only
+    shuffle is the ~7-row histogram reduce."""
+    import re
+
+    plan = _plan(spark, "order_size_histogram")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    # and that one exchange is keyed on the HISTOGRAM bucket, not the
+    # order key — the fact never shuffles
+    m = re.search(r"Exchange hashpartitioning\((\w+)", plan)
+    assert m and m.group(1).startswith("lines_per_order"), plan[:1500]
