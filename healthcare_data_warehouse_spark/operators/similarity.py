@@ -1050,7 +1050,8 @@ def cosine_topk_per_row_blas(df: DataFrame, block_col: str, id_col: str,
                              threshold: float = 0.0,
                              chunk_rows: int = 1024,
                              margin: float = 1e-9,
-                             max_block_rows: int | None = 100_000) -> DataFrame:
+                             max_block_rows: int | None = 100_000,
+                             target_chunks_per_block: int = 16) -> DataFrame:
     """Each row's EXACT top-k cosine neighbors within its block, at or
     above ``threshold`` — the LINEAR-output near-dup listing (output ≤
     k rows per input row) that replaces the all-pairs variant when the
@@ -1117,7 +1118,21 @@ def cosine_topk_per_row_blas(df: DataFrame, block_col: str, id_col: str,
             .groupBy("__blk").applyInPandas(
                 _boom, schema="src long, dst long, cosine_sim double")
         )
-    nchunks = F.greatest(F.lit(1), F.ceil(F.col("__n") / F.lit(chunk_rows))).cast("int")
+    # Adaptive chunk sizing: every chunk-pair group a row participates
+    # in emits ~k candidates for it, so the window's input is
+    # rows x nchunks x k — with a FIXED chunk size, nchunks (and the
+    # shuffle) grows linearly with block size (measured sf30: 60k-row
+    # blocks -> 59 chunks -> 177M candidate rows -> 20 GB of window-sort
+    # spill at a 12g heap). Target ~16 chunks per block instead, floored
+    # at the caller's chunk_rows (small blocks keep their task
+    # granularity — the sf10 A/B showed finer chunks win when groups are
+    # scarce) and capped at 4096 so a group's GEMM matrix stays bounded
+    # (4096^2 doubles = 134 MB per Arrow task, Python-side).
+    eff_chunk = F.least(
+        F.greatest(F.ceil(F.col("__n") / F.lit(int(target_chunks_per_block))),
+                   F.lit(chunk_rows)),
+        F.lit(4096))
+    nchunks = F.greatest(F.lit(1), F.ceil(F.col("__n") / eff_chunk)).cast("int")
     chunk = F.pmod(F.xxhash64("__id"), nchunks).cast("int")
     tagged = (
         e.withColumn("__c", chunk)
