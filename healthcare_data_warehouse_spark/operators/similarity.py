@@ -1051,7 +1051,8 @@ def cosine_topk_per_row_blas(df: DataFrame, block_col: str, id_col: str,
                              chunk_rows: int = 1024,
                              margin: float = 1e-9,
                              max_block_rows: int | None = 100_000,
-                             target_chunks_per_block: int = 16) -> DataFrame:
+                             target_chunks_per_block: int = 16,
+                             reduction: str = "window") -> DataFrame:
     """Each row's EXACT top-k cosine neighbors within its block, at or
     above ``threshold`` — the LINEAR-output near-dup listing (output ≤
     k rows per input row) that replaces the all-pairs variant when the
@@ -1218,9 +1219,36 @@ def cosine_topk_per_row_blas(df: DataFrame, block_col: str, id_col: str,
     if guard is not None:
         cands = cands.unionByName(guard)
 
-    w = Window.partitionBy("src").orderBy(F.desc("cosine_sim"), F.asc("dst"))
+    if reduction == "window":
+        w = Window.partitionBy("src").orderBy(F.desc("cosine_sim"),
+                                              F.asc("dst"))
+        return (
+            cands.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= kk)
+            .select("src", "dst", "cosine_sim")
+        )
+    if reduction != "aggregate":
+        raise ValueError(f"reduction must be window|aggregate, got {reduction!r}")
+    # Aggregate reduction (alternative, MEASURED WORSE here): the
+    # plausible theory was that collect_list+array_sort+slice avoids the
+    # window's partition sort and therefore its spill. The sf30/12g A/B
+    # (same session, bench-style eviction between runs) refuted it:
+    # aggregate shuffles 4.1 GB vs the window's 2.6 GB (partial
+    # collect_list arrays carry struct overhead the window's flat rows
+    # don't) and spills 19.3 GB vs 7.1 GB (ObjectHashAggregate's
+    # fallback spills harder than the sort), wall 126-146 s vs 120-122 s.
+    # Kept as an option because the trade can invert on hash-friendly
+    # shapes (few sources, huge candidate fan-in); output is bit-identical
+    # either way: array_sort on (-cosine, dst) == window (cosine desc,
+    # dst asc), and every (src, dst) pair is emitted by exactly one
+    # chunk-pair group so no dedup is needed.
+    item = F.struct((-F.col("cosine_sim")).alias("__negs"),
+                    F.col("dst").alias("dst"),
+                    F.col("cosine_sim").alias("cosine_sim"))
     return (
-        cands.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= kk)
-        .select("src", "dst", "cosine_sim")
+        cands.groupBy("src")
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, kk).alias("__t"))
+        .select("src", F.explode("__t").alias("__i"))
+        .select("src", F.col("__i.dst").alias("dst"),
+                F.col("__i.cosine_sim").alias("cosine_sim"))
     )

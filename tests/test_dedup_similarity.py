@@ -568,11 +568,13 @@ def test_cosine_topk_per_row_matches_naive_window(spark):
         .filter(F.col("__rn") <= k).collect())}
 
     for chunk_rows in (7, 100000):
-        got = {(r["src"], r["dst"], r["cosine_sim"]) for r in
-               cosine_topk_per_row_blas(
-                   emb, "label", "vec_id", "embedding", k=k, threshold=thr,
-                   chunk_rows=chunk_rows).collect()}
-        assert got == naive, f"chunk_rows={chunk_rows}"
+        for reduction in ("aggregate", "window"):
+            got = {(r["src"], r["dst"], r["cosine_sim"]) for r in
+                   cosine_topk_per_row_blas(
+                       emb, "label", "vec_id", "embedding", k=k,
+                       threshold=thr, chunk_rows=chunk_rows,
+                       reduction=reduction).collect()}
+            assert got == naive, (chunk_rows, reduction)
 
 
 def test_cosine_topk_per_row_output_is_linear_bounded(spark):
