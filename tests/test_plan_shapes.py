@@ -506,3 +506,23 @@ def test_order_size_histogram_per_order_agg_is_exchange_free(spark):
     # order key — the fact never shuffles
     m = re.search(r"Exchange hashpartitioning\((\w+)", plan)
     assert m and m.group(1).startswith("lines_per_order"), plan[:1500]
+
+
+def test_size_gated_operators_record_their_regime(spark):
+    """The decisions log is the contract the bench provenance relies on:
+    building join_3way must record which plan regime was chosen and the
+    measured size it was chosen FROM (at smoke scale: direct, below the
+    cutover); the bucketed variant records its layout tables."""
+    from healthcare_data_warehouse_spark import decisions
+
+    decisions.drain()
+    catalog.queries()["join_3way"](spark, SF_SMOKE)
+    got = decisions.drain()
+    d = got["join_3way"]
+    assert d["plan"] == "direct"
+    assert 0 < d["relation_size_bytes"] <= d["cutover_bytes"]
+
+    catalog.queries()["join_3way_bucketed"](spark, SF_SMOKE)
+    got = decisions.drain()
+    assert got["join_3way_bucketed"]["plan"] == "bucketed"
+    assert len(got["join_3way_bucketed"]["tables"]) == 2
