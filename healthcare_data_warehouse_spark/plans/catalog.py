@@ -3066,6 +3066,28 @@ def diag_proc_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_knn_join")  # approximate bulk k-NN — rows-only
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk approximate k-NN self-join over the whole embeddings table:
+    EVERY row's top-5 cosine neighbors in one pass (the corpus-wide
+    neighbor listing an embedding-dedup or retrieval-eval pipeline runs,
+    where per-query index probes would mean one job per row and the
+    exact per-row top-k is quadratic per block).
+
+    `operators/similarity.ivf_knn_join`: sample-trained coarse quantizer
+    → one Arrow pass assigns each row its membership + probe lists →
+    per-list grouped-map GEMM (striped, task-memory bounded) → bounded
+    per-source window. Total work ≈ (n_probe/n_lists) × the full
+    quadratic; recall at the knobless default measured 0.947 on this
+    corpus (probe 12/16 via the 0.9 recall-target calibration), pinned
+    by pytest against brute force. Approximate by construction — no SQL
+    oracle; rows-only + recall test."""
+    from ..operators.similarity import ivf_knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_knn_join(e, k=5)
+
+
 @query("ann_ivf_topk")  # approximate (KMeans lists) — rows-only
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k the 100 TB way: the KMeans quantizer runs once

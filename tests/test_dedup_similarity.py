@@ -601,3 +601,49 @@ def test_cosine_topk_per_row_output_is_linear_bounded(spark):
         # all cosines tie at exactly 1.0 -> the two LOWEST other ids win
         expect = sorted(i for i in range(6) if i != src)[:2]
         assert sorted(dsts) == expect, (src, dsts)
+
+
+def test_ivf_knn_join_recall_and_contract(spark):
+    """Bulk approximate k-NN join: <= k rows per source, no self-pairs,
+    exact cosine scores on emitted pairs, recall >= 0.9 vs brute force
+    at the knobless defaults (the 0.9 recall-target calibration), and
+    EXACTLY the brute-force result at exhaustive probing (probe ==
+    n_lists reads every list — any shortfall would be an assignment
+    bug, not an approximation)."""
+    from pyspark.sql import Window
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        dot, ivf_knn_join, norm)
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    k = 5
+    e = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("__n"))
+    a, b = e.alias("a"), e.alias("b")
+    sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.__n") * F.col("b.__n"))
+    w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
+    exact_rows = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("src"),
+                F.col("b.vec_id").alias("dst"), sim.alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k).collect())
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r["src"], set()).add(r["dst"])
+    total = sum(len(v) for v in exact.values())
+
+    got_rows = ivf_knn_join(emb, k=k, n_lists=16).collect()
+    got = {}
+    for r in got_rows:
+        assert r["src"] != r["dst"]
+        got.setdefault(r["src"], []).append(r["dst"])
+    assert all(len(v) <= k for v in got.values())
+    hits = sum(len(exact[s] & set(got.get(s, []))) for s in exact)
+    assert hits / total >= 0.9, hits / total
+
+    # exhaustive probing == brute force, exactly
+    full = {}
+    for r in ivf_knn_join(emb, k=k, n_lists=16, n_probe=16).collect():
+        full.setdefault(r["src"], set()).add(r["dst"])
+    assert full == exact
