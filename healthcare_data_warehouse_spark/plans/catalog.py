@@ -3066,6 +3066,42 @@ def diag_proc_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_join_exact",
+    oracle="""
+    SELECT src, dst, cosine_sim FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+                   AS cosine_sim,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) DESC,
+                       b.vec_id) AS rn
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id <> b.vec_id
+    ) WHERE rn <= 5
+    """,
+)
+def knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global k-NN self-join (every row's true top-5 cosine
+    neighbors over the whole corpus, no blocking) — the hash-certified
+    twin of ``ann_knn_join``: identical semantics, exact answer, and the
+    quadratic cost that motivates the approximate path. Runs through
+    ``cosine_topk_per_row_blas`` with a constant block (the whole corpus
+    is one block — fine at gate scale, guarded at 100k rows where the
+    IVF path takes over). threshold=-1 keeps every neighbor: a global
+    top-k has no natural score floor."""
+    from ..operators.similarity import cosine_topk_per_row_blas
+
+    e = _t(spark, sf_dir, "embeddings").withColumn("__all", F.lit(1))
+    return cosine_topk_per_row_blas(
+        e, block_col="__all", id_col="vec_id", vec_col="embedding",
+        k=5, threshold=-1.0)
+
+
 @query("ann_knn_join")  # approximate bulk k-NN — rows-only
 def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk approximate k-NN self-join over the whole embeddings table:
