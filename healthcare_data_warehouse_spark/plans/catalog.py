@@ -3231,6 +3231,58 @@ def stream_user_profiles_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_simhash_band_registry",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_CTES},
+    banded AS (
+        SELECT doc_id, c.c AS band_idx,
+               ((simhash >> (c.c * 12)) & 4095) AS band_value
+        FROM sig, (SELECT unnest(generate_series(0, 3)) AS c) c)
+    SELECT CAST(band_idx AS INTEGER) AS band_idx, band_value,
+           min(doc_id) AS first_doc_id, count(*) AS doc_count
+    FROM banded GROUP BY band_idx, band_value
+    """,
+)
+def stream_simhash_band_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup detection at INGEST: the document stream's
+    48-bit SimHash splits into 4×12-bit pigeonhole bands (any pair
+    within hamming ≤ 3 shares a band exactly — dedup_simhash_near's
+    decomposition), and a transformWithStateInPandas processor keyed by
+    (band_idx, band_value) maintains the running (first_doc_id = min,
+    doc_count) registry. Both state fields are associative, so the
+    drained registry is independent of micro-batch boundaries AND
+    arrival order — it hash-matches the one-shot batch oracle (the
+    stream ≡ batch contract, driver-checked; same discipline as
+    stream_user_profiles_v2). A doc is a near-dup candidate iff any of
+    its bands has first_doc_id < doc_id — one batch join over this
+    registry, no second stateful operator. State: one (long, long) per
+    distinct band value, RocksDB-backed — O(corpus bands), never stream
+    volume."""
+    from ..streaming.pipelines import run_stream_to_memory
+    from ..streaming.stateful_v2 import (
+        streaming_simhash_band_registry,
+        tws_session,
+    )
+
+    with tws_session(spark):
+        out = run_stream_to_memory(
+            streaming_simhash_band_registry(spark, sf_dir),
+            f"simhash_bands_{abs(hash(sf_dir)) % 10000}",
+            output_mode="update",
+        )
+    # update-mode sink may hold multiple versions per band; keep latest
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_value").orderBy(
+        F.desc("doc_count"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("band_idx", "band_value", "first_doc_id", "doc_count")
+    )
+
+
+@query(
     "stream_fanout_totals",
     oracle="""
     SELECT user_id, event_type,

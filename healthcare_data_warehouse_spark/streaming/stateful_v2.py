@@ -232,3 +232,99 @@ def streaming_user_profiles_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-duplicate detection at ingest: SimHash band registry.
+#
+# The corpus × streaming intersection a training-data pipeline runs in
+# production: documents arrive as a stream, and each doc's 48-bit SimHash
+# splits into 4 × 12-bit bands (the pigeonhole decomposition of
+# dedup.simhash_near_pairs — any pair within hamming ≤ 3 shares at least
+# one band exactly). Keyed by (band_idx, band_value), the processor keeps
+# the running (first_doc_id = min, doc_count) per band — BOTH associative,
+# so the drained registry is independent of micro-batch boundaries and
+# arrival order, and hash-matches a one-shot batch oracle (stream ≡ batch,
+# driver-checkable). A new doc is a near-dup candidate iff any of its
+# bands already has first_doc_id < doc_id — derivable from the registry
+# with one batch join, no second stateful operator in the stream.
+#
+# Scale shape: state is one (long, long) tuple per DISTINCT band value —
+# O(corpus bands), RocksDB-backed, never proportional to stream volume.
+# ---------------------------------------------------------------------------
+
+BAND_REGISTRY_SCHEMA = (
+    "band_idx int, band_value long, first_doc_id long, doc_count long"
+)
+
+
+class SimhashBandRegistryProcessor(StatefulProcessor):
+    """Running (min doc_id, count) per (band_idx, band_value)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._band = handle.getValueState(
+            "band", "first_doc_id long, doc_count long")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        band_idx, band_value = key
+        prev = self._band.get()
+        first, count = prev if prev is not None else (None, 0)
+        for pdf in rows:
+            ids = pdf["doc_id"]
+            m = int(ids.min())
+            first = m if first is None else min(first, m)
+            count += len(ids)
+        self._band.update((first, count))
+        yield pd.DataFrame({
+            "band_idx": [band_idx],
+            "band_value": [band_value],
+            "first_doc_id": [first],
+            "doc_count": [count],
+        })
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_simhash_band_registry(spark: SparkSession, sf_dir: str,
+                                    bits: int = 48,
+                                    band_bits: int = 12) -> DataFrame:
+    """Document stream → banded SimHash → per-band running registry.
+    Returned plan is unstarted; start under ``tws_session(spark)``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..operators.dedup import simhash64
+
+    ensure_tws_runtime(spark)
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    docs = (
+        spark.readStream.schema(doc_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    sig = docs.select("doc_id", simhash64("text", bits=bits).alias("__sig"))
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright("__sig", band_bits * i)
+                .bitwiseAND(F.lit(mask)).alias("band_value"),
+            ) for i in range(n_bands)
+        ])).alias("__b"),
+    ).select("doc_id", "__b.band_idx", "__b.band_value")
+    return banded.groupBy("band_idx", "band_value").transformWithStateInPandas(
+        statefulProcessor=SimhashBandRegistryProcessor(),
+        outputStructType=BAND_REGISTRY_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )

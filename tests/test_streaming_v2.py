@@ -143,3 +143,48 @@ def test_v2_stream_matches_v1_and_batch(spark):
     key = lambda r: (r["user_id"], r["total_events"], round(r["total_value"], 4))
     batch = batch_user_profiles(load_table(spark, SF_SMOKE, "events"))
     assert {key(r) for r in latest.collect()} == {key(r) for r in batch.collect()}
+
+
+def test_simhash_band_registry_drives_near_dup_verdicts(spark):
+    """The streaming band registry supports the ingest-dedup decision
+    with ONE batch join: a doc is a near-dup candidate iff any of its
+    bands has first_doc_id < doc_id — and the candidate set is a
+    SUPERSET of the true hamming<=3 pairs' later docs (pigeonhole:
+    recall is structural, precision is what the exact re-check buys)."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_SMOKE
+    from healthcare_data_warehouse_spark.operators.dedup import (
+        simhash_signatures_df)
+    from healthcare_data_warehouse_spark.plans.catalog import queries
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    reg = queries()["stream_simhash_band_registry"](spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    # derive each doc's bands in batch and join to the drained registry
+    sig = simhash_signatures_df(docs)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band_idx"),
+                     F.shiftright("simhash", 12 * i)
+                     .bitwiseAND(F.lit(4095)).alias("band_value"))
+            for i in range(4)
+        ])).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_value")
+    verdicts = (
+        bands.join(reg, ["band_idx", "band_value"])
+        .groupBy("doc_id")
+        .agg(F.min("first_doc_id").alias("earliest_band_owner"))
+        .withColumn("near_dup_candidate",
+                    F.col("earliest_band_owner") < F.col("doc_id"))
+    )
+    got = {r["doc_id"]: r["near_dup_candidate"] for r in verdicts.collect()}
+    assert len(got) == docs.count()  # every doc gets a verdict
+
+    # structural recall: every true hamming<=3 later-doc is a candidate
+    true_pairs = queries()["dedup_simhash_near"](spark, SF_SMOKE).collect()
+    for r in true_pairs:
+        later = max(r["id_a"], r["id_b"])
+        assert got[later], (r["id_a"], r["id_b"])
