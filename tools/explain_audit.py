@@ -21,6 +21,8 @@ AUDITED = [
     "join_3way",
     "join_3way_bucketed",
     "dedup_embedding_topk",
+    "order_size_histogram",
+    "ann_knn_join",
     "join_fact_dims",
     "topk_highcost",
     "window_rownumber_keys",
