@@ -65,3 +65,18 @@ def test_run_job_fail_fast_stops_downstream(spark, tmp_path, monkeypatch):
     assert status["ok"] is False
     assert len(status["stages"]) == 1  # fail-fast: gold/ml/corpus skipped
     assert "stage exploded" in status["stages"][0]["error"]
+
+
+def test_run_job_ml_retrain_stage_e2e(spark, tmp_path):
+    # the weekly retrain job end-to-end: model fit, score, idempotent
+    # predictions upsert — rerunning the job must not duplicate rows
+    status = run_job(spark, "weekly_ml_retrain", SF_SMOKE, str(tmp_path))
+    assert status["ok"] is True, status
+    import os
+
+    path = os.path.join(str(tmp_path), "ml_predictions")
+    n1 = spark.read.parquet(path).count()
+    assert n1 > 0
+    status2 = run_job(spark, "weekly_ml_retrain", SF_SMOKE, str(tmp_path))
+    assert status2["ok"] is True
+    assert spark.read.parquet(path).count() == n1  # upsert, not append
