@@ -4983,6 +4983,53 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(tr, eval_ngrams(ev, n=5), n=5)
 
 @query(
+    "decontamination_semantic",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    ev AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+    tr AS (SELECT * FROM e WHERE vec_id % 10 != 0)
+    SELECT tr.vec_id AS doc_id, count(*) AS n_hits,
+           max(list_cosine_similarity(tr.emb, ev.emb)) AS max_cosine
+    FROM tr JOIN ev ON list_cosine_similarity(tr.emb, ev.emb) >= 0.3
+    GROUP BY tr.vec_id
+    """,
+)
+def decontamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of the
+    n-gram scrub (``decontamination_report``): a training doc is flagged
+    when its embedding sits within cosine ≥ 0.3 of ANY eval doc, which
+    catches paraphrased benchmark leakage that exact n-grams miss.
+    Same pseudo-eval convention (vec_id % 10 == 0); per flagged train
+    doc: hit count + its max eval cosine (the triage ordering).
+
+    Runs through ``cosine_pairs_blas`` (one corpus-wide block at gate
+    scale — exact GEMM-prescreened pairs, bit-matching the DuckDB cross
+    join), then keeps only cross-side pairs and aggregates per train
+    doc. At 100 TB the pair generator swaps for the IVF route: index the
+    (small) eval set's lists and probe every train doc — ann_knn_join's
+    decomposition with the eval set as the member side, linear in the
+    corpus."""
+    from ..operators.similarity import cosine_pairs_blas
+
+    e = _t(spark, sf_dir, "embeddings").withColumn("__all", F.lit(1))
+    pairs = cosine_pairs_blas(
+        e, block_col="__all", id_col="vec_id", vec_col="embedding",
+        threshold=0.3)
+    is_ev_a = F.col("id_a") % 10 == 0
+    is_ev_b = F.col("id_b") % 10 == 0
+    crossed = pairs.filter(is_ev_a != is_ev_b)
+    train_id = F.when(is_ev_a, F.col("id_b")).otherwise(F.col("id_a"))
+    return (
+        crossed.select(train_id.alias("doc_id"),
+                       F.col("cosine_sim"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"),
+             F.max("cosine_sim").alias("max_cosine"))
+    )
+
+
+@query(
     "agg_grouping_sets",
     oracle="""
     WITH src AS (
