@@ -666,3 +666,51 @@ def cut_duplicated_spans(df: DataFrame, text_col: str = "text",
         (F.col("n_tokens") - F.coalesce("__kept", F.lit(0)))
         .cast("long").alias("n_removed_tokens"),
     )
+
+
+def simhash_signatures_arrow(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             bits: int = 48) -> DataFrame:
+    """SimHash signatures via one Arrow ``mapInPandas`` pass — the
+    STREAM-COMPATIBLE formulation, bit-identical to ``simhash64`` /
+    ``simhash_signatures_df`` (pytest-pinned).
+
+    Why it exists: the pure-expression ``simhash64`` interprets
+    bits × tokens HOF steps per document (fine per row, minutes per
+    100k-doc batch), and the exploded ``simhash_signatures_df`` needs a
+    groupBy — a SECOND stateful operator inside a streaming query. This
+    path replays the exact same hash family in Python — tokens =
+    split(trim, \\s+) distinct, per-token ``hash52`` = top-13 hex chars
+    of md5('sx:'||token), per-bit vote sign — so the md5-certified
+    oracle replays it unchanged, at hashlib speed (~40M md5/s across 32
+    workers) with no shuffle and no state.
+    """
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+")
+    salt = SIMHASH_SALT.encode()
+
+    def gen(it):
+        for pdf in it:
+            sigs: list[int | None] = []
+            for text in pdf[text_col]:
+                if text is None:
+                    # match simhash64's expression semantics: a NULL
+                    # text folds to signature 0, not NULL
+                    sigs.append(0)
+                    continue
+                toks = set(ws.split(text.strip()))
+                votes = [0] * bits
+                for t in toks:
+                    h = int(hashlib.md5(
+                        salt + t.encode("utf-8")).hexdigest()[:13], 16)
+                    for i in range(bits):
+                        votes[i] += 1 if (h >> i) & 1 else -1
+                sigs.append(sum(1 << i for i in range(bits) if votes[i] > 0))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} long, simhash long")

@@ -3269,6 +3269,11 @@ def stream_simhash_band_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
             streaming_simhash_band_registry(spark, sf_dir),
             f"simhash_bands_{abs(hash(sf_dir)) % 10000}",
             output_mode="update",
+            # the per-doc simhash expression is the batch's cost center
+            # (~0.6 ms/doc on 32 cores); size the drain cap for the
+            # multi-100k-doc scale fixtures rather than silently timing
+            # out (run_stream_to_memory raises on timeout)
+            timeout_s=1800,
         )
     # update-mode sink may hold multiple versions per band; keep latest
     from pyspark.sql import Window

@@ -160,7 +160,16 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
                          output_mode: str = "complete", timeout_s: int = 120) -> DataFrame:
     """Execute a streaming plan with AvailableNow and return the result
     as a DataFrame from the in-memory sink (test/dev harness; production
-    sinks are parquet/Kafka via the same writeStream)."""
+    sinks are parquet/Kafka via the same writeStream).
+
+    Raises TimeoutError if the drain doesn't finish inside ``timeout_s``
+    — an AvailableNow run is bounded by its input, so "not done yet" is
+    either an undersized timeout for the data scale (pass a bigger one)
+    or a hung query. Returning the sink anyway would hand back a
+    partial/EMPTY result that reads as a normal DataFrame (observed:
+    the simhash band registry at sf10 returned 0 rows because the batch
+    outran the default cap) — silent wrong answers are worse than a
+    loud stop."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -168,7 +177,15 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain '{query_name}' still running after "
+            f"{timeout_s}s; the AvailableNow batch has not caught up — "
+            "raise timeout_s for this data scale (the sink would "
+            "otherwise be returned incomplete)."
+        )
     return stream_df.sparkSession.table(query_name)
 
 

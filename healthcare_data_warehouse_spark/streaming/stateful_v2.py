@@ -294,7 +294,7 @@ def streaming_simhash_band_registry(spark: SparkSession, sf_dir: str,
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    from ..operators.dedup import simhash64
+    from ..operators.dedup import simhash_signatures_arrow
 
     ensure_tws_runtime(spark)
     doc_schema = T.StructType([
@@ -311,7 +311,12 @@ def streaming_simhash_band_registry(spark: SparkSession, sf_dir: str,
     )
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
-    sig = docs.select("doc_id", simhash64("text", bits=bits).alias("__sig"))
+    # Arrow signature pass, not the per-doc expression: bit-identical
+    # values (pytest-pinned vs simhash64) at hashlib speed — the
+    # expression path interprets bits x tokens HOF steps per doc and
+    # took MINUTES per 100k docs, silently starving the drain timeout.
+    sig = simhash_signatures_arrow(docs, "text", "doc_id", bits=bits) \
+        .withColumnRenamed("simhash", "__sig")
     banded = sig.select(
         "doc_id",
         F.explode(F.array(*[

@@ -647,3 +647,34 @@ def test_ivf_knn_join_recall_and_contract(spark):
     for r in ivf_knn_join(emb, k=k, n_lists=16, n_probe=16).collect():
         full.setdefault(r["src"], set()).add(r["dst"])
     assert full == exact
+
+
+def test_simhash_arrow_path_bit_matches_expression(spark):
+    """simhash_signatures_arrow (the stream-compatible mapInPandas
+    formulation) must produce bit-identical signatures to both the
+    expression (simhash64) and exploded (simhash_signatures_df) paths —
+    same tokens, same md5 hash family, same vote signs."""
+    from healthcare_data_warehouse_spark.operators.dedup import (
+        simhash64,
+        simhash_signatures_arrow,
+        simhash_signatures_df,
+    )
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    expr = {r["doc_id"]: r["sig"] for r in
+            docs.select("doc_id", simhash64("text").alias("sig")).collect()}
+    exploded = {r["doc_id"]: r["simhash"] for r in
+                simhash_signatures_df(docs).collect()}
+    arrow = {r["doc_id"]: r["simhash"] for r in
+             simhash_signatures_arrow(docs).collect()}
+    assert arrow == expr == exploded
+
+    # edge rows: empty and None text
+    edge = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "a b a")], "doc_id long, text string")
+    e_expr = {r["doc_id"]: r["sig"] for r in
+              edge.select("doc_id", simhash64("text").alias("sig")).collect()}
+    e_arrow = {r["doc_id"]: r["simhash"] for r in
+               simhash_signatures_arrow(edge).collect()}
+    assert e_arrow == e_expr
