@@ -690,7 +690,13 @@ def simhash_signatures_arrow(df: DataFrame, text_col: str = "text",
 
     import pandas as pd
 
-    ws = re.compile(r"\s+")
+    # Replicate the EXPRESSION path's semantics exactly, not Python's:
+    # Spark F.trim strips only ASCII spaces (not tabs/newlines/NBSP), and
+    # Java's \s is the ASCII class [ \t\n\x0B\f\r] (Python's \s also
+    # matches Unicode whitespace like NBSP). Java split(limit=-1) keeps
+    # leading/trailing empty tokens, and so does re.split — so a doc
+    # starting with '\t' yields a leading "" token in BOTH paths.
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
     salt = SIMHASH_SALT.encode()
 
     def gen(it):
@@ -702,7 +708,7 @@ def simhash_signatures_arrow(df: DataFrame, text_col: str = "text",
                     # text folds to signature 0, not NULL
                     sigs.append(0)
                     continue
-                toks = set(ws.split(text.strip()))
+                toks = set(ws.split(text.strip(" ")))
                 votes = [0] * bits
                 for t in toks:
                     h = int(hashlib.md5(

@@ -115,13 +115,31 @@ def resolve_n_probe(n_lists: int, target_recall: float = DEFAULT_TARGET_RECALL) 
     return n_lists
 
 
-def resolve_refine(k: int, target_recall: float = DEFAULT_TARGET_RECALL) -> int:
+def resolve_refine(k: int, target_recall: float = DEFAULT_TARGET_RECALL) -> int | None:
     """Smallest exact-rerank shortlist whose MEASURED recall meets the
-    target (refine scales with k: the sweep was run at k=10)."""
+    target (refine scales with k: the sweep was run at k=10).
+
+    Targets ABOVE the largest measured recall (0.96) return ``None`` —
+    "no shortlist cap": the caller exact-re-ranks the FULL candidate
+    set, which is recall 1.0 by construction at brute-force cost. This
+    mirrors ``resolve_n_probe``'s degrade-to-exhaustive so the
+    "give me >= this recall" contract genuinely holds instead of
+    silently capping at 0.96."""
     for mult, rec in PQ_RECALL_BY_REFINE_PER_K:
         if rec >= target_recall:
             return mult * k
-    return PQ_RECALL_BY_REFINE_PER_K[-1][0] * k
+    return None
+
+
+def _adc_shortlist(cand: DataFrame, refine: int | None,
+                   id_col: str) -> DataFrame:
+    """Order candidates by ADC distance and cap at ``refine``;
+    ``refine=None`` (unattainable-target degrade from resolve_refine)
+    skips BOTH the sort and the cap — every candidate goes to the exact
+    re-rank, so the ADC pass costs nothing and recall is exact."""
+    if refine is None:
+        return cand
+    return cand.orderBy(F.asc("__adc"), F.asc(id_col)).limit(refine)
 
 
 def ivf_topk(df: DataFrame, query_vec_id: int, k: int = 10, n_lists: int = 16,
@@ -449,6 +467,8 @@ def pq_topk(df: DataFrame, query_vec_id: int, k: int = 10, m: int = 8,
     if df.filter(F.col(id_col) == query_vec_id).isEmpty():
         return df.select(
             id_col, "label", F.lit(0.0).alias("cosine_sim")).limit(0)
+    if refine is None:
+        refine = resolve_refine(k, target_recall)
 
     books = _pq_codebooks(df, m, codebook_k, vec_col, id_col, seed)
     assigned = _pq_assign(df, books, vec_col)
@@ -460,12 +480,10 @@ def pq_topk(df: DataFrame, query_vec_id: int, k: int = 10, m: int = 8,
         lit_tbl = F.array(*[F.lit(v) for v in tbl])
         approx = approx + F.element_at(lit_tbl, F.element_at("pq_code", j + 1) + 1)
 
-    cand = (
+    cand = _adc_shortlist(
         assigned.filter(F.col(id_col) != query_vec_id)
-        .select(id_col, "label", vec_col, approx.alias("__adc"))
-        .orderBy(F.asc("__adc"), F.asc(id_col))
-        .limit(refine)
-    )
+        .select(id_col, "label", vec_col, approx.alias("__adc")),
+        refine, id_col)
     qdf = df.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("__qv"))
     return (
@@ -561,11 +579,9 @@ def pq_topk_indexed(spark, index_dir: str, query_vec, k: int = 10,
     scan = spark.read.parquet(os.path.join(index_dir, "vectors"))
     if exclude_id is not None:
         scan = scan.filter(F.col(id_col) != exclude_id)
-    cand = (
-        scan.select(id_col, "label", vec_col, approx.alias("__adc"))
-        .orderBy(F.asc("__adc"), F.asc(id_col))
-        .limit(refine)
-    )
+    cand = _adc_shortlist(
+        scan.select(id_col, "label", vec_col, approx.alias("__adc")),
+        refine, id_col)
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(id_col, "label",

@@ -47,9 +47,14 @@ def get_spark(app_name: str = "healthcare-dw-spark", cpus: int | None = None) ->
         # shuffle (the win broadcast joins get, without the memory bound).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # trust per-bucket sort order from bucketed scans (off by default
-        # since SPARK-28632; write_bucketed guarantees the one-file-per-
-        # bucket layout it requires) — removes the runtime Sort under
-        # every co-bucketed SortMergeJoin
+        # since SPARK-28632) — removes the runtime Sort under every
+        # co-bucketed SortMergeJoin. This is only correct one-file-per-
+        # bucket, so EVERY path that creates or attaches a bucketed-
+        # sorted table must go through sources/bucketing.py, which
+        # enforces the invariant at write time (post-save check in
+        # write_bucketed) AND at attach time (validate_one_file_per_
+        # bucket before CREATE TABLE ... LOCATION); a split bucket fails
+        # loud instead of silently skipping the sort.
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -14,7 +14,59 @@ equivalent (SURVEY.md §4 "optional bucketing on patient_key").
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Spark bucketed part files carry the bucket id as the _NNNNN suffix:
+# part-00000-<uuid>_00003.c000.snappy.parquet → bucket 3.
+_BUCKET_ID_RE = re.compile(r"_(\d{5})\.")
+
+
+def bucket_file_counts(loc: str) -> dict[int, int] | None:
+    """Map bucket-id → number of part files under a bucketed table
+    location, or None if any part file lacks a bucket-id suffix (i.e.
+    the directory is not a bucketed write at all)."""
+    counts: dict[int, int] = {}
+    try:
+        names = os.listdir(loc)
+    except OSError:
+        return None
+    for f in names:
+        if not f.startswith("part-"):
+            continue
+        m = _BUCKET_ID_RE.search(f)
+        if not m:
+            return None
+        b = int(m.group(1))
+        counts[b] = counts.get(b, 0) + 1
+    return counts
+
+
+def validate_one_file_per_bucket(loc: str) -> None:
+    """Enforce the invariant `bucketedTableScan.outputOrdering` relies on.
+
+    The session enables the legacy flag that makes bucketed+sorted scans
+    REPORT sorted output (session.py), which is only correct when each
+    bucket is a single file — a bucket spanning multiple files is the
+    wrong-results scenario SPARK-28632 fixed (SortMergeJoin would skip
+    the runtime Sort over data that is not actually globally sorted
+    within the bucket). So every path that creates or attaches a
+    bucketed-sorted table in this repo must pass this check; a write
+    split by e.g. spark.sql.files.maxRecordsPerFile fails loud here
+    instead of silently corrupting join results."""
+    counts = bucket_file_counts(loc)
+    if counts is None:
+        raise RuntimeError(
+            f"{loc}: part files lack bucket-id suffixes — not a bucketed "
+            "write; refusing to attach as a bucketed table")
+    bad = {b: c for b, c in counts.items() if c > 1}
+    if bad:
+        raise RuntimeError(
+            f"{loc}: buckets split across multiple files {bad} — per-bucket "
+            "sort order cannot be trusted (SPARK-28632); rebuild with "
+            "write_bucketed (one task per bucket) or drop the sortBy")
 
 
 def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 8,
@@ -34,6 +86,15 @@ def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 8,
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+    if sort:
+        # fail loud if anything (maxRecordsPerFile, a future Spark
+        # version changing task→file mapping) split a bucket: the
+        # session-level outputOrdering trust is only safe one-file-per-
+        # bucket (see validate_one_file_per_bucket).
+        spark = df.sparkSession
+        loc = os.path.join(_warehouse_path(spark), table.lower())
+        if os.path.isdir(loc):
+            validate_one_file_per_bucket(loc)
 
 
 def cobucketed_join(spark: SparkSession, left_table: str, right_table: str,
@@ -93,27 +154,60 @@ def _warehouse_path(spark: SparkSession) -> str:
     return loc
 
 
+def _attach_bucketed(spark: SparkSession, df_fn, table: str, key: str,
+                     buckets: int, loc: str) -> None:
+    """CREATE an external bucketed table over completed files at `loc` —
+    AFTER validating the one-file-per-bucket invariant the session-level
+    sort-order trust depends on. A violating layout (e.g. written by an
+    older/foreign writer, or split by maxRecordsPerFile) is rejected
+    rather than silently trusted."""
+    validate_one_file_per_bucket(loc)
+    ddl = spark._jsparkSession.parseDataType(df_fn().schema.json()).toDDL()
+    spark.sql(
+        f"CREATE TABLE {table} ({ddl}) USING PARQUET "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+        f"INTO {buckets} BUCKETS LOCATION '{loc}'"
+    )
+
+
 def _attach_or_write_bucketed(spark: SparkSession, df_fn, table: str,
                               key: str, buckets: int) -> None:
-    """tableExists → done; completed files on disk → attach as an
-    external bucketed table (no rewrite); otherwise clean any partial
-    leftover and write. The data files are deterministic (same input,
-    same projection, same bucket spec), so attaching another process's
-    completed write is exactly equivalent to rebuilding."""
-    import os
+    """tableExists → done; completed+valid files on disk → attach as an
+    external bucketed table (no rewrite); otherwise build under a
+    pid-suffixed claim dir and atomically rename into place — the same
+    build-dir + rename protocol the ANN index builds use, so two
+    processes sharing a warehouse dir (overlapping cron jobs + a bench
+    run) can never clobber each other's in-progress write: each builds
+    privately, exactly one os.rename wins, the loser cleans up and
+    attaches the winner's files. The data files are deterministic (same
+    input, same projection, same bucket spec), so attaching another
+    process's completed write is exactly equivalent to rebuilding."""
     import shutil
 
     if spark.catalog.tableExists(table):
         return
     loc = os.path.join(_warehouse_path(spark), table)
     if os.path.exists(os.path.join(loc, "_SUCCESS")):
-        ddl = spark._jsparkSession.parseDataType(
-            df_fn().schema.json()).toDDL()
-        spark.sql(
-            f"CREATE TABLE {table} ({ddl}) USING PARQUET "
-            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-            f"INTO {buckets} BUCKETS LOCATION '{loc}'"
-        )
-        return
-    shutil.rmtree(loc, ignore_errors=True)  # partial write: rebuild
-    write_bucketed(df_fn(), table, key, buckets=buckets)
+        try:
+            _attach_bucketed(spark, df_fn, table, key, buckets, loc)
+            return
+        except RuntimeError:
+            shutil.rmtree(loc, ignore_errors=True)  # invalid layout: rebuild
+
+    # Private build: saveAsTable to a pid-tagged temp table, then claim
+    # the canonical location with an atomic rename (directory rename
+    # fails if the destination exists — that IS the claim protocol).
+    build_table = f"{table}__build_{os.getpid()}"
+    build_loc = os.path.join(_warehouse_path(spark), build_table)
+    spark.sql(f"DROP TABLE IF EXISTS {build_table}")
+    shutil.rmtree(build_loc, ignore_errors=True)
+    write_bucketed(df_fn(), build_table, key, buckets=buckets)
+    try:
+        os.rename(build_loc, loc)
+    except OSError:
+        pass  # lost the race: someone else completed `loc`; use theirs
+    # drop the temp metadata; if we won the rename its directory is gone
+    # (metadata-only drop), if we lost the drop deletes our private files
+    spark.sql(f"DROP TABLE IF EXISTS {build_table}")
+    shutil.rmtree(build_loc, ignore_errors=True)
+    _attach_bucketed(spark, df_fn, table, key, buckets, loc)

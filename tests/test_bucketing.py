@@ -80,3 +80,91 @@ def test_order_layout_attach_reuses_completed_files(spark):
         spark.sql("DROP TABLE IF EXISTS bkt_attach_src")
         spark.sql("DROP TABLE IF EXISTS bkt_attach_dst")
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_attach_rejects_split_bucket_layout(spark):
+    """A bucket spanning multiple files is the SPARK-28632 wrong-results
+    scenario under the session's outputOrdering trust — the attach path
+    must refuse it (and the helper must then rebuild a valid layout
+    rather than trusting the bad one)."""
+    import os
+    import shutil
+
+    import pytest
+
+    from healthcare_data_warehouse_spark.sources.bucketing import (
+        _attach_bucketed,
+        _attach_or_write_bucketed,
+        _warehouse_path,
+        bucket_file_counts,
+        validate_one_file_per_bucket,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_extendedprice")
+    write_bucketed(li, "bkt_split_src", "l_orderkey", buckets=4)
+    wh = _warehouse_path(spark)
+    src = os.path.join(wh, "bkt_split_src")
+    bad = os.path.join(wh, "bkt_split_bad")
+    shutil.rmtree(bad, ignore_errors=True)
+    shutil.copytree(src, bad)
+    # split bucket 0 across two files: duplicate its part file under a
+    # second task id (what maxRecordsPerFile / a parallel writer produces)
+    parts = [f for f in os.listdir(bad) if f.startswith("part-") and "_00000" in f]
+    assert parts, os.listdir(bad)
+    shutil.copy(os.path.join(bad, parts[0]),
+                os.path.join(bad, parts[0].replace("part-00000", "part-00099")))
+    counts = bucket_file_counts(bad)
+    assert counts[0] == 2
+    with pytest.raises(RuntimeError, match="SPARK-28632"):
+        validate_one_file_per_bucket(bad)
+    with pytest.raises(RuntimeError):
+        _attach_bucketed(spark, lambda: li, "bkt_split_bad", "l_orderkey", 4, bad)
+
+    # the orchestrating helper, given the invalid layout, rebuilds a
+    # valid one instead of attaching the bad files
+    try:
+        _attach_or_write_bucketed(spark, lambda: li, "bkt_split_bad",
+                                  "l_orderkey", 4)
+        assert spark.catalog.tableExists("bkt_split_bad")
+        counts = bucket_file_counts(bad)
+        assert counts and all(c == 1 for c in counts.values())
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_split_src")
+        spark.sql("DROP TABLE IF EXISTS bkt_split_bad")
+        shutil.rmtree(bad, ignore_errors=True)
+
+
+def test_build_claim_rename_leaves_no_temp_dirs(spark):
+    """Fresh build goes through the pid-tagged claim dir + atomic rename;
+    afterwards the canonical location exists, is valid, and no __build_
+    leftovers remain (the cross-process clobber fix: a second writer's
+    rename loses and cleans up instead of rmtree-ing the winner)."""
+    import os
+    import shutil
+
+    from healthcare_data_warehouse_spark.sources.bucketing import (
+        _attach_or_write_bucketed,
+        _warehouse_path,
+        bucket_file_counts,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_extendedprice")
+    wh = _warehouse_path(spark)
+    loc = os.path.join(wh, "bkt_claim_t")
+    spark.sql("DROP TABLE IF EXISTS bkt_claim_t")
+    shutil.rmtree(loc, ignore_errors=True)
+    try:
+        _attach_or_write_bucketed(spark, lambda: li, "bkt_claim_t",
+                                  "l_orderkey", 4)
+        assert spark.catalog.tableExists("bkt_claim_t")
+        assert os.path.exists(os.path.join(loc, "_SUCCESS"))
+        counts = bucket_file_counts(loc)
+        assert counts and all(c == 1 for c in counts.values())
+        leftovers = [d for d in os.listdir(wh) if "__build_" in d]
+        assert leftovers == []
+        assert spark.table("bkt_claim_t").count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_claim_t")
+        shutil.rmtree(loc, ignore_errors=True)

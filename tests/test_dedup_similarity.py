@@ -670,9 +670,20 @@ def test_simhash_arrow_path_bit_matches_expression(spark):
              simhash_signatures_arrow(docs).collect()}
     assert arrow == expr == exploded
 
-    # edge rows: empty and None text
+    # edge rows: empty / None text, plus whitespace edges where Python
+    # str.strip()/\s semantics DIVERGE from Spark's trim/Java-\s —
+    # leading tab and newline (F.trim keeps them ⇒ leading "" token from
+    # Java split; Python .strip() would eat them), NBSP (Java \s does
+    # NOT match U+00A0, Python \s does), trailing tab, and a
+    # tab-separated body. The Arrow path must replicate the EXPRESSION
+    # semantics on all of these, not Python's.
     edge = spark.createDataFrame(
-        [(1, ""), (2, None), (3, "a b a")], "doc_id long, text string")
+        [(1, ""), (2, None), (3, "a b a"),
+         (4, "\tleading tab"), (5, "\nleading newline"),
+         (6, "nbsp joined tokens"), (7, "trailing tab\t"),
+         (8, "tab\tsep\tbody"), (9, "  spaces only  padded  "),
+         (10, " "), (11, "\t\n mixed   ws \r\n")],
+        "doc_id long, text string")
     e_expr = {r["doc_id"]: r["sig"] for r in
               edge.select("doc_id", simhash64("text").alias("sig")).collect()}
     e_arrow = {r["doc_id"]: r["simhash"] for r in

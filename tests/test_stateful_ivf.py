@@ -194,12 +194,35 @@ def test_ann_defaults_resolve_from_recall_target():
     # calibration is fraction/multiple-based, so it transfers
     assert resolve_n_probe(8) == 6
     assert resolve_refine(5) == 400
-    # a stricter target climbs the curve; past the table -> exhaustive
+    # a stricter target climbs the curve; past the table -> exhaustive.
+    # resolve_refine's table tops out at 0.96 measured, so 0.99 returns
+    # None ("no shortlist cap": exact re-rank of ALL candidates, recall
+    # 1.0 by construction) rather than silently serving 0.96.
     assert resolve_n_probe(16, target_recall=0.99) == 16
-    assert resolve_refine(10, target_recall=0.99) == 800  # table max
+    assert resolve_refine(10, target_recall=0.99) is None
+    assert resolve_refine(10, target_recall=0.96) == 800  # table max
     # a cheap target still never drops below the smallest measured point
     assert resolve_n_probe(16, target_recall=0.5) == 4
     assert resolve_refine(10, target_recall=0.5) == 100
+
+
+def test_pq_unattainable_target_degrades_to_exact(spark):
+    """target_recall above the measured 0.96 ceiling must make pq_topk
+    exact — identical top-k to brute-force cosine — because the ADC
+    shortlist cap is dropped (the '>= this recall' contract holds by
+    construction instead of being quietly violated)."""
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = [r["vec_id"] for r in
+             brute_force_topk(emb, query_vec_id=0, k=10).collect()]
+    degraded = [r["vec_id"] for r in
+                pq_topk(emb, query_vec_id=0, k=10,
+                        target_recall=0.999).collect()]
+    assert degraded == exact
 
 
 def test_ivf_default_call_scans_resolved_probe_count(spark, tmp_path):
