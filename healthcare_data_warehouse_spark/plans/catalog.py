@@ -101,18 +101,27 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_lead_nextvisit", "fn_readmission_label", "topk_diagnoses",
     "union_dq_report",
     # §2 functions / privacy
-    "fn_sha2_anonymize", "fn_age_calc", "fn_age_bucket", "case_visit_cohorts",
+    "fn_sha2_anonymize", "case_visit_cohorts",
     "fn_laplace_noise", "privacy_k_anon", "privacy_l_div", "privacy_t_close",
     "privacy_noise_impact",
     # §2 sources/sinks + repo-owned oracled sketches
     "scan_csv", "scan_table", "upsert_dedup", "audited_read",
-    "approx_count_distinct_segments", "percentile_approx_p90",
+    "approx_count_distinct_segments",
     # LLM-pipeline flagships: text metrics
-    "text_tokens", "text_quality", "doc_fingerprint", "text_lang_profile",
-    "text_langid",
+    "text_tokens", "text_quality", "text_langid",
     # LLM-pipeline flagships: dedup / curation / streaming
     "dedup_exact", "dedup_minhash_lsh", "dedup_substring_spans",
     "dedup_embedding_cosine", "corpus_clean", "stream_hourly_agg",
+    # round-5 flagships rotated INTO the window for external
+    # certification (round-6 verdict item 1): each is DuckDB-oracled and
+    # was only local-pass in CORRECTNESS_r05. The five rows rotated OUT
+    # (fn_age_calc, fn_age_bucket, doc_fingerprint, text_lang_profile,
+    # percentile_approx_p90) were driver-green five rounds running and
+    # their §2 ops stay covered by remaining rows (agg_by_agegroup's age
+    # bucketing for F2/F3, text_langid/text_tokens for the text family,
+    # percentile_p90 for A6) plus the full local gate.
+    "join_3way_bucketed", "dedup_embedding_topk", "knn_join_exact",
+    "stream_simhash_band_registry", "decontamination_semantic",
 )
 
 

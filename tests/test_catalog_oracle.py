@@ -55,12 +55,19 @@ def test_driver_window_is_curated_and_fully_oracled():
     assert all(n in osql for n in first50)
     flagships = {"dedup_exact", "dedup_minhash_lsh", "dedup_substring_spans",
                  "dedup_embedding_cosine", "corpus_clean", "stream_hourly_agg",
-                 "text_tokens", "text_quality", "doc_fingerprint",
-                 "text_lang_profile", "text_langid"}
+                 "text_tokens", "text_quality", "text_langid",
+                 # round-6 rotation: the round-5 flagships certify
+                 # externally this round
+                 "join_3way_bucketed", "dedup_embedding_topk",
+                 "knn_join_exact", "stream_simhash_band_registry",
+                 "decontamination_semantic"}
     assert flagships <= set(first50)
-    # demoted extras still registered (full local gate covers them)
+    # demoted extras still registered (full local gate covers them) —
+    # includes the five rows rotated OUT in round 6, whose §2 ops remain
+    # covered by in-window rows
     qs = queries()
     for n in ("scan_jsonl", "profile_lineitem", "audit_access_report",
               "privacy_suppression", "approx_count_distinct_segments_native",
-              "percentile_approx_p90_native"):
+              "percentile_approx_p90_native", "fn_age_calc", "fn_age_bucket",
+              "doc_fingerprint", "text_lang_profile", "percentile_approx_p90"):
         assert n in qs and n not in first50
