@@ -36,6 +36,15 @@ STAGED_JOIN_CUTOVER_BYTES = int(
     os.environ.get("SPARK_GRAFT_STAGED_JOIN_BYTES", str(512 << 20))
 )
 
+# When the ingest-time order-bucketed layout is already materialized
+# (sources/bucketing.py), order-grained queries auto-route onto it —
+# the zero-fact-exchange plan becomes the DEFAULT path rather than a
+# separate query id. Attach-only: routing never triggers the layout
+# build. Off switch exists for A/B probes and the regime plan tests.
+BUCKETED_AUTO_ROUTE = (
+    os.environ.get("SPARK_GRAFT_BUCKETED_AUTO_ROUTE", "1") != "0"
+)
+
 # Materialize-for-reuse cutover: when a corpus-derived intermediate
 # feeds multiple consumers with no exchange for ReuseExchange to dedupe
 # (partition-local aggregation after spread()), localCheckpoint it only

@@ -293,24 +293,42 @@ def join_fact_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: 3-way analytic join (analytics_examples.sql:96-98) + revenue
-    aggregate, with a size-gated physical strategy.
+    aggregate, with a size-gated physical strategy and bucketed-layout
+    auto-routing.
 
-    Below STAGED_JOIN_CUTOVER_BYTES the direct join-then-aggregate plan
-    wins: the dims broadcast (no hint — Catalyst/AQE decide from stats,
-    tests/test_plan_shapes.py pins both regimes) and lineitem never
-    shuffles. Above it the dims outgrow broadcast, so every surviving
-    byte rides a shuffle — there the staged aggregate-below-join plan
-    pre-reduces lineitem to one row per order key BEFORE its first
-    shuffle (~4 lines/order), then re-reduces to one row per customer
-    before the customer join: measured at sf30 (180M lineitem) the
-    shuffle drops 5.5 GB/409M records → 2.2 GB/134M and wall 52.6 s →
-    29.2 s. Bit-parity across paths: counts re-sum as int64 and revenue
+    THREE stamped regimes (decisions.py → bench `regimes` block):
+
+    - ``bucketed`` — if the ingest-time order-bucketed layout is already
+      materialized (attach-only probe, never builds), the query resolves
+      to the zero-fact-exchange plan: the ingest investment is the
+      DEFAULT path, not a separate query id. Same oracle, bit parity.
+    - ``direct`` — below STAGED_JOIN_CUTOVER_BYTES the direct
+      join-then-aggregate plan wins: the dims broadcast (no hint —
+      Catalyst/AQE decide from stats, tests/test_plan_shapes.py pins
+      both regimes) and lineitem never shuffles.
+    - ``staged`` — above it the dims outgrow broadcast, so every
+      surviving byte rides a shuffle — there the staged
+      aggregate-below-join plan pre-reduces lineitem to one row per
+      order key BEFORE its first shuffle (~4 lines/order), then
+      re-reduces to one row per customer before the customer join:
+      measured at sf30 (180M lineitem) the shuffle drops 5.5 GB/409M
+      records → 2.2 GB/134M and wall 52.6 s → 29.2 s.
+
+    Bit-parity across paths: counts re-sum as int64 and revenue
     accumulates in decimal at every stage (cast to double exactly once,
     at the end), so sums-of-sums equal the one-shot dsum — pinned by
     tests/test_adaptive_plans.py against the oracle either way."""
     from .. import decisions
-    from ..config import STAGED_JOIN_CUTOVER_BYTES
+    from ..config import BUCKETED_AUTO_ROUTE, STAGED_JOIN_CUTOVER_BYTES
     from ..operators.skew import relation_size_bytes
+    from ..sources.bucketing import attach_order_bucketed_layout_if_present
+
+    if BUCKETED_AUTO_ROUTE:
+        layout = attach_order_bucketed_layout_if_present(spark, sf_dir)
+        if layout is not None:
+            decisions.record(plan="bucketed", tables=list(layout),
+                             routed_from="join_3way")
+            return _join_3way_bucketed_plan(spark, sf_dir, *layout)
 
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -379,12 +397,23 @@ def join_3way_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     query) — the classic layout-for-compute trade. Bit parity discipline
     matches the staged path: decimal accumulation at every stage, one
     double cast at the end, so the gate hash-matches the same oracle.
+
+    This id BUILDS the layout if absent (the explicit ingest-investment
+    entry point); ``join_3way`` itself auto-routes onto the same plan
+    attach-only whenever the layout already exists.
     """
     from .. import decisions
     from ..sources.bucketing import ensure_order_bucketed_layout
 
     li_t, ord_t = ensure_order_bucketed_layout(spark, sf_dir)
     decisions.record(plan="bucketed", tables=[li_t, ord_t])
+    return _join_3way_bucketed_plan(spark, sf_dir, li_t, ord_t)
+
+
+def _join_3way_bucketed_plan(spark: SparkSession, sf_dir: str,
+                             li_t: str, ord_t: str) -> DataFrame:
+    """The zero-fact-exchange J2 plan over the attached layout tables —
+    shared by join_3way_bucketed and join_3way's auto-route."""
     li, o = spark.table(li_t), spark.table(ord_t)
     c = _t(spark, sf_dir, "customer")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(

@@ -104,6 +104,49 @@ def cobucketed_join(spark: SparkSession, left_table: str, right_table: str,
     return spark.table(left_table).join(spark.table(right_table), key, how)
 
 
+def _order_layout_specs(spark: SparkSession, sf_dir: str):
+    """(table, key, df_fn) for the two order-grained layout tables —
+    names are content-addressed on the absolute sf_dir so different
+    scale fixtures coexist in one warehouse."""
+    import hashlib
+
+    from .loaders import load_table
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return [
+        (f"li_bkt_{tag}", "l_orderkey",
+         lambda: load_table(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_extendedprice", "l_discount")),
+        (f"ord_bkt_{tag}", "o_orderkey",
+         lambda: load_table(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_custkey")),
+    ]
+
+
+def attach_order_bucketed_layout_if_present(
+        spark: SparkSession, sf_dir: str,
+        buckets: int = 32) -> tuple[str, str] | None:
+    """Attach-ONLY probe for the order-bucketed layout: returns the two
+    table names iff BOTH are already materialized (session catalog, or
+    completed+valid bucket files on disk — attach is metadata-only).
+    Never builds: callers use this to auto-route order-grained queries
+    onto the layout when the ingest investment was made, without
+    smuggling a 100 TB-class write into an unrelated query."""
+    names = []
+    for table, key, df_fn in _order_layout_specs(spark, sf_dir):
+        names.append(table)
+        if spark.catalog.tableExists(table):
+            continue
+        loc = os.path.join(_warehouse_path(spark), table)
+        if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+            return None
+        try:
+            _attach_bucketed(spark, df_fn, table, key, buckets, loc)
+        except RuntimeError:
+            return None  # invalid layout: don't trust, don't rebuild here
+    return names[0], names[1]
+
+
 def ensure_order_bucketed_layout(spark: SparkSession, sf_dir: str,
                                  buckets: int = 32) -> tuple[str, str]:
     """Materialize (once per session per sf_dir) lineitem and orders
@@ -126,24 +169,10 @@ def ensure_order_bucketed_layout(spark: SparkSession, sf_dir: str,
     _SUCCESS marker gates completeness) instead of re-paying the 100
     TB-class write. Only a missing/incomplete location triggers a
     build."""
-    import hashlib
-    import os
-
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    li_t, ord_t = f"li_bkt_{tag}", f"ord_bkt_{tag}"
-    from .loaders import load_table
-
-    _attach_or_write_bucketed(
-        spark,
-        lambda: load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_extendedprice", "l_discount"),
-        li_t, "l_orderkey", buckets)
-    _attach_or_write_bucketed(
-        spark,
-        lambda: load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey"),
-        ord_t, "o_orderkey", buckets)
-    return li_t, ord_t
+    specs = _order_layout_specs(spark, sf_dir)
+    for table, key, df_fn in specs:
+        _attach_or_write_bucketed(spark, df_fn, table, key, buckets)
+    return specs[0][0], specs[1][0]
 
 
 def _warehouse_path(spark: SparkSession) -> str:

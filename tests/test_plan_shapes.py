@@ -508,13 +508,16 @@ def test_order_size_histogram_per_order_agg_is_exchange_free(spark):
     assert m and m.group(1).startswith("lines_per_order"), plan[:1500]
 
 
-def test_size_gated_operators_record_their_regime(spark):
+def test_size_gated_operators_record_their_regime(spark, monkeypatch):
     """The decisions log is the contract the bench provenance relies on:
     building join_3way must record which plan regime was chosen and the
-    measured size it was chosen FROM (at smoke scale: direct, below the
-    cutover); the bucketed variant records its layout tables."""
-    from healthcare_data_warehouse_spark import decisions
+    measured size it was chosen FROM (at smoke scale with auto-routing
+    disabled: direct, below the cutover); the bucketed variant records
+    its layout tables; and with the layout present, join_3way's
+    auto-route stamps `bucketed` + `routed_from`."""
+    from healthcare_data_warehouse_spark import config, decisions
 
+    monkeypatch.setattr(config, "BUCKETED_AUTO_ROUTE", False)
     decisions.drain()
     catalog.queries()["join_3way"](spark, SF_SMOKE)
     got = decisions.drain()
@@ -526,3 +529,10 @@ def test_size_gated_operators_record_their_regime(spark):
     got = decisions.drain()
     assert got["join_3way_bucketed"]["plan"] == "bucketed"
     assert len(got["join_3way_bucketed"]["tables"]) == 2
+
+    monkeypatch.setattr(config, "BUCKETED_AUTO_ROUTE", True)
+    catalog.queries()["join_3way"](spark, SF_SMOKE)
+    got = decisions.drain()
+    d = got["join_3way"]
+    assert d["plan"] == "bucketed"
+    assert d["routed_from"] == "join_3way"
