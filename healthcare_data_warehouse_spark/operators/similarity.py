@@ -1068,7 +1068,9 @@ def cosine_topk_per_row_blas(df: DataFrame, block_col: str, id_col: str,
                              margin: float = 1e-9,
                              max_block_rows: int | None = 100_000,
                              target_chunks_per_block: int = 16,
-                             reduction: str = "window") -> DataFrame:
+                             reduction: str = "window",
+                             on_oversize: str = "error",
+                             route_target_recall: float = DEFAULT_TARGET_RECALL) -> DataFrame:
     """Each row's EXACT top-k cosine neighbors within its block, at or
     above ``threshold`` — the LINEAR-output near-dup listing (output ≤
     k rows per input row) that replaces the all-pairs variant when the
@@ -1100,12 +1102,27 @@ def cosine_topk_per_row_blas(df: DataFrame, block_col: str, id_col: str,
     input saves. Zero-norm rows are dropped up
     front (cosine undefined; same discipline as nn_top1_blas).
 
-    Returns (src, dst, cosine_sim). Oversized-block guard mirrors
-    ``nn_top1_blas`` (exact top-k has no sub-quadratic complete
-    algorithm; route hot blocks through the ANN index paths instead).
+    Returns (src, dst, cosine_sim). Oversized blocks (``max_block_rows``)
+    are governed by ``on_oversize``:
+
+    - ``"error"`` (default): raise at RUNTIME if an oversized block
+      exists — exact top-k has no sub-quadratic complete algorithm.
+    - ``"route"``: hot blocks take the ``ivf_knn_join`` decomposition
+      (block-scoped, shared quantizer, candidates bounded at
+      n_probe·k per row — no corpus-wide candidate window, so the
+      window-sort spill this exact path measures at its guard edge
+      disappears) at ``route_target_recall`` (default 0.9; measured
+      0.947 at the knobless probe). Bounded blocks stay EXACT; the
+      approximation is recall on oversized blocks only, and every
+      reported score is a true cosine.
+    - ``"exact"``: explicit opt-in to the unbounded quadratic.
     """
     import pandas as pd
     from pyspark.sql import Window
+
+    if on_oversize not in ("route", "error", "exact"):
+        raise ValueError(
+            f"on_oversize must be route|error|exact, got {on_oversize!r}")
 
     e = df.select(
         F.col(block_col).alias("__blk"),
@@ -1118,13 +1135,22 @@ def cosine_topk_per_row_blas(df: DataFrame, block_col: str, id_col: str,
     e = e.join(F.broadcast(counts), "__blk")
 
     guard = None
-    if max_block_rows is not None:
+    routed = None
+    if max_block_rows is not None and on_oversize == "route":
+        big = e.filter(F.col("__n") > max_block_rows)
+        e = e.filter(F.col("__n") <= max_block_rows)
+        routed = ivf_knn_join(
+            big.select("__blk", "__id", "__vec"),
+            id_col="__id", vec_col="__vec", block_col="__blk",
+            k=k, threshold=threshold, target_recall=route_target_recall)
+    elif max_block_rows is not None and on_oversize == "error":
         msg = (
             f"cosine_topk_per_row_blas: a block exceeds "
             f"max_block_rows={max_block_rows}; exact all-pairs top-k is "
-            "quadratic per block. Use a finer block_col or the ANN index "
-            "paths (ivf_topk_indexed/pq_topk_indexed) for approximate "
-            "neighbors."
+            "quadratic per block. Use a finer block_col, "
+            "on_oversize='route' (ivf_knn_join decomposition), or the ANN "
+            "index paths (ivf_topk_indexed/pq_topk_indexed) for "
+            "approximate neighbors."
         )
 
         def _boom(key, pdf):  # runs only if an oversized block EXISTS
@@ -1235,10 +1261,15 @@ def cosine_topk_per_row_blas(df: DataFrame, block_col: str, id_col: str,
     if guard is not None:
         cands = cands.unionByName(guard)
 
+    def _with_routed(out: DataFrame) -> DataFrame:
+        # routed blocks are already top-k-reduced per src by ivf_knn_join
+        # and block-disjoint from the exact rows — plain union
+        return out if routed is None else out.unionByName(routed)
+
     if reduction == "window":
         w = Window.partitionBy("src").orderBy(F.desc("cosine_sim"),
                                               F.asc("dst"))
-        return (
+        return _with_routed(
             cands.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= kk)
             .select("src", "dst", "cosine_sim")
@@ -1261,7 +1292,7 @@ def cosine_topk_per_row_blas(df: DataFrame, block_col: str, id_col: str,
     item = F.struct((-F.col("cosine_sim")).alias("__negs"),
                     F.col("dst").alias("dst"),
                     F.col("cosine_sim").alias("cosine_sim"))
-    return (
+    return _with_routed(
         cands.groupBy("src")
         .agg(F.slice(F.array_sort(F.collect_list(item)), 1, kk).alias("__t"))
         .select("src", F.explode("__t").alias("__i"))
@@ -1275,7 +1306,9 @@ def ivf_knn_join(df: DataFrame, id_col: str = "vec_id",
                  n_lists: int = 16, n_probe: int | None = None,
                  seed: int = 42, sample_cap: int = 4096,
                  stripe_rows: int = 1024,
-                 target_recall: float = DEFAULT_TARGET_RECALL) -> DataFrame:
+                 target_recall: float = DEFAULT_TARGET_RECALL,
+                 block_col: str | None = None,
+                 threshold: float | None = None) -> DataFrame:
     """Bulk APPROXIMATE k-NN self-join: every row's top-k cosine
     neighbors in ONE pass over an IVF decomposition — the 100 TB path
     for corpus-wide neighbor listings where the exact operators
@@ -1311,10 +1344,25 @@ def ivf_knn_join(df: DataFrame, id_col: str = "vec_id",
 
     Returns (src, dst, cosine_sim), ≤ k rows per src. Reference analog:
     the bulk variant of ann_index queries (SURVEY §2 similarity family).
+
+    ``block_col`` (optional) scopes neighbors WITHIN each block: the
+    quantizer is shared (one sample fit across blocks — same
+    distribution, no per-block driver loop) but scoring groups on
+    (block, list), so a row's candidates come only from its own block's
+    probed lists. This is the oversized-block escape path
+    ``cosine_topk_per_row_blas(on_oversize="route")`` uses: the exact
+    operator keeps bounded blocks, hot blocks take this linear
+    decomposition. ``threshold`` (optional) filters the final neighbor
+    list to cosine >= threshold, matching the exact operator's contract.
     """
     import pandas as pd
 
+    blk = (F.col(block_col) if block_col is not None
+           else F.lit(0)).alias("__blk")
+    blk_ddl = (df.schema[block_col].dataType.simpleString()
+               if block_col is not None else "int")
     e = df.select(
+        blk,
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
         norm(F.col(vec_col)).alias("__norm"),
@@ -1347,6 +1395,7 @@ def ivf_knn_join(df: DataFrame, id_col: str = "vec_id",
                                 -aff), axis=1)[:, :npb]
             n = len(U)
             out = pd.DataFrame({
+                "__blk": pdf["__blk"].to_numpy().repeat(npb),
                 "__id": pdf["__id"].to_numpy().repeat(npb),
                 "__vec": [list(map(float, u)) for u in U for _ in range(npb)],
                 "list": order.reshape(-1).astype("int32"),
@@ -1355,7 +1404,9 @@ def ivf_knn_join(df: DataFrame, id_col: str = "vec_id",
             yield out
 
     probed = e.mapInPandas(
-        _probe, schema=f"__id long, __vec array<double>, list int, rank int")
+        _probe,
+        schema=(f"__blk {blk_ddl}, __id long, __vec array<double>, "
+                "list int, rank int"))
 
     kk = int(k)
     sr = int(stripe_rows)
@@ -1393,7 +1444,7 @@ def ivf_knn_join(df: DataFrame, id_col: str = "vec_id",
             "cosine_sim": np.concatenate(sims).astype("float64"),
         })
 
-    cands = probed.groupBy("list").applyInPandas(
+    cands = probed.groupBy("__blk", "list").applyInPandas(
         _score, schema="src long, dst long, cosine_sim double")
 
     from pyspark.sql import Window
@@ -1401,9 +1452,14 @@ def ivf_knn_join(df: DataFrame, id_col: str = "vec_id",
     # a (src, dst) pair can recur: dst's list may be probed by src at
     # several ranks? No — lists are distinct per src; but dst appears in
     # exactly ONE member list, so each (src, dst) scores at most once.
+    # (src ids are globally unique and each src lives in one block, so
+    # the window needs no block key even in block-scoped mode.)
     w = Window.partitionBy("src").orderBy(F.desc("cosine_sim"), F.asc("dst"))
-    return (
+    out = (
         cands.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= kk)
         .select("src", "dst", "cosine_sim")
     )
+    if threshold is not None:
+        out = out.filter(F.col("cosine_sim") >= float(threshold))
+    return out

@@ -2864,13 +2864,28 @@ def dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     float margin — a superset of the global top-k since subset rank
     never exceeds global rank), exact sequential-double re-score,
     threshold filter, one bounded per-source window. Output bit-matches
-    DuckDB's all-pairs + row_number oracle."""
+    DuckDB's all-pairs + row_number oracle.
+
+    Oversized blocks ROUTE through the ``ivf_knn_join`` decomposition
+    (candidates bounded at n_probe·k per row — no corpus-wide candidate
+    window, which is where the exact path's only measured spill lived at
+    sf30: 7.1 GB of window sort over 65k-row blocks). The 32k cutover
+    sits above every gate fixture's largest block (sf0.01 59, sf0.1 218,
+    sf10 21.8k — all EXACT, oracle hash-parity intact) and below sf30's
+    65.4k, so the bench scale point exercises the routed regime at the
+    pinned >=0.9 recall target. Regime config is stamped for bench
+    provenance; the runtime split is data-dependent (decided per block
+    from broadcast counts, no extra eager scan)."""
+    from .. import decisions
     from ..operators.similarity import cosine_topk_per_row_blas
 
     e = _t(spark, sf_dir, "embeddings")
+    decisions.record(plan="exact+route", route_block_rows=32_768,
+                     route_target_recall=0.9)
     return cosine_topk_per_row_blas(
         e, block_col="label", id_col="vec_id", vec_col="embedding",
-        k=5, threshold=0.3)
+        k=5, threshold=0.3, max_block_rows=32_768, on_oversize="route",
+        route_target_recall=0.9)
 
 
 @query(

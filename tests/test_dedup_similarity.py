@@ -689,3 +689,68 @@ def test_simhash_arrow_path_bit_matches_expression(spark):
     e_arrow = {r["doc_id"]: r["simhash"] for r in
                simhash_signatures_arrow(edge).collect()}
     assert e_arrow == e_expr
+
+
+def test_cosine_topk_oversized_blocks_route_through_ivf(spark):
+    """on_oversize='route': blocks over the cap take the ivf_knn_join
+    decomposition (block-scoped) — bounded blocks stay EXACT, routed
+    blocks must hit >=0.9 recall vs the exact answer, report true
+    cosines, respect the threshold and the <=k bound, and never leak
+    neighbors across blocks."""
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        cosine_topk_per_row_blas)
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    k, thr = 3, 0.3
+    # exact reference (no cap)
+    exact_rows = cosine_topk_per_row_blas(
+        emb, "label", "vec_id", "embedding", k=k, threshold=thr).collect()
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r["src"], set()).add(r["dst"])
+
+    # block sizes at smoke scale are ~50; cap at 40 so SOME blocks route
+    # and (if any are under 40) some stay exact
+    routed_rows = cosine_topk_per_row_blas(
+        emb, "label", "vec_id", "embedding", k=k, threshold=thr,
+        max_block_rows=40, on_oversize="route").collect()
+    got = {}
+    for r in routed_rows:
+        assert r["cosine_sim"] >= thr
+        got.setdefault(r["src"], []).append(r["dst"])
+    assert all(len(d) <= k for d in got.values())
+
+    # block containment: every neighbor shares the source's label
+    label_of = {r["vec_id"]: r["label"]
+                for r in emb.select("vec_id", "label").collect()}
+    for s, ds in got.items():
+        for d in ds:
+            assert label_of[s] == label_of[d]
+
+    hits = sum(len(exact[s] & set(got.get(s, []))) for s in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.9, hits / total
+
+    # reported scores are true cosines (cross-check against the exact
+    # run's scores for overlapping pairs)
+    exact_score = {(r["src"], r["dst"]): r["cosine_sim"] for r in exact_rows}
+    for r in routed_rows:
+        key = (r["src"], r["dst"])
+        if key in exact_score:
+            assert abs(r["cosine_sim"] - exact_score[key]) < 1e-9
+
+
+def test_cosine_topk_on_oversize_error_still_raises(spark):
+    """Default on_oversize='error' keeps the fail-loud guard."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        cosine_topk_per_row_blas)
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    with pytest.raises(Exception, match="max_block_rows"):
+        cosine_topk_per_row_blas(
+            emb, "label", "vec_id", "embedding", k=3, threshold=0.3,
+            max_block_rows=10).collect()
