@@ -1,11 +1,19 @@
-"""Round-over-round bench regression check.
+"""Round-over-round bench regression check, drift-canary normalized.
 
     python tools/bench_compare.py OLD.json NEW.json [ratio]
 
 Accepts either raw bench.py output or the driver's BENCH_r{N}.json wrapper
-(whose "tail" holds the JSON line). Flags any query slower than `ratio`×
-its old time (default 1.5) and prints a sorted delta table. Exit code 1
-if any flagged — usable as a gate.
+(whose "tail" holds the JSON line). This host's absolute throughput
+drifts 2-4x hour-to-hour (docs/RUNBOOK.md), so raw wall-time ratios flag
+weather, not plans: when BOTH runs carry a ``provenance.drift_canary``
+block (bench.py stamps one per run — the same fixed query timed under
+the same harness), each side's per-query time is divided by its run's
+canary seconds first, and the flag threshold applies to the NORMALIZED
+ratio. Runs without a canary fall back to raw comparison (and say so).
+
+Flags any query slower than `ratio`x its old (normalized) time
+(default 1.5) and prints a sorted delta table with both raw and
+normalized ratios. Exit code 1 if any flagged — usable as a gate.
 """
 
 from __future__ import annotations
@@ -27,27 +35,52 @@ def load(path: str) -> dict:
     return json.loads(m.group(0))
 
 
-def main() -> None:
-    old, new = load(sys.argv[1]), load(sys.argv[2])
-    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    flagged = []
-    rows = []
+def canary_sec(doc: dict) -> float | None:
+    sec = ((doc.get("provenance") or {}).get("drift_canary") or {}).get("sec")
+    return float(sec) if sec else None
+
+
+def compare(old: dict, new: dict, ratio: float = 1.5):
+    """Pure comparison core (pytest-able): returns (rows, flagged,
+    normalized?) where rows are (name, t_old, t_new, raw_ratio,
+    norm_ratio) and flagging uses norm_ratio when both runs carry a
+    drift canary, raw_ratio otherwise."""
+    c_old, c_new = canary_sec(old), canary_sec(new)
+    normalized = c_old is not None and c_new is not None
+    scale = (c_old / c_new) if normalized else 1.0
+    flagged, rows = [], []
     for name, t_new in new["queries"].items():
         t_old = old["queries"].get(name)
         if t_old is None:
-            rows.append((name, None, t_new, None))
+            rows.append((name, None, t_new, None, None))
             continue
-        r = t_new / t_old if t_old else float("inf")
-        rows.append((name, t_old, t_new, r))
-        if r > ratio:
-            flagged.append((name, t_old, t_new, r))
-    rows.sort(key=lambda x: -(x[3] or 0))
-    print(f"{'query':32s} {'old':>8s} {'new':>8s} {'ratio':>6s}")
-    for name, t_old, t_new, r in rows:
+        raw = t_new / t_old if t_old else float("inf")
+        norm = raw * scale if normalized else None
+        rows.append((name, t_old, t_new, raw, norm))
+        if (norm if normalized else raw) > ratio:
+            flagged.append((name, t_old, t_new, raw, norm))
+    rows.sort(key=lambda x: -((x[4] if x[4] is not None else x[3]) or 0))
+    return rows, flagged, normalized
+
+
+def main() -> None:
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    rows, flagged, normalized = compare(old, new, ratio)
+    if normalized:
+        print(f"canary old={canary_sec(old)}s new={canary_sec(new)}s "
+              f"(host speed factor {canary_sec(new) / canary_sec(old):.2f}x; "
+              "flagging on NORMALIZED ratio)")
+    else:
+        print("no drift canary on one/both runs — flagging on RAW ratio")
+    print(f"{'query':32s} {'old':>8s} {'new':>8s} {'raw':>6s} {'norm':>6s}")
+    for name, t_old, t_new, raw, norm in rows:
         print(f"{name:32s} {t_old if t_old is not None else '-':>8} "
-              f"{t_new:>8} {f'{r:.2f}' if r else '-':>6}")
+              f"{t_new:>8} {f'{raw:.2f}' if raw else '-':>6} "
+              f"{f'{norm:.2f}' if norm is not None else '-':>6}")
     print(f"\ntotal: old={old['value']} new={new['value']} "
-          f"({len(flagged)} queries over {ratio}x)")
+          f"({len(flagged)} queries over {ratio}x"
+          f"{' canary-normalized' if normalized else ''})")
     sys.exit(1 if flagged else 0)
 
 
