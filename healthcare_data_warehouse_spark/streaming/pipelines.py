@@ -157,7 +157,8 @@ def funnel_pairs(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
 
 
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
-                         output_mode: str = "complete", timeout_s: int = 120) -> DataFrame:
+                         output_mode: str = "complete", timeout_s: int = 120,
+                         progress_sink: list | None = None) -> DataFrame:
     """Execute a streaming plan with AvailableNow and return the result
     as a DataFrame from the in-memory sink (test/dev harness; production
     sinks are parquet/Kafka via the same writeStream).
@@ -169,7 +170,12 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
     partial/EMPTY result that reads as a normal DataFrame (observed:
     the simhash band registry at sf10 returned 0 rows because the batch
     outran the default cap) — silent wrong answers are worse than a
-    loud stop."""
+    loud stop.
+
+    ``progress_sink``: pass a list to receive the drained query's
+    recentProgress dicts — the stateOperators rows carry the state-store
+    evidence (numRowsTotal, stateMemory, RocksDB customMetrics) the
+    scale probes record."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -178,6 +184,8 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
         .start()
     )
     finished = q.awaitTermination(timeout_s)
+    if progress_sink is not None:
+        progress_sink.extend(p for p in q.recentProgress if p)
     if not finished:
         q.stop()
         raise TimeoutError(

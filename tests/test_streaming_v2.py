@@ -188,3 +188,49 @@ def test_simhash_band_registry_drives_near_dup_verdicts(spark):
     for r in true_pairs:
         later = max(r["id_a"], r["id_b"])
         assert got[later], (r["id_a"], r["id_b"])
+
+
+def test_registry_runs_on_rocksdb_state_store_with_metrics(spark):
+    """The RocksDB config path, end to end: tws_session must scope the
+    RocksDB provider around the drain (and restore the previous conf),
+    and the drained query's stateOperators progress must report the
+    registry's state living in RocksDB — numRowsTotal == distinct
+    (band, value) keys and nonzero SST bytes on disk. This is the
+    contract the scale probes (tools/stream_scale_probe.py, RUNBOOK
+    sf10/sf30 rows) rely on."""
+    from conftest import SF_SMOKE
+    from healthcare_data_warehouse_spark.streaming.pipelines import (
+        run_stream_to_memory,
+    )
+    from healthcare_data_warehouse_spark.streaming.stateful_v2 import (
+        _PROVIDER_CONF,
+        ROCKSDB_PROVIDER,
+        streaming_simhash_band_registry,
+        tws_session,
+    )
+
+    prev = spark.conf.get(_PROVIDER_CONF, None)
+    progress: list = []
+    with tws_session(spark):
+        assert spark.conf.get(_PROVIDER_CONF) == ROCKSDB_PROVIDER
+        out = run_stream_to_memory(
+            streaming_simhash_band_registry(spark, SF_SMOKE),
+            "rocksdb_cfg_probe",
+            output_mode="update",
+            timeout_s=600,
+            progress_sink=progress,
+        )
+        n = out.select("band_idx", "band_value").distinct().count()
+    assert spark.conf.get(_PROVIDER_CONF, None) == prev  # restored
+    assert n > 0 and progress
+    import json as _json
+
+    state_ops = []
+    for p in progress:
+        d = _json.loads(p.json) if hasattr(p, "json") else p
+        state_ops.extend(d.get("stateOperators", []))
+    assert state_ops
+    final = state_ops[-1]
+    assert final["numRowsTotal"] == n
+    sst = final.get("customMetrics", {}).get("rocksdbSstFileSize", 0)
+    assert sst > 0  # state genuinely materialized in RocksDB SSTs
