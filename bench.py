@@ -86,6 +86,11 @@ HEADLINE = [
     # readout — the two heaviest new hash-certified ops):
     "dedup_substring_spans",
     "vocab_bpe_segment",
+    # round-6 additions: the linear-output embedding top-k (now with
+    # oversized-block IVF routing — the regime stamp shows which path
+    # ran at each SF) and the bulk approximate k-NN join it routes to:
+    "dedup_embedding_topk",
+    "ann_knn_join",
 ]
 
 

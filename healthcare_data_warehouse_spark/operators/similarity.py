@@ -1394,10 +1394,14 @@ def ivf_knn_join(df: DataFrame, id_col: str = "vec_id",
             order = np.lexsort((np.arange(len(C))[None, :].repeat(len(U), 0),
                                 -aff), axis=1)[:, :npb]
             n = len(U)
+            # ndarray rows, not Python float lists: Arrow converts numpy
+            # element arrays natively — the list(map(float, ...)) form
+            # measured as the wall-clock dominator at sf30 (7.2M rows x
+            # 64 boxed floats of pure CPython work)
             out = pd.DataFrame({
                 "__blk": pdf["__blk"].to_numpy().repeat(npb),
                 "__id": pdf["__id"].to_numpy().repeat(npb),
-                "__vec": [list(map(float, u)) for u in U for _ in range(npb)],
+                "__vec": list(np.repeat(U, npb, axis=0)),
                 "list": order.reshape(-1).astype("int32"),
                 "rank": np.tile(np.arange(npb, dtype="int32"), n),
             })
@@ -1410,6 +1414,14 @@ def ivf_knn_join(df: DataFrame, id_col: str = "vec_id",
 
     kk = int(k)
     sr = int(stripe_rows)
+
+    # Pin the grouped-map exchange wide: probe rows are fat (vector
+    # payload × n_probe duplication) and the grouping sort below
+    # applyInPandas spills when the default shuffle width packs ~100 MB+
+    # per task (measured sf30/12g: 1.09 GB of sort spill at width 32,
+    # zero at 8x). Groups can't split, but extra partitions are free —
+    # worst case some sit empty.
+    n_wide = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")) * 8
 
     def _score(key, pdf):
         mem = pdf[pdf["rank"] == 0]
@@ -1444,8 +1456,10 @@ def ivf_knn_join(df: DataFrame, id_col: str = "vec_id",
             "cosine_sim": np.concatenate(sims).astype("float64"),
         })
 
-    cands = probed.groupBy("__blk", "list").applyInPandas(
-        _score, schema="src long, dst long, cosine_sim double")
+    cands = (
+        probed.repartition(n_wide, "__blk", "list")
+        .groupBy("__blk", "list").applyInPandas(
+            _score, schema="src long, dst long, cosine_sim double"))
 
     from pyspark.sql import Window
 
@@ -1454,9 +1468,18 @@ def ivf_knn_join(df: DataFrame, id_col: str = "vec_id",
     # exactly ONE member list, so each (src, dst) scores at most once.
     # (src ids are globally unique and each src lives in one block, so
     # the window needs no block key even in block-scoped mode.)
+    #
+    # Explicit-N repartition before the window: the candidate stream is
+    # narrow (24 B/row) and compresses ~10x, so AQE's byte-based
+    # coalescing packs it into a few fat partitions whose window sorts
+    # then spill (measured sf30/12g: 1.09 GB of sort spill at the
+    # coalesced width). A user repartition pins the width — the window's
+    # clustered distribution is satisfied by ANY hashpartitioning(src),
+    # so this REPLACES the window's own exchange rather than adding one.
     w = Window.partitionBy("src").orderBy(F.desc("cosine_sim"), F.asc("dst"))
     out = (
-        cands.withColumn("__rn", F.row_number().over(w))
+        cands.repartition(n_wide, "src")
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= kk)
         .select("src", "dst", "cosine_sim")
     )
