@@ -36,6 +36,16 @@ STAGED_JOIN_CUTOVER_BYTES = int(
     os.environ.get("SPARK_GRAFT_STAGED_JOIN_BYTES", str(512 << 20))
 )
 
+# Corpus size above which the bulk approximate k-NN join switches from
+# the recall-calibrated probe-fraction regime (total work a fixed 0.75
+# of the quadratic — right while the corpus fits it) to the
+# fixed-list-size regime (n_lists ~ rows/1250, fixed probe count: cost
+# per row constant, total linear — the 100 TB shape). Same size-gate
+# discipline as STAGED_JOIN_CUTOVER_BYTES; stamped into decisions.
+ANN_JOIN_FIXED_LIST_CUTOVER_ROWS = int(
+    os.environ.get("SPARK_GRAFT_ANN_JOIN_CUTOVER_ROWS", "100000")
+)
+
 # When the ingest-time order-bucketed layout is already materialized
 # (sources/bucketing.py), order-grained queries auto-route onto it —
 # the zero-fact-exchange plan becomes the DEFAULT path rather than a

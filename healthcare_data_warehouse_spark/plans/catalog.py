@@ -3166,14 +3166,43 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     `operators/similarity.ivf_knn_join`: sample-trained coarse quantizer
     → one Arrow pass assigns each row its membership + probe lists →
     per-list grouped-map GEMM (striped, task-memory bounded) → bounded
-    per-source window. Total work ≈ (n_probe/n_lists) × the full
-    quadratic; recall at the knobless default measured 0.947 on this
-    corpus (probe 12/16 via the 0.9 recall-target calibration), pinned
-    by pytest against brute force. Approximate by construction — no SQL
-    oracle; rows-only + recall test."""
+    per-source window.
+
+    TWO stamped regimes, size-gated (same discipline as join_3way):
+
+    - ≤100k rows — ``recall_fraction``: the knobless default (probe
+      12/16 via the 0.9 recall-target calibration; recall 0.947
+      measured, pinned by pytest against brute force). Total work is a
+      fixed FRACTION (0.75) of the quadratic — the right trade while
+      the corpus fits it, and the regime every gate fixture runs.
+    - >100k rows — ``fixed_list_size``: n_lists scales with the corpus
+      (~1,250 rows/list, the r5 scaling-measurement shape) at a fixed
+      probe COUNT, so cost per row is CONSTANT and total work linear —
+      the 100 TB regime (measured 10× rows = 8.6× wall). Recall in this
+      regime follows the corpus's cluster structure: near-uniform
+      synthetic vectors are the worst case (the quantizer has nothing
+      to exploit); real embedding corpora cluster, which is what makes
+      fixed-probe IVF the standard production ANN shape (Jégou 2011).
+
+    Approximate by construction — no SQL oracle; rows-only + recall
+    test. The exact twin ``knn_join_exact`` is hash-certified."""
+    import math
+
+    from .. import decisions
+    from ..config import ANN_JOIN_FIXED_LIST_CUTOVER_ROWS
     from ..operators.similarity import ivf_knn_join
 
     e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    if n > ANN_JOIN_FIXED_LIST_CUTOVER_ROWS:
+        n_lists = int(math.ceil(n / 1250))
+        decisions.record(plan="fixed_list_size", n_rows=n,
+                         n_lists=n_lists, n_probe=12,
+                         cutover_rows=ANN_JOIN_FIXED_LIST_CUTOVER_ROWS)
+        return ivf_knn_join(e, k=5, n_lists=n_lists, n_probe=12,
+                            sample_cap=max(4096, 4 * n_lists))
+    decisions.record(plan="recall_fraction", n_rows=n,
+                     cutover_rows=ANN_JOIN_FIXED_LIST_CUTOVER_ROWS)
     return ivf_knn_join(e, k=5)
 
 

@@ -754,3 +754,34 @@ def test_cosine_topk_on_oversize_error_still_raises(spark):
         cosine_topk_per_row_blas(
             emb, "label", "vec_id", "embedding", k=3, threshold=0.3,
             max_block_rows=10).collect()
+
+
+def test_ann_knn_join_regime_gate_stamps_and_holds_output_contract(spark, monkeypatch):
+    """ann_knn_join is size-gated like join_3way: the gate must stamp
+    which regime ran, and BOTH regimes must hold the output contract
+    (<= k neighbors per src, true-cosine scores, no self-pairs) on the
+    same corpus. Forcing the cutover to 0 exercises the fixed-list-size
+    branch at test scale."""
+    from healthcare_data_warehouse_spark import config, decisions
+    from healthcare_data_warehouse_spark.plans import catalog
+
+    q = catalog.queries()["ann_knn_join"]
+
+    decisions.drain()
+    rows_frac = q(spark, SF_SMOKE).collect()
+    d = decisions.drain()["ann_knn_join"]
+    assert d["plan"] == "recall_fraction" and d["n_rows"] > 0
+
+    monkeypatch.setattr(config, "ANN_JOIN_FIXED_LIST_CUTOVER_ROWS", 0)
+    rows_fls = q(spark, SF_SMOKE).collect()
+    d = decisions.drain()["ann_knn_join"]
+    assert d["plan"] == "fixed_list_size"
+    assert d["n_lists"] == -(-d["n_rows"] // 1250) and d["n_probe"] == 12
+
+    for rows in (rows_frac, rows_fls):
+        per_src = {}
+        for r in rows:
+            assert r["src"] != r["dst"]
+            assert -1.0 - 1e-9 <= r["cosine_sim"] <= 1.0 + 1e-9
+            per_src.setdefault(r["src"], []).append(r["dst"])
+        assert per_src and all(len(v) <= 5 for v in per_src.values())
