@@ -202,16 +202,33 @@ def main() -> None:
 
     from healthcare_data_warehouse_spark import decisions as _decisions
 
+    def _err_summary(exc: Exception) -> str:
+        # surface the ROOT message (a guard's ValueError sits deep inside
+        # the Py4J wrapper text), not the 50-line Java stack preamble
+        s = str(exc)
+        for line in s.splitlines():
+            if ("Error:" in line or "Exception:" in line) and \
+                    not line.lstrip().startswith(("An error", "py4j", "at ")):
+                return line.strip()[:300]
+        return f"{type(exc).__name__}: {s[:200]}"
+
     _decisions.drain()  # discard warm-up decisions; stamp only timed ones
     timings: dict[str, float] = {}
     regimes: dict[str, dict] = {}
+    errors: dict[str, str] = {}
     for name in headline:
         best = float("inf")
-        for _ in range(2):  # min-of-2: steady-state, robust to host noise
-            t0 = time.perf_counter()
-            run(name, sf_dir)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):  # min-of-2: steady-state, robust to noise
+                t0 = time.perf_counter()
+                run(name, sf_dir)
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — one query must not
+            # zero out a 40-minute curve point; record WHY and continue
+            # (a guard refusing an oversized block at a big SF is a
+            # documented contract, and the artifact should show it)
+            errors[name] = _err_summary(exc)
         # Plan-regime stamp: size-gated operators log which physical
         # strategy they chose (see decisions.py); recording it beside
         # the wall time makes the artifact self-evident — a slow
@@ -236,7 +253,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "n_queries": len(headline),
+        "n_queries": len(timings),
+        "errors": errors,  # {} normally; query -> root message on failure
         "sf": sf,
         "regimes": regimes,
         "provenance": {

@@ -67,3 +67,54 @@ def test_new_query_without_baseline_is_reported_not_flagged():
     rows, flagged, _ = compare(old, new, ratio=1.5)
     assert flagged == []
     assert any(r[0] == "q_new" and r[1] is None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# tolerance-mode oracle comparator (tools/oracle_check.py) — pure tests
+# ---------------------------------------------------------------------------
+
+import pandas as pd  # noqa: E402
+
+from oracle_check import compare_frames_tolerant  # noqa: E402
+
+
+def test_tolerant_match_within_band():
+    s = pd.DataFrame({"seg": ["a", "b"], "est": [102, 48]})
+    o = pd.DataFrame({"seg": ["a", "b"], "est": [100, 50]})
+    assert compare_frames_tolerant(s, o, 0.10) == []
+
+
+def test_tolerant_flags_outside_band_and_string_mismatch():
+    s = pd.DataFrame({"seg": ["a", "b"], "est": [130, 50]})
+    o = pd.DataFrame({"seg": ["a", "b"], "est": [100, 50]})
+    assert compare_frames_tolerant(s, o, 0.10)  # 30% off -> flagged
+
+    s2 = pd.DataFrame({"seg": ["a", "X"], "est": [100, 50]})
+    o2 = pd.DataFrame({"seg": ["a", "b"], "est": [100, 50]})
+    assert compare_frames_tolerant(s2, o2, 0.10)
+
+
+def test_tolerant_row_count_and_columns_gate():
+    s = pd.DataFrame({"seg": ["a"], "est": [100]})
+    o = pd.DataFrame({"seg": ["a", "b"], "est": [100, 50]})
+    assert "row count" in compare_frames_tolerant(s, o, 0.1)[0]
+    o2 = pd.DataFrame({"seg": ["a"], "other": [100]})
+    assert "columns" in compare_frames_tolerant(s, o2, 0.1)[0]
+
+
+def test_tolerant_near_zero_uses_absolute_floor():
+    # |s-o| <= rtol * max(1, |o|): tiny oracle values get an absolute
+    # floor instead of an impossible relative band
+    s = pd.DataFrame({"k": ["a"], "v": [0.05]})
+    o = pd.DataFrame({"k": ["a"], "v": [0.0]})
+    assert compare_frames_tolerant(s, o, 0.10) == []
+    s2 = pd.DataFrame({"k": ["a"], "v": [0.2]})
+    assert compare_frames_tolerant(s2, o, 0.10)
+
+
+def test_tolerant_null_alignment():
+    s = pd.DataFrame({"k": ["a"], "v": [None]})
+    o = pd.DataFrame({"k": ["a"], "v": [None]})
+    assert compare_frames_tolerant(s, o, 0.1) == []
+    o2 = pd.DataFrame({"k": ["a"], "v": [1.0]})
+    assert compare_frames_tolerant(s, o2, 0.1)

@@ -92,8 +92,59 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     return problems
 
 
+def compare_frames_tolerant(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
+                            rel_tolerance: float) -> list[str]:
+    """Tolerance-mode comparison for entries whose values are correct
+    but not hash-matchable (sketch estimates vs exact ground truth,
+    libm ulp drift): row count and column set must match exactly;
+    non-numeric columns must match exactly after sorting; every numeric
+    cell must sit within rel_tolerance of the oracle's
+    (|s - o| <= rel_tolerance * max(1, |o|)). Rows align by sorting on
+    the non-numeric columns first, then numerics — sound when the
+    leading sort columns form a key (true for every soft-oracle entry)."""
+    import numbers
+
+    problems: list[str] = []
+    if len(spark_pdf) != len(oracle_pdf):
+        return [f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"]
+    sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if sc != oc:
+        return [f"columns: spark={sc} oracle={oc}"]
+
+    def _is_num(col: pd.Series) -> bool:
+        return all(isinstance(v, numbers.Number) and not isinstance(v, bool)
+                   for v in col if v is not None)
+
+    num_cols = [c for c in sc if _is_num(spark_pdf[c]) and _is_num(oracle_pdf[c])]
+    key_cols = [c for c in sc if c not in num_cols] + num_cols
+
+    def _rows(pdf):
+        return sorted(
+            (tuple(_canon_cell(row[c]) if c not in num_cols else row[c]
+                   for c in key_cols))
+            for _, row in pdf.iterrows()
+        )
+
+    for i, (srow, orow) in enumerate(zip(_rows(spark_pdf), _rows(oracle_pdf))):
+        for c, sv, ov in zip(key_cols, srow, orow):
+            if c not in num_cols:
+                if sv != ov:
+                    problems.append(f"row {i} col {c}: {sv!r} != {ov!r}")
+            else:
+                if sv is None or ov is None:
+                    if (sv is None) != (ov is None):
+                        problems.append(f"row {i} col {c}: {sv} vs {ov}")
+                elif abs(float(sv) - float(ov)) > rel_tolerance * max(1.0, abs(float(ov))):
+                    problems.append(
+                        f"row {i} col {c}: {sv} outside {rel_tolerance:.0%} of {ov}")
+        if len(problems) >= 3:
+            break
+    return problems
+
+
 def check_query(spark, name: str, sf_dir: str) -> list[str]:
     import __spark_entry__ as e
+    from healthcare_data_warehouse_spark.plans.catalog import _REGISTRY
 
     q = e.queries()[name]
     sql = e.oracle_sql().get(name)
@@ -101,6 +152,13 @@ def check_query(spark, name: str, sf_dir: str) -> list[str]:
     s_arrow = sdf.toArrow()
     spark_pdf = arrow_to_frame(s_arrow)
     if sql is None:
+        entry = _REGISTRY.get(name)
+        if entry is not None and entry.soft_oracle:
+            con = duck_connection(sf_dir)
+            oracle_pdf = arrow_to_frame(con.execute(entry.soft_oracle).arrow())
+            con.close()
+            return compare_frames_tolerant(spark_pdf, oracle_pdf,
+                                           entry.rel_tolerance)
         return [] if len(spark_pdf) >= 0 else ["spark query failed"]
     con = duck_connection(sf_dir)
     o_arrow = con.execute(sql).arrow()
@@ -133,7 +191,15 @@ def main() -> int:
             problems = [f"EXCEPTION: {type(exc).__name__}: {exc}"]
         status = "OK" if not problems else "FAIL"
         has_oracle = name in e.oracle_sql()
-        tag = "" if has_oracle else " (rows-only)"
+        if has_oracle:
+            tag = ""
+        else:
+            from healthcare_data_warehouse_spark.plans.catalog import _REGISTRY
+            entry = _REGISTRY.get(name)
+            if entry is not None and entry.soft_oracle:
+                tag = f" (tolerance {entry.rel_tolerance:.0%})"
+            else:
+                tag = " (rows-only)"
         print(f"[{status}] {name}{tag}")
         for p in problems:
             print(f"       {p}")
