@@ -29,10 +29,15 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_media(payload: bytes) -> object:
-    """Real decoder hook (PIL/av/librosa). Not available in this container."""
+    """Codec-library decoder hook (PIL/av/librosa) for JPEG/MP3/H264-class
+    formats. Not available in this container. PCM-WAV and PPM(P6) do NOT
+    go through this hook: decode_wav / decode_ppm below are genuine
+    stdlib+numpy decoders (real samples/pixels, real features, real
+    nearest-neighbor resize) and back the certified multimodal queries."""
     raise NotImplementedError(
-        "media decode requires image/audio libs not present in this environment; "
-        "extract_features uses deterministic byte-level fakes instead"
+        "codec-library media decode (JPEG/MP3/H264) requires image/audio libs "
+        "not present in this environment; WAV and PPM payloads are genuinely "
+        "decoded by decode_wav/decode_ppm in this module"
     )
 
 

@@ -722,6 +722,28 @@ def _gemm_pair_survivors(e: DataFrame, group_cols: list[str],
         _score, schema="id_a long, id_b long, cosine_sim double")
 
 
+def routed_ivf_params(max_big_rows: int) -> dict:
+    """IVF knobs for routed oversized blocks, following ``ann_knn_join``'s
+    size-gate: below the fixed-list cutover the knobless recall_fraction
+    defaults apply (total work a fixed fraction of the quadratic — fine
+    while blocks fit it); above it, n_lists scales with the LARGEST
+    routed block (~1,250 rows/list at a fixed probe count), so per-row
+    scoring cost is CONSTANT as blocks grow — the linear 100 TB regime
+    (measured: sf30→sf60 doubles exactly with data on ann_knn_join).
+    Sized on the max block because ``ivf_knn_join`` shares one quantizer
+    across blocks: smaller routed blocks just see fewer members per list,
+    never more."""
+    import math
+
+    from ..config import ANN_JOIN_FIXED_LIST_CUTOVER_ROWS
+
+    if max_big_rows > ANN_JOIN_FIXED_LIST_CUTOVER_ROWS:
+        n_lists = int(math.ceil(max_big_rows / 1250))
+        return {"n_lists": n_lists, "n_probe": 12,
+                "sample_cap": max(4096, 4 * n_lists)}
+    return {}
+
+
 def srp_route_params(threshold: float, n_planes: int = 8,
                      recall: float = 0.95) -> tuple[int, int] | None:
     """(n_planes, n_tables) for SRP-LSH candidate routing at ``threshold``,
@@ -798,7 +820,8 @@ def cosine_pairs_blas(df: DataFrame, block_col: str, id_col: str,
                       pre_margin: float = 1e-4,
                       max_block_rows: int | None = 100_000,
                       on_oversize: str = "route",
-                      srp_seed: int = 42) -> DataFrame:
+                      srp_seed: int = 42,
+                      cap_k: int = 5) -> DataFrame:
     """All within-block pairs with cosine >= ``threshold`` — EXACT result,
     BLAS-speed candidate scoring.
 
@@ -847,7 +870,14 @@ def cosine_pairs_blas(df: DataFrame, block_col: str, id_col: str,
       expression — so routed pairs that ARE reported carry exact scores;
       the approximation is bounded RECALL on oversized blocks only.
       Thresholds too low for LSH to pay (see ``srp_route_params``) fall
-      back to ``"error"`` semantics.
+      back to the output-CAPPED per-doc form: the complete listing at a
+      low threshold has near-quadratic OUTPUT, so oversized blocks emit
+      each row's top-``cap_k`` neighbors at or above the threshold via
+      the block-scoped ``ivf_knn_join`` decomposition (the
+      ``dedup_embedding_topk`` semantics — linear output, IVF-bounded
+      recall), canonicalized to undirected pairs; the ``capped_topk``
+      regime is stamped into decisions so artifacts can't pass the
+      capped output off as complete.
     - ``"error"``: raise at RUNTIME if an oversized block exists (plans
       on corpora with bounded blocks run unaffected).
     - ``"exact"``: explicit opt-in to the unbounded quadratic.
@@ -885,13 +915,51 @@ def cosine_pairs_blas(df: DataFrame, block_col: str, id_col: str,
             routed = _gemm_pair_survivors(
                 sub, ["__blk", "__t", "__b"], chunk_rows, thr, pm).distinct()
             survivors = survivors.unionByName(routed)
+        elif on_oversize == "route":
+            # Threshold too low for SRP routing (near-quadratic OUTPUT —
+            # no candidate generator can make the complete listing
+            # sub-quadratic). Instead of refusing, oversized blocks
+            # degrade to the output-CAPPED per-doc form: each row emits
+            # its top-``cap_k`` neighbors at cosine >= threshold via the
+            # block-scoped ``ivf_knn_join`` decomposition (linear, the
+            # ``dedup_embedding_topk`` semantics), canonicalized to
+            # undirected pairs. Bounded blocks stay EXACT and complete;
+            # the capped regime is stamped into decisions so a bench
+            # artifact can't pass it off as the complete listing. The
+            # block stats collect is one tiny agg job (block-cardinality
+            # rows) and doubles as the empty-check: with no oversized
+            # block, nothing is added and no quantizer job runs.
+            big_stats = bc.filter(F.col("__bn") > max_block_rows).collect()
+            if big_stats:
+                max_big = max(r["__bn"] for r in big_stats)
+                knobs = routed_ivf_params(max_big)
+                from .. import decisions
+                decisions.record(
+                    oversize_regime="capped_topk", cap_k=int(cap_k),
+                    capped_blocks=len(big_stats), capped_max_block=max_big,
+                    **{f"route_{k_}": v for k_, v in knobs.items()})
+                knn = ivf_knn_join(
+                    big.select("__blk", "__id", "__vec"),
+                    id_col="__id", vec_col="__vec", block_col="__blk",
+                    k=cap_k, threshold=thr, **knobs)
+                # A pair can be reported from both endpoints' top-k with
+                # (rarely) different GEMM bits — canonicalize on the id
+                # pair and keep the max, a deterministic reduction.
+                capped = (
+                    knn.select(F.least("src", "dst").alias("id_a"),
+                               F.greatest("src", "dst").alias("id_b"),
+                               "cosine_sim")
+                    .groupBy("id_a", "id_b")
+                    .agg(F.max("cosine_sim").alias("cosine_sim")))
+                survivors = survivors.unionByName(capped)
         else:
             msg = (
                 f"cosine_pairs_blas: a block exceeds max_block_rows="
-                f"{max_block_rows} and threshold={threshold} is too low for "
-                "SRP-LSH routing (near-quadratic output). Raise "
-                "max_block_rows, use a finer block_col, or pass "
-                "on_oversize='exact' to accept the quadratic."
+                f"{max_block_rows} (on_oversize='error'). Raise "
+                "max_block_rows, use a finer block_col, on_oversize="
+                "'route' (SRP sub-blocking at routable thresholds, "
+                "output-capped top-k otherwise), or on_oversize='exact' "
+                "to accept the quadratic."
             )
 
             def _boom(key, pdf):  # runs only if an oversized block EXISTS
@@ -1137,12 +1205,31 @@ def cosine_topk_per_row_blas(df: DataFrame, block_col: str, id_col: str,
     guard = None
     routed = None
     if max_block_rows is not None and on_oversize == "route":
-        big = e.filter(F.col("__n") > max_block_rows)
-        e = e.filter(F.col("__n") <= max_block_rows)
-        routed = ivf_knn_join(
-            big.select("__blk", "__id", "__vec"),
-            id_col="__id", vec_col="__vec", block_col="__blk",
-            k=k, threshold=threshold, target_recall=route_target_recall)
+        # Size the routed IVF from the actual oversized-block stats (one
+        # tiny agg job — block_col cardinality rows; replaces the eager
+        # quantizer-sample job ivf_knn_join used to run even when no
+        # block was oversized). n_lists scales with the largest routed
+        # block (routed_ivf_params): at a FIXED 16 lists, per-row cost
+        # grows with block size and the sf60 curve read 2.9× wall for 2×
+        # data; constant rows/list makes the routed path linear, same as
+        # ann_knn_join's fixed_list_size regime.
+        big_stats = counts.filter(F.col("__n") > max_block_rows).collect()
+        if big_stats:
+            big = e.filter(F.col("__n") > max_block_rows)
+            e = e.filter(F.col("__n") <= max_block_rows)
+            knobs = routed_ivf_params(max(r["__n"] for r in big_stats))
+            from .. import decisions
+            decisions.record(
+                route_regime=("fixed_list_size" if knobs
+                              else "recall_fraction"),
+                route_blocks=len(big_stats),
+                route_max_block=max(r["__n"] for r in big_stats),
+                **{f"route_{k_}": v for k_, v in knobs.items()})
+            routed = ivf_knn_join(
+                big.select("__blk", "__id", "__vec"),
+                id_col="__id", vec_col="__vec", block_col="__blk",
+                k=k, threshold=threshold,
+                target_recall=route_target_recall, **knobs)
     elif max_block_rows is not None and on_oversize == "error":
         msg = (
             f"cosine_topk_per_row_blas: a block exceeds "
@@ -1420,8 +1507,18 @@ def ivf_knn_join(df: DataFrame, id_col: str = "vec_id",
     # applyInPandas spills when the default shuffle width packs ~100 MB+
     # per task (measured sf30/12g: 1.09 GB of sort spill at width 32,
     # zero at 8x). Groups can't split, but extra partitions are free —
-    # worst case some sit empty.
-    n_wide = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")) * 8
+    # worst case some sit empty. The conf may be non-numeric on
+    # AQE-managed platforms ("auto") — parse defensively. And the useful
+    # width is bounded by the number of scoring groups (#blocks ×
+    # n_lists): with the default 16 lists at test scale, 8× base width is
+    # all empty tasks, while the fixed-list-size regime (n_lists ∝ rows)
+    # keeps the full measured 8× at scale — so cap at 4 partitions per
+    # list and floor at the base width.
+    try:
+        base_w = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        base_w = 200
+    n_wide = max(base_w, min(base_w * 8, max(int(n_lists), 1) * 4))
 
     def _score(key, pdf):
         mem = pdf[pdf["rank"] == 0]

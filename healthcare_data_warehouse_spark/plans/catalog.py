@@ -60,13 +60,26 @@ class CatalogEntry:
     # rel_tolerance (strings/ints must match exactly after sorting).
     soft_oracle: str | None = None
     rel_tolerance: float = 0.0
+    # Recall-band oracle for APPROXIMATE neighbor queries (IVF/PQ/LSH):
+    # results are correct-by-contract when they recover >= recall_floor
+    # of the EXACT ground truth, not when they hash-match it. The local
+    # gate runs recall_oracle (brute-force SQL top-k) in DuckDB, projects
+    # both sides to recall_cols, and requires
+    # |spark ∩ truth| / |truth| >= recall_floor — the floor is pinned
+    # from measured recall (tools/ann_quality.py), not aspiration. Never
+    # exported through oracle_sql() (the driver hash-compares).
+    recall_oracle: str | None = None
+    recall_floor: float = 0.0
+    recall_cols: tuple[str, ...] = ()
 
 
 _REGISTRY: dict[str, CatalogEntry] = {}
 
 
 def query(name: str, oracle: str | None = None,
-          soft_oracle: str | None = None, rel_tolerance: float = 0.0):
+          soft_oracle: str | None = None, rel_tolerance: float = 0.0,
+          recall_oracle: str | None = None, recall_floor: float = 0.0,
+          recall_cols: tuple[str, ...] = ()):
     def deco(fn: QueryFn) -> QueryFn:
         import functools
 
@@ -85,7 +98,10 @@ def query(name: str, oracle: str | None = None,
 
         _REGISTRY[name] = CatalogEntry(fn=wrapped, oracle=oracle,
                                        soft_oracle=soft_oracle,
-                                       rel_tolerance=rel_tolerance)
+                                       rel_tolerance=rel_tolerance,
+                                       recall_oracle=recall_oracle,
+                                       recall_floor=recall_floor,
+                                       recall_cols=tuple(recall_cols))
         return fn
     return deco
 
@@ -2855,13 +2871,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oversized-block guard: blocks beyond ``max_block_rows`` (100k
     default — far above the ~22k max label block at sf10) never run the
-    quadratic; they'd route through SRP-LSH sub-blocking at routable
-    thresholds or fail fast here (0.3 is below the routable range — a
-    hot label at this threshold has near-quadratic OUTPUT and needs a
-    finer blocking key, which the error says)."""
+    quadratic; they route through SRP-LSH sub-blocking at routable
+    thresholds. 0.3 is BELOW the routable range (a hot label at this
+    threshold has near-quadratic OUTPUT — no candidate generator fixes
+    that), so oversized blocks degrade to the output-CAPPED per-doc
+    emission instead (each row's top-5 neighbors >= 0.3 via the
+    block-scoped ``ivf_knn_join`` decomposition, canonical undirected
+    pairs — the ``dedup_embedding_topk`` semantics, linear output), with
+    the ``capped_topk`` regime stamped into the bench decisions block.
+    Every gate fixture (sf0.01 max label block 59, sf0.1 218, sf10
+    21.8k) is far under the guard, so certified output stays the exact,
+    COMPLETE pair listing; the cap engages only at curve scales (sf30+
+    label blocks 65k+) where the complete listing is quadratic by
+    semantics."""
+    from .. import decisions
     from ..operators.similarity import cosine_pairs_blas
 
     e = _t(spark, sf_dir, "embeddings")
+    decisions.record(plan="exact+capped_topk_fallback", threshold=0.3,
+                     max_block_rows=100_000)
     return cosine_pairs_blas(
         e, block_col="label", id_col="vec_id", vec_col="embedding",
         threshold=0.3)

@@ -23,6 +23,30 @@ from pyspark.sql import DataFrame, SparkSession
 # part-00000-<uuid>_00003.c000.snappy.parquet → bucket 3.
 _BUCKET_ID_RE = re.compile(r"_(\d{5})\.")
 
+# Sidecar written next to the part files recording the bucket spec USED AT
+# WRITE TIME. Bucket membership is hash(key) % buckets — attaching a layout
+# written with a different count under a trusted co-bucketed SortMergeJoin
+# (no exchange, no sort) silently returns WRONG JOIN RESULTS, so the attach
+# path refuses any layout whose recorded spec doesn't match the declared one.
+_SPEC_FILE = "_bucket_spec.json"
+
+
+def write_bucket_spec(loc: str, buckets: int, key: str) -> None:
+    import json
+
+    with open(os.path.join(loc, _SPEC_FILE), "w") as f:
+        json.dump({"buckets": int(buckets), "key": key}, f)
+
+
+def read_bucket_spec(loc: str) -> dict | None:
+    import json
+
+    try:
+        with open(os.path.join(loc, _SPEC_FILE)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
 
 def bucket_file_counts(loc: str) -> dict[int, int] | None:
     """Map bucket-id → number of part files under a bucketed table
@@ -44,18 +68,29 @@ def bucket_file_counts(loc: str) -> dict[int, int] | None:
     return counts
 
 
-def validate_one_file_per_bucket(loc: str) -> None:
-    """Enforce the invariant `bucketedTableScan.outputOrdering` relies on.
+def validate_one_file_per_bucket(loc: str, buckets: int | None = None,
+                                 key: str | None = None) -> None:
+    """Enforce the invariants the trusted co-bucketed SortMergeJoin
+    relies on.
 
-    The session enables the legacy flag that makes bucketed+sorted scans
-    REPORT sorted output (session.py), which is only correct when each
-    bucket is a single file — a bucket spanning multiple files is the
-    wrong-results scenario SPARK-28632 fixed (SortMergeJoin would skip
-    the runtime Sort over data that is not actually globally sorted
-    within the bucket). So every path that creates or attaches a
-    bucketed-sorted table in this repo must pass this check; a write
-    split by e.g. spark.sql.files.maxRecordsPerFile fails loud here
-    instead of silently corrupting join results."""
+    (1) One file per bucket: the session enables the legacy flag that
+    makes bucketed+sorted scans REPORT sorted output (session.py), which
+    is only correct when each bucket is a single file — a bucket spanning
+    multiple files is the wrong-results scenario SPARK-28632 fixed
+    (SortMergeJoin would skip the runtime Sort over data that is not
+    actually globally sorted within the bucket). So every path that
+    creates or attaches a bucketed-sorted table in this repo must pass
+    this check; a write split by e.g. spark.sql.files.maxRecordsPerFile
+    fails loud here instead of silently corrupting join results.
+
+    (2) When ``buckets`` (and optionally ``key``) is declared: the layout
+    on disk must have been WRITTEN with that exact spec. Bucket
+    membership is hash(key) % buckets, so attaching a 16-bucket write as
+    a 32-bucket table plans an exchange-free join over misplaced rows —
+    silent wrong results. The write path records its spec in a sidecar
+    (`_bucket_spec.json`); attach compares it and also sanity-checks
+    every observed bucket id < declared count. A layout with no recorded
+    spec (foreign/older writer) is refused rather than trusted."""
     counts = bucket_file_counts(loc)
     if counts is None:
         raise RuntimeError(
@@ -67,6 +102,26 @@ def validate_one_file_per_bucket(loc: str) -> None:
             f"{loc}: buckets split across multiple files {bad} — per-bucket "
             "sort order cannot be trusted (SPARK-28632); rebuild with "
             "write_bucketed (one task per bucket) or drop the sortBy")
+    if buckets is not None:
+        if counts and max(counts) >= buckets:
+            raise RuntimeError(
+                f"{loc}: observed bucket id {max(counts)} >= declared count "
+                f"{buckets} — layout was written with a different bucket "
+                "count; attaching it would silently corrupt co-bucketed "
+                "joins")
+        spec = read_bucket_spec(loc)
+        if spec is None:
+            raise RuntimeError(
+                f"{loc}: no {_SPEC_FILE} recorded — cannot verify the "
+                "write-time bucket count matches the declared "
+                f"{buckets}; refusing to attach (rebuild with "
+                "write_bucketed)")
+        if int(spec.get("buckets", -1)) != int(buckets) or (
+                key is not None and spec.get("key") != key):
+            raise RuntimeError(
+                f"{loc}: recorded bucket spec {spec} != declared "
+                f"(buckets={buckets}, key={key}); hash placement differs — "
+                "refusing to attach")
 
 
 def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 8,
@@ -86,15 +141,18 @@ def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 8,
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
-    if sort:
-        # fail loud if anything (maxRecordsPerFile, a future Spark
-        # version changing task→file mapping) split a bucket: the
-        # session-level outputOrdering trust is only safe one-file-per-
-        # bucket (see validate_one_file_per_bucket).
-        spark = df.sparkSession
-        loc = os.path.join(_warehouse_path(spark), table.lower())
-        if os.path.isdir(loc):
+    spark = df.sparkSession
+    loc = os.path.join(_warehouse_path(spark), table.lower())
+    if os.path.isdir(loc):
+        if sort:
+            # fail loud if anything (maxRecordsPerFile, a future Spark
+            # version changing task→file mapping) split a bucket: the
+            # session-level outputOrdering trust is only safe one-file-
+            # per-bucket (see validate_one_file_per_bucket).
             validate_one_file_per_bucket(loc)
+        # record the write-time bucket spec so a later attach can verify
+        # the declared count matches hash placement on disk
+        write_bucket_spec(loc, buckets, key)
 
 
 def cobucketed_join(spark: SparkSession, left_table: str, right_table: str,
@@ -104,15 +162,44 @@ def cobucketed_join(spark: SparkSession, left_table: str, right_table: str,
     return spark.table(left_table).join(spark.table(right_table), key, how)
 
 
+def _source_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:
+    """Stable digest of the SOURCE parquet files a layout was built from
+    (relative name + size + mtime_ns of every file under each table
+    path). Folding this into the layout tag means a fixture regenerated
+    IN PLACE at the same path gets a different tag — the stale
+    materialization is simply never attached (auto-route falls back to
+    the size-gated plans; ensure_* builds fresh) instead of silently
+    serving old data."""
+    parts: list[str] = []
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in sorted(files):
+                    if f.startswith((".", "_")):
+                        continue
+                    st = os.stat(os.path.join(root, f))
+                    rel = os.path.relpath(os.path.join(root, f), p)
+                    parts.append(f"{t}/{rel}:{st.st_size}:{st.st_mtime_ns}")
+        elif os.path.exists(p):
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
 def _order_layout_specs(spark: SparkSession, sf_dir: str):
     """(table, key, df_fn) for the two order-grained layout tables —
-    names are content-addressed on the absolute sf_dir so different
-    scale fixtures coexist in one warehouse."""
+    names are content-addressed on the absolute sf_dir PLUS a source
+    fingerprint (file sizes + mtimes of orders/lineitem parquet), so
+    different scale fixtures coexist in one warehouse and an in-place
+    fixture regeneration invalidates the old layout by construction."""
     import hashlib
 
     from .loaders import load_table
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    ident = (os.path.abspath(sf_dir) + "\n"
+             + _source_fingerprint(sf_dir, ("orders", "lineitem")))
+    tag = hashlib.md5(ident.encode()).hexdigest()[:12]
     return [
         (f"li_bkt_{tag}", "l_orderkey",
          lambda: load_table(spark, sf_dir, "lineitem")
@@ -187,16 +274,27 @@ def _attach_bucketed(spark: SparkSession, df_fn, table: str, key: str,
                      buckets: int, loc: str) -> None:
     """CREATE an external bucketed table over completed files at `loc` —
     AFTER validating the one-file-per-bucket invariant the session-level
-    sort-order trust depends on. A violating layout (e.g. written by an
-    older/foreign writer, or split by maxRecordsPerFile) is rejected
-    rather than silently trusted."""
-    validate_one_file_per_bucket(loc)
+    sort-order trust depends on AND that the write-time bucket spec
+    matches the declared (buckets, key). A violating layout (written by
+    an older/foreign writer, split by maxRecordsPerFile, or written with
+    a different bucket count) is rejected rather than silently trusted.
+
+    The CREATE itself is TOCTOU-tolerant: a same-metastore peer (another
+    thread/process sharing the warehouse) may have attached the table
+    between the caller's tableExists probe and this CREATE — since the
+    layout was just validated and attach is metadata-only, a concurrent
+    attach of the same files is success, not failure."""
+    validate_one_file_per_bucket(loc, buckets=buckets, key=key)
     ddl = spark._jsparkSession.parseDataType(df_fn().schema.json()).toDDL()
-    spark.sql(
-        f"CREATE TABLE {table} ({ddl}) USING PARQUET "
-        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-        f"INTO {buckets} BUCKETS LOCATION '{loc}'"
-    )
+    try:
+        spark.sql(
+            f"CREATE TABLE {table} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {buckets} BUCKETS LOCATION '{loc}'"
+        )
+    except Exception:
+        if not spark.catalog.tableExists(table):
+            raise
 
 
 def _attach_or_write_bucketed(spark: SparkSession, df_fn, table: str,

@@ -69,6 +69,35 @@ def test_new_query_without_baseline_is_reported_not_flagged():
     assert any(r[0] == "q_new" and r[1] is None for r in rows)
 
 
+def test_regression_to_failure_is_flagged():
+    # bench.py records a query that ERRORS under "errors" and drops it
+    # from "queries" — the gate must flag it, not let it vanish
+    old = _bench({"q1": 1.0, "q2": 1.0}, canary=1.0)
+    new = _bench({"q1": 1.0}, canary=1.0)
+    new["errors"] = {"q2": "ValueError: boom"}
+    rows, flagged, _ = compare(old, new, ratio=1.5)
+    assert [f[0] for f in flagged] == ["q2"]
+    assert any(r[0] == "q2" and r[2] is None for r in rows)
+
+
+def test_silently_vanished_query_is_flagged():
+    # a query present in the old run but absent from the new one (no
+    # error entry either — e.g. dropped from HEADLINE by mistake) is
+    # also an infinite regression as far as the gate is concerned
+    old = _bench({"q1": 1.0, "q_gone": 2.0}, canary=1.0)
+    new = _bench({"q1": 1.0}, canary=1.0)
+    _, flagged, _ = compare(old, new, ratio=1.5)
+    assert [f[0] for f in flagged] == ["q_gone"]
+
+
+def test_brand_new_query_that_errors_is_flagged():
+    old = _bench({"q1": 1.0}, canary=1.0)
+    new = _bench({"q1": 1.0}, canary=1.0)
+    new["errors"] = {"q_fresh": "refused"}
+    _, flagged, _ = compare(old, new, ratio=1.5)
+    assert [f[0] for f in flagged] == ["q_fresh"]
+
+
 # ---------------------------------------------------------------------------
 # tolerance-mode oracle comparator (tools/oracle_check.py) — pure tests
 # ---------------------------------------------------------------------------

@@ -135,6 +135,119 @@ def test_attach_rejects_split_bucket_layout(spark):
         shutil.rmtree(bad, ignore_errors=True)
 
 
+def test_attach_rejects_bucket_count_mismatch(spark):
+    """A layout written with N buckets must never attach under a
+    different declared count: membership is hash(key) % N, so a
+    mismatched attach plans an exchange-free SortMergeJoin over
+    misplaced rows — silent wrong results. The write-time spec sidecar
+    is the authority; a layout with no sidecar is refused too."""
+    import os
+    import shutil
+
+    import pytest
+
+    from healthcare_data_warehouse_spark.sources.bucketing import (
+        _attach_bucketed,
+        _SPEC_FILE,
+        _warehouse_path,
+        validate_one_file_per_bucket,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_extendedprice")
+    write_bucketed(li, "bkt_spec_src", "l_orderkey", buckets=4)
+    wh = _warehouse_path(spark)
+    loc = os.path.join(wh, "bkt_spec_src")
+    try:
+        # correct declaration passes
+        validate_one_file_per_bucket(loc, buckets=4, key="l_orderkey")
+        # wrong count / wrong key refused
+        with pytest.raises(RuntimeError, match="bucket spec"):
+            validate_one_file_per_bucket(loc, buckets=8, key="l_orderkey")
+        with pytest.raises(RuntimeError, match="bucket spec"):
+            validate_one_file_per_bucket(loc, buckets=4, key="l_partkey")
+        with pytest.raises(RuntimeError):
+            _attach_bucketed(spark, lambda: li, "bkt_spec_bad",
+                             "l_orderkey", 8, loc)
+        assert not spark.catalog.tableExists("bkt_spec_bad")
+        # observed-id sanity: ids >= declared count refused even if a
+        # forged sidecar claims otherwise
+        with pytest.raises(RuntimeError, match="observed bucket id"):
+            validate_one_file_per_bucket(loc, buckets=2)
+        # no sidecar (foreign/older writer) -> refused
+        os.remove(os.path.join(loc, _SPEC_FILE))
+        with pytest.raises(RuntimeError, match=_SPEC_FILE):
+            validate_one_file_per_bucket(loc, buckets=4, key="l_orderkey")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_spec_src")
+        spark.sql("DROP TABLE IF EXISTS bkt_spec_bad")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_attach_tolerates_concurrent_peer_attach(spark):
+    """TOCTOU between tableExists and CREATE: if a peer attached the
+    (validated) table first, the CREATE's TableAlreadyExists is success,
+    not failure — the files are the same validated layout."""
+    import os
+    import shutil
+
+    from healthcare_data_warehouse_spark.sources.bucketing import (
+        _attach_bucketed,
+        _warehouse_path,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_extendedprice")
+    write_bucketed(li, "bkt_race_t", "l_orderkey", buckets=4)
+    wh = _warehouse_path(spark)
+    loc = os.path.join(wh, "bkt_race_t")
+    try:
+        assert spark.catalog.tableExists("bkt_race_t")
+        # attach over an already-attached table: no raise
+        _attach_bucketed(spark, lambda: li, "bkt_race_t", "l_orderkey",
+                         4, loc)
+        assert spark.catalog.tableExists("bkt_race_t")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_race_t")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_layout_tag_changes_when_source_regenerated(tmp_path, spark):
+    """In-place fixture regeneration must invalidate the materialized
+    order layout: the tag is content-addressed on source file
+    sizes+mtimes, so the same sf_dir path yields a DIFFERENT table name
+    after a rewrite and the stale layout is never attached."""
+    import os
+    import shutil
+
+    from healthcare_data_warehouse_spark.sources.bucketing import (
+        _order_layout_specs,
+        attach_order_bucketed_layout_if_present,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in ("orders", "lineitem"):
+        src = os.path.join(SF_SMOKE, f"{t}.parquet")
+        dst = os.path.join(sf, f"{t}.parquet")
+        (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+
+    tag_before = _order_layout_specs(spark, sf)[0][0]
+    # "regenerate" the fixture: rewrite lineitem in place (new mtime/size)
+    lp = os.path.join(sf, "lineitem.parquet")
+    if os.path.isdir(lp):
+        f = next(p for p in os.listdir(lp) if not p.startswith(("_", ".")))
+        target = os.path.join(lp, f)
+    else:
+        target = lp
+    os.utime(target, (os.path.getatime(target),
+                      os.path.getmtime(target) + 10))
+    tag_after = _order_layout_specs(spark, sf)[0][0]
+    assert tag_before != tag_after
+    # and the attach-only probe finds nothing for the new fingerprint
+    assert attach_order_bucketed_layout_if_present(spark, sf) is None
+
+
 def test_build_claim_rename_leaves_no_temp_dirs(spark):
     """Fresh build goes through the pid-tagged claim dir + atomic rename;
     afterwards the canonical location exists, is valid, and no __build_

@@ -469,15 +469,47 @@ def test_cosine_pairs_oversize_error_and_low_threshold(spark):
     with pytest.raises(PythonException, match="max_block_rows"):
         cosine_pairs_blas(df, threshold=0.9, max_block_rows=10,
                           on_oversize="error", **kw).collect()
-    # over the cap at a low threshold, 'route' falls back to the error
-    with pytest.raises(PythonException, match="too low"):
-        cosine_pairs_blas(df, threshold=0.3, max_block_rows=10,
-                          on_oversize="route", **kw).collect()
+    # over the cap at a low threshold (un-routable for SRP), 'route'
+    # degrades to the output-CAPPED per-doc form: a non-empty SUBSET of
+    # the true pair set, every pair genuinely >= threshold, canonical
+    # (id_a < id_b), at most cap_k pairs sourced per doc
+    capped_rows = cosine_pairs_blas(df, threshold=0.3, max_block_rows=10,
+                                    on_oversize="route", **kw).collect()
+    got = set((r["id_a"], r["id_b"]) for r in capped_rows)
+    assert got and got <= base
+    assert all(r["cosine_sim"] >= 0.3 for r in capped_rows)
+    assert all(r["id_a"] < r["id_b"] for r in capped_rows)
+    assert len(capped_rows) <= len(rows) * 5  # k=5 per doc, canonicalized
     # explicit opt-in to the quadratic still matches exact
     got = set((r["id_a"], r["id_b"]) for r in cosine_pairs_blas(
         df, threshold=0.3, max_block_rows=10, on_oversize="exact",
         **kw).collect())
     assert got == base
+
+
+def test_routed_ivf_params_fixed_list_scaling():
+    """Routed oversized blocks follow ann_knn_join's size gate: below
+    the fixed-list cutover the knobless defaults apply; above it,
+    n_lists scales with the largest block at ~1,250 rows/list and a
+    fixed probe count — constant per-row cost, linear total (the sf60
+    super-linearity fix)."""
+    import math
+
+    from healthcare_data_warehouse_spark.config import (
+        ANN_JOIN_FIXED_LIST_CUTOVER_ROWS,
+    )
+    from healthcare_data_warehouse_spark.operators.similarity import (
+        routed_ivf_params,
+    )
+
+    assert routed_ivf_params(50_000) == {}
+    assert routed_ivf_params(ANN_JOIN_FIXED_LIST_CUTOVER_ROWS) == {}
+    k130 = routed_ivf_params(130_000)
+    assert k130["n_lists"] == math.ceil(130_000 / 1250)
+    assert k130["n_probe"] == 12
+    assert k130["sample_cap"] == max(4096, 4 * k130["n_lists"])
+    # constant rows/list: doubling the block doubles the list count
+    assert routed_ivf_params(260_000)["n_lists"] == 2 * k130["n_lists"]
 
 
 def test_nn_top1_oversize_guard(spark):

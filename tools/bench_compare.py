@@ -59,6 +59,23 @@ def compare(old: dict, new: dict, ratio: float = 1.5):
         rows.append((name, t_old, t_new, raw, norm))
         if (norm if normalized else raw) > ratio:
             flagged.append((name, t_old, t_new, raw, norm))
+    # A query that regressed to FAILURE (bench.py records it under
+    # "errors" and drops it from "queries") or silently vanished from the
+    # new run must not slip past the gate just because there is no timing
+    # to ratio: treat both as infinitely-regressed and flag them.
+    new_errors = new.get("errors") or {}
+    for name, t_old in old["queries"].items():
+        if name in new["queries"]:
+            continue
+        inf = float("inf")
+        rows.append((name, t_old, None, inf, inf if normalized else None))
+        flagged.append((name, t_old, None, inf, inf if normalized else None))
+    for name in new_errors:
+        if name not in old["queries"]:  # new query that errored: still flag
+            inf = float("inf")
+            rows.append((name, None, None, inf, inf if normalized else None))
+            flagged.append((name, None, None, inf,
+                            inf if normalized else None))
     rows.sort(key=lambda x: -((x[4] if x[4] is not None else x[3]) or 0))
     return rows, flagged, normalized
 
@@ -76,7 +93,8 @@ def main() -> None:
     print(f"{'query':32s} {'old':>8s} {'new':>8s} {'raw':>6s} {'norm':>6s}")
     for name, t_old, t_new, raw, norm in rows:
         print(f"{name:32s} {t_old if t_old is not None else '-':>8} "
-              f"{t_new:>8} {f'{raw:.2f}' if raw else '-':>6} "
+              f"{t_new if t_new is not None else 'ERROR':>8} "
+              f"{f'{raw:.2f}' if raw else '-':>6} "
               f"{f'{norm:.2f}' if norm is not None else '-':>6}")
     print(f"\ntotal: old={old['value']} new={new['value']} "
           f"({len(flagged)} queries over {ratio}x"
