@@ -2132,12 +2132,57 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(d)
 
 
-@query("multimodal_audio_features")  # decoded-signal features — rows-only + numpy-parity pytest
+@query(
+    "multimodal_audio_features",  # decoded-signal features — tolerance oracle
+    # Closed-form twin of the synth→decode→feature pipeline: the WAV
+    # payload is a deterministic PCM16 sine (multimodal.synth_wav), so
+    # the decoded samples have the closed form
+    # x_i = round(sin(2π·freq·(i/8000))·12000) and every feature is a
+    # SQL aggregate over generate_series. Checked in TOLERANCE mode
+    # (1e-9 ≈ a-few-ulp band) rather than hash mode because sin() comes
+    # from libm on both sides — measured bit-exact at sf0.01 and sf0.1
+    # today, but a libm revision legitimately moves rint-boundary
+    # samples by 1, which is drift, not a bug.
+    soft_oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               256 + (n_chars * 7) % 1024 AS n,
+               110.0 + (doc_id % 40) * 55.0 AS freq
+        FROM documents
+    ),
+    samples AS (
+        SELECT d.doc_id, d.n, i,
+               CAST(round(sin((2 * pi() * d.freq) * (i / 8000.0))
+                          * 12000.0) AS BIGINT) AS x
+        FROM docs d, LATERAL (SELECT unnest(range(d.n)) AS i) s
+    ),
+    flags AS (
+        SELECT doc_id, n, x,
+               CASE WHEN (x < 0) <> (lag(x) OVER (PARTITION BY doc_id
+                                                  ORDER BY i) < 0)
+                    THEN 1 ELSE 0 END AS zc
+        FROM samples
+    )
+    SELECT doc_id,
+           8000 AS sample_rate,
+           1 AS n_channels,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           max(n) / 8000.0 AS duration_s,
+           sqrt(CAST(sum(x * x) AS DOUBLE) / max(n)) AS rms,
+           CAST(sum(zc) AS BIGINT) AS zero_crossings,
+           CAST(max(abs(x)) AS INT) AS peak
+    FROM flags GROUP BY doc_id
+    """,
+    rel_tolerance=1e-9,
+)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full decoded-signal feature set over real PCM-WAV payloads: RMS,
     zero-crossing count, peak amplitude — computed from the DECODED
     int16 samples, not payload bytes. Arrow-batched mapInPandas after
-    spread(); per-row cost is the decode + three numpy reductions."""
+    spread(); per-row cost is the decode + three numpy reductions.
+    Certified by a closed-form tolerance oracle (see decorator): rms's
+    integer sum-of-squares stays exact below 2^53, so the only numeric
+    wiggle is libm sin at rint boundaries."""
     from ..operators.multimodal import attach_wav, audio_features
 
     d = attach_wav(_t(spark, sf_dir, "documents"))
@@ -3220,7 +3265,22 @@ def knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, threshold=-1.0)
 
 
-@query("ann_knn_join")  # approximate bulk k-NN — rows-only
+@query(
+    "ann_knn_join",  # approximate bulk k-NN — recall-band oracle
+    recall_oracle="""
+    SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) DESC,
+                   b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ) WHERE rn <= 5
+    """,
+    recall_floor=0.90,  # measured 0.949 (sf0.01) / 0.947 (sf0.1)
+    recall_cols=("src", "dst"),
+)
 def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk approximate k-NN self-join over the whole embeddings table:
     EVERY row's top-5 cosine neighbors in one pass (the corpus-wide
@@ -3271,7 +3331,20 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn_join(e, k=5)
 
 
-@query("ann_ivf_topk")  # approximate (KMeans lists) — rows-only
+@query(
+    "ann_ivf_topk",  # approximate (KMeans lists) — recall-band oracle
+    recall_oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT b.vec_id FROM embeddings b, q
+    WHERE b.vec_id <> 0
+    ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), q.qv)
+        DESC, b.vec_id
+    LIMIT 10
+    """,
+    recall_floor=0.90,  # the calibration target; measured 1.0 (sf0.01) / 0.90 (sf0.1)
+    recall_cols=("vec_id",),
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k the 100 TB way: the KMeans quantizer runs once
     at ingest (index build, cached per sf_dir) and materializes list_id as
@@ -7121,7 +7194,20 @@ def returns_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_pq_topk")  # approximate (quantized codes) — rows-only
+@query(
+    "ann_pq_topk",  # approximate (quantized codes) — recall-band oracle
+    recall_oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT b.vec_id FROM embeddings b, q
+    WHERE b.vec_id <> 0
+    ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), q.qv)
+        DESC, b.vec_id
+    LIMIT 10
+    """,
+    recall_floor=0.90,  # calibrated 0.96 at refine 80k; measured 1.0 at both gate SFs
+    recall_cols=("vec_id",),
+)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k with exact re-rank — the
     memory-bound ANN path, served the 100 TB way: the m per-subspace

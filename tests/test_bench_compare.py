@@ -141,6 +141,36 @@ def test_tolerant_near_zero_uses_absolute_floor():
     assert compare_frames_tolerant(s2, o, 0.10)
 
 
+def test_recall_band_pass_and_floor():
+    from oracle_check import compare_recall
+    truth = pd.DataFrame({"vec_id": [1, 2, 3, 4, 5]})
+    # 4/5 recovered = 0.8
+    got = pd.DataFrame({"vec_id": [1, 2, 3, 4], "cosine_sim": [.9] * 4})
+    assert compare_recall(got, truth, ("vec_id",), 0.75) == []
+    assert "below pinned floor" in compare_recall(got, truth,
+                                                  ("vec_id",), 0.9)[0]
+
+
+def test_recall_band_over_return_and_missing_cols():
+    from oracle_check import compare_recall
+    truth = pd.DataFrame({"src": [1, 1], "dst": [2, 3]})
+    # over-returning more ids than the truth's k-list is flagged even at
+    # perfect recall (an exactness bug, not an approximation)
+    got = pd.DataFrame({"src": [1, 1, 1], "dst": [2, 3, 4]})
+    assert any("over-return" in p
+               for p in compare_recall(got, truth, ("src", "dst"), 0.9))
+    assert "missing" in compare_recall(
+        pd.DataFrame({"x": [1]}), truth, ("src", "dst"), 0.9)[0]
+
+
+def test_recall_band_empty_truth():
+    from oracle_check import compare_recall
+    empty = pd.DataFrame({"vec_id": []})
+    assert compare_recall(empty, empty, ("vec_id",), 0.9) == []
+    got = pd.DataFrame({"vec_id": [1]})
+    assert compare_recall(got, empty, ("vec_id",), 0.9)
+
+
 def test_tolerant_null_alignment():
     s = pd.DataFrame({"k": ["a"], "v": [None]})
     o = pd.DataFrame({"k": ["a"], "v": [None]})

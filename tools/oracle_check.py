@@ -142,6 +142,36 @@ def compare_frames_tolerant(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
     return problems
 
 
+def compare_recall(spark_pdf: pd.DataFrame, truth_pdf: pd.DataFrame,
+                   cols: tuple[str, ...], floor: float) -> list[str]:
+    """Recall-band comparison for APPROXIMATE neighbor queries: project
+    both sides to the id columns and require
+    |spark ∩ truth| / |truth| >= floor. The floor is a MEASURED recall
+    pinned below the operator's calibrated value, so a knob regression
+    (probe count, refine size, routing bug) fails the gate while the
+    contractual approximation passes. Also refuses silent over-returning
+    (more rows than the truth's k-list — an exactness bug, not recall)."""
+    missing = [c for c in cols if c not in spark_pdf.columns]
+    if missing:
+        return [f"recall cols missing from spark result: {missing}"]
+    s = set(map(tuple, spark_pdf[list(cols)].itertuples(index=False,
+                                                        name=None)))
+    t = set(map(tuple, truth_pdf[list(cols)].itertuples(index=False,
+                                                        name=None)))
+    if not t:
+        return [] if not s else ["truth empty but spark returned rows"]
+    recall = len(s & t) / len(t)
+    problems = []
+    if recall < floor:
+        problems.append(
+            f"recall {recall:.3f} below pinned floor {floor:.2f} "
+            f"(|spark∩truth|={len(s & t)}, |truth|={len(t)})")
+    if len(s) > len(t):
+        problems.append(
+            f"spark returned {len(s)} ids > truth's {len(t)} (over-return)")
+    return problems
+
+
 def check_query(spark, name: str, sf_dir: str) -> list[str]:
     import __spark_entry__ as e
     from healthcare_data_warehouse_spark.plans.catalog import _REGISTRY
@@ -159,6 +189,13 @@ def check_query(spark, name: str, sf_dir: str) -> list[str]:
             con.close()
             return compare_frames_tolerant(spark_pdf, oracle_pdf,
                                            entry.rel_tolerance)
+        if entry is not None and entry.recall_oracle:
+            con = duck_connection(sf_dir)
+            truth_pdf = arrow_to_frame(
+                con.execute(entry.recall_oracle).arrow())
+            con.close()
+            return compare_recall(spark_pdf, truth_pdf, entry.recall_cols,
+                                  entry.recall_floor)
         return [] if len(spark_pdf) >= 0 else ["spark query failed"]
     con = duck_connection(sf_dir)
     o_arrow = con.execute(sql).arrow()
@@ -198,6 +235,8 @@ def main() -> int:
             entry = _REGISTRY.get(name)
             if entry is not None and entry.soft_oracle:
                 tag = f" (tolerance {entry.rel_tolerance:.0%})"
+            elif entry is not None and entry.recall_oracle:
+                tag = f" (recall >= {entry.recall_floor:.2f})"
             else:
                 tag = " (rows-only)"
         print(f"[{status}] {name}{tag}")
