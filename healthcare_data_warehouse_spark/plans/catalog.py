@@ -120,36 +120,44 @@ def query(name: str, oracle: str | None = None,
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 scans/filters/joins/aggregates/windows (Q1-Q17 core)
-    "project_filter", "filter_date_range", "point_lookup", "topk_highcost",
-    "join_fact_dims", "join_3way", "leftjoin_agg", "crossjoin_scalar",
+    "project_filter", "filter_date_range", "topk_highcost",
+    "join_fact_dims", "join_3way", "leftjoin_agg",
     "antijoin_incremental", "scalar_subquery", "agg_by_agegroup",
-    "agg_composite_key", "agg_count_distinct", "agg_global_kpis",
+    "agg_composite_key", "agg_global_kpis",
     "agg_having", "agg_monthly_trend", "percentile_p90",
     "window_pct_of_total", "window_rownumber_keys", "window_patient_features",
     "window_lead_nextvisit", "fn_readmission_label", "topk_diagnoses",
     "union_dq_report",
     # §2 functions / privacy
-    "fn_sha2_anonymize", "case_visit_cohorts",
+    "case_visit_cohorts",
     "fn_laplace_noise", "privacy_k_anon", "privacy_l_div", "privacy_t_close",
     "privacy_noise_impact",
     # §2 sources/sinks + repo-owned oracled sketches
-    "scan_csv", "scan_table", "upsert_dedup", "audited_read",
+    "scan_table", "upsert_dedup", "audited_read",
     "approx_count_distinct_segments",
     # LLM-pipeline flagships: text metrics
     "text_tokens", "text_quality", "text_langid",
     # LLM-pipeline flagships: dedup / curation / streaming
     "dedup_exact", "dedup_minhash_lsh", "dedup_substring_spans",
     "dedup_embedding_cosine", "corpus_clean", "stream_hourly_agg",
-    # round-5 flagships rotated INTO the window for external
-    # certification (round-6 verdict item 1): each is DuckDB-oracled and
-    # was only local-pass in CORRECTNESS_r05. The five rows rotated OUT
-    # (fn_age_calc, fn_age_bucket, doc_fingerprint, text_lang_profile,
-    # percentile_approx_p90) were driver-green five rounds running and
-    # their §2 ops stay covered by remaining rows (agg_by_agegroup's age
-    # bucketing for F2/F3, text_langid/text_tokens for the text family,
-    # percentile_p90 for A6) plus the full local gate.
+    # round-5 flagships rotated in for external certification (r6):
     "join_3way_bucketed", "dedup_embedding_topk", "knn_join_exact",
     "stream_simhash_band_registry", "decontamination_semantic",
+    # round-7 rotation (r6 verdict item 4): five strong local-only
+    # queries get external certification — transformWithStateInPandas
+    # (stream_user_profiles_v2), iterative graph (graph_pagerank), BPE
+    # vocab learning (vocab_bpe_merges), CDC MERGE (merge_orders_cdc),
+    # dynamic partition pruning (scan_partitioned_dpp); all hard
+    # DuckDB-oracled. Rotated OUT (driver-green six rounds running,
+    # re-verified local-pass): point_lookup (P6 — a degenerate filter;
+    # project_filter/filter_date_range stay), crossjoin_scalar (J4 —
+    # scalar_subquery stays for the scalar-join family),
+    # agg_count_distinct (A3 — approx_count_distinct_segments stays on
+    # the same row), scan_csv (S1/S2 — scan_table stays), and
+    # fn_sha2_anonymize (F1 — fn_laplace_noise keeps F4/F9 expression
+    # coverage). All five remain in the full local gate.
+    "stream_user_profiles_v2", "graph_pagerank", "vocab_bpe_merges",
+    "merge_orders_cdc", "scan_partitioned_dpp",
 )
 
 
