@@ -91,12 +91,22 @@ HEADLINE = [
     # ran at each SF) and the bulk approximate k-NN join it routes to:
     "dedup_embedding_topk",
     "ann_knn_join",
+    # round-7 addition: the skew-adaptive fact⋈dim join — its stamped
+    # auto_join[c_custkey] regime shows "plain" on uniform fixtures and
+    # "salted:N" on the Zipf sf10skew fixture (tools/make_skew_data.py),
+    # proving the cutover engages on data, not configuration:
+    "skew_auto_join",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # tolerate variant suffixes ("sf10skew" -> 10.0): the numeric part is
+    # the scale; the full dir name still lands in provenance via sf_dir
+    import re as _re
+
+    _m = _re.match(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(_m.group(1)) if _m else 0.1
 
     # Triage subset: SPARK_GRAFT_BENCH_ONLY="q1,q2" times just those
     # headline queries (full-list totals are NOT comparable to a subset
@@ -258,6 +268,7 @@ def main() -> None:
         "sf": sf,
         "regimes": regimes,
         "provenance": {
+            "sf_dir": os.path.basename(sf_dir.rstrip("/")),
             "fresh_jvm": True,  # this harness always builds its own session
             "page_cache_warmed": True,
             "heavy_gc_mode": bool(heavy),

@@ -3109,6 +3109,41 @@ def skew_auto_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_auto_join",
+    oracle=f"""
+    SELECT c_mktsegment, count(*) AS cnt,
+           {_osum('o_totalprice')} AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def skew_auto_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-ADAPTIVE fact⋈dim join: ``skew.auto_join`` samples the fact
+    side's hot-key share on o_custkey and joins plain (uniform key — the
+    shape every driver fixture and stacked-copy scale fixture has) or
+    salted (one hot customer holds >20% of orders — the "one hospital
+    system produces half the visits" shape, generated by
+    tools/make_skew_data.py's Zipf reassignment). Values are identical
+    either way (this oracle is the plain join), so the decision is
+    purely physical and the stamped ``auto_join[c_custkey]`` regime in
+    the bench artifact shows which path ran at each fixture — the
+    uniform curve stamps ``plain``, the sf10skew point stamps
+    ``salted:N``. At 100 TB this is the join where a static plan loses:
+    AQE's skew split handles the sort-merge case, but a hash-partitioned
+    join feeding a keyed aggregation needs the explicit salt."""
+    from ..operators.skew import auto_join
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey",
+                                                      "c_custkey")
+    c = _t(spark, sf_dir, "customer")
+    joined = auto_join(o, c.select("c_custkey", "c_mktsegment"),
+                       on="c_custkey", sample_fraction=0.5)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("cnt"), dsum("o_totalprice").alias("total")
+    )
+
+
+@query(
     "skew_salted_join",
     oracle=f"""
     SELECT s_nationkey, count(*) AS cnt,

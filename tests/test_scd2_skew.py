@@ -199,3 +199,28 @@ def test_auto_agg_salts_90pct_hot_key_and_matches_plain(spark):
                   F.sum(F.col("m").cast("decimal(18,4)"))
                   .cast("double").alias("total")).collect()}
     assert got_u == want_u
+
+
+def test_make_skew_data_zipf_sampler():
+    """The skew-fixture generator's Zipf reassignment: deterministic for
+    a seed, every sampled key is a real customer key, and the rank-1 key
+    holds ~1/zeta(1.5) = 38% of the orders — above auto_join's 0.2
+    hot-share threshold, so the salted cutover engages on the fixture."""
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from make_skew_data import zipf_custkeys
+
+    keys = np.arange(1000, 6000, dtype=np.int64)
+    out = zipf_custkeys(keys, 50_000, 1.5, 7)
+    assert set(np.unique(out)) <= set(keys)
+    share = float((out == keys[0]).mean())
+    assert 0.30 < share < 0.45  # ~1/zeta(1.5) = 0.383
+    assert (zipf_custkeys(keys, 50_000, 1.5, 7) == out).all()
+    # a different seed moves the sample, not the distribution
+    share2 = float((zipf_custkeys(keys, 50_000, 1.5, 8) == keys[0]).mean())
+    assert 0.30 < share2 < 0.45

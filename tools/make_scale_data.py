@@ -81,20 +81,30 @@ def _domain_offsets(src: str) -> dict[str, int]:
 
 def scale_table(src: str, dest: str, name: str, k: int,
                 offsets: dict[str, int]) -> int:
+    """Stream the k offset copies through one ParquetWriter (one row
+    group per copy) instead of concatenating them in RAM: peak memory is
+    ONE source-table copy regardless of k, which is what makes sf100
+    (lineitem 600M rows) generatable on this host."""
     t = pq.read_table(os.path.join(src, f"{name}.parquet"))
-    pieces = [t]
-    for i in range(1, k):
-        cols = []
-        for field in t.schema:
-            col = t.column(field.name)
-            if field.name in KEYED.get(name, []):
-                off = i * offsets[DOMAIN_OF[field.name]]
-                col = pc.add(col, pa.scalar(off, type=field.type))
-            cols.append(col)
-        pieces.append(pa.table(dict(zip(t.schema.names, cols)), schema=t.schema))
-    big = pa.concat_tables(pieces)
-    pq.write_table(big, os.path.join(dest, f"{name}.parquet"))
-    return big.num_rows
+    out = os.path.join(dest, f"{name}.parquet")
+    n = 0
+    with pq.ParquetWriter(out, t.schema) as w:
+        for i in range(k):
+            if i == 0:
+                piece = t
+            else:
+                cols = []
+                for field in t.schema:
+                    col = t.column(field.name)
+                    if field.name in KEYED.get(name, []):
+                        off = i * offsets[DOMAIN_OF[field.name]]
+                        col = pc.add(col, pa.scalar(off, type=field.type))
+                    cols.append(col)
+                piece = pa.table(dict(zip(t.schema.names, cols)),
+                                 schema=t.schema)
+            w.write_table(piece)
+            n += piece.num_rows
+    return n
 
 
 def main() -> int:
