@@ -91,10 +91,11 @@ HEADLINE = [
     # ran at each SF) and the bulk approximate k-NN join it routes to:
     "dedup_embedding_topk",
     "ann_knn_join",
-    # round-7 addition: the skew-adaptive fact⋈dim join — its stamped
-    # auto_join[c_custkey] regime shows "plain" on uniform fixtures and
-    # "salted:N" on the Zipf sf10skew fixture (tools/make_skew_data.py),
-    # proving the cutover engages on data, not configuration:
+    # round-7 addition: the skew-adaptive fact⋈fact join — its stamped
+    # auto_join[o_orderkey] regime shows plain_broadcast at gate scales,
+    # plain_aqe_skewjoin on the Zipf sf10skew fixture (AQE hot-partition
+    # split, measured 1.8x better than unhandled and ~equal to salting
+    # at 1/13th the replication), and salted:N on AQE-less sessions:
     "skew_auto_join",
 ]
 

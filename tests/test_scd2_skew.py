@@ -162,10 +162,61 @@ def test_auto_join_matches_plain_join(spark):
     assert left.count() == big.count()
 
 
-def test_auto_agg_salts_90pct_hot_key_and_matches_plain(spark):
-    """VERDICT r03 item 5 acceptance: a 90%-hot-key corpus trips the
-    automatic salting decision, and the salted aggregate's output equals
-    the plain aggregation exactly."""
+def test_auto_join_decision_tree_regimes(spark):
+    """auto_join's measured decision tree: broadcastable dim →
+    plain_broadcast (no sampling); AQE skew split on → plain_aqe_skewjoin;
+    both off → the sampled salted:N fallback, value-identical to plain."""
+    from healthcare_data_warehouse_spark import decisions
+    from healthcare_data_warehouse_spark.operators.skew import auto_join
+
+    from conftest import SF_SMOKE
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(900)] + [(f"k{i}", i) for i in range(100)],
+        "k string, v int")
+    small = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"S{i}") for i in range(100)],
+        "k string, tag string")
+
+    # tier 1 needs real file stats (a local relation reports unknown
+    # size and must NOT be assumed broadcastable): parquet-backed dim
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_suppkey", "l_extendedprice")
+    sup = load_table(spark, SF_SMOKE, "supplier").select(
+        "s_suppkey", "s_nationkey").withColumnRenamed("s_suppkey",
+                                                      "l_suppkey")
+    decisions.drain()
+    auto_join(li, sup, "l_suppkey")
+    assert (decisions.drain()["<anonymous>"]["auto_join[l_suppkey]"]
+            == "plain_broadcast")
+
+    # unknown-size small side skips the broadcast tier and trusts AQE
+    decisions.drain()
+    auto_join(big, small, "k", sample_fraction=0.5)
+    assert (decisions.drain()["<anonymous>"]["auto_join[k]"]
+            == "plain_aqe_skewjoin")
+
+    conf = spark.conf
+    old_s = conf.get("spark.sql.adaptive.skewJoin.enabled")
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        salted = auto_join(big, small, "k", sample_fraction=0.5)
+        tag = decisions.drain()["<anonymous>"]["auto_join[k]"]
+        assert tag.startswith("salted:"), tag
+        plain = big.join(small, "k")
+        assert salted.count() == plain.count()
+        assert salted.exceptAll(plain).count() == 0
+    finally:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", old_s)
+
+
+def test_auto_agg_hot_key_matches_plain(spark):
+    """auto_agg resolves to the plain aggregate (map-side partials make
+    collapsing count/sum skew-immune — measured plain 1.02 s vs salted
+    1.32 s on the sf10skew 38%-hot key) and its output is identical on
+    hot and uniform corpora; the hot-share detector itself still
+    recognizes the 90% key (used by auto_join's AQE-less fallback)."""
     from healthcare_data_warehouse_spark.operators.skew import (
         auto_agg,
         choose_salt_buckets,
@@ -175,7 +226,7 @@ def test_auto_agg_salts_90pct_hot_key_and_matches_plain(spark):
         [("hot", float(i % 97)) for i in range(900)]
         + [(f"k{i}", float(i)) for i in range(100)],
         "k string, m double")
-    # the decision itself: 90% share >> 0.2 threshold → salted
+    # the detector: 90% share >> 0.2 threshold
     assert choose_salt_buckets(hot, "k", sample_fraction=0.5) > 1
 
     got = {r["k"]: (r["cnt"], r["total"])

@@ -65,7 +65,7 @@ def main() -> int:
         if not name.endswith(".parquet"):
             continue
         sp, dp = os.path.join(src, name), os.path.join(dest, name)
-        if name == "orders.parquet":
+        if name in ("orders.parquet", "lineitem.parquet"):
             continue  # rewritten below
         if os.path.exists(dp):
             os.remove(dp) if os.path.isfile(dp) else None
@@ -79,21 +79,28 @@ def main() -> int:
             os.link(sp, dp)
         print(f"{name}: linked")
 
-    cust = pq.read_table(os.path.join(src, "customer.parquet"),
-                         columns=["c_custkey"])
-    custkeys = np.sort(cust.column("c_custkey").to_numpy())
-    orders = pq.read_table(os.path.join(src, "orders.parquet"))
-    newkeys = zipf_custkeys(custkeys, orders.num_rows, s, seed)
-    kt = orders.schema.field("o_custkey").type
-    idx = orders.schema.get_field_index("o_custkey")
-    orders = orders.set_column(idx, "o_custkey",
-                               pa.array(newkeys, type=kt))
-    pq.write_table(orders, os.path.join(dest, "orders.parquet"))
-    hot = pc.sum(pc.equal(orders.column("o_custkey"),
-                          pa.scalar(int(custkeys[0]), type=kt))).as_py()
-    print(f"orders.parquet: {orders.num_rows} rows rewritten, "
-          f"hot key {int(custkeys[0])} holds "
-          f"{hot / orders.num_rows:.1%} (zipf s={s}, seed={seed})")
+    def rewrite(table: str, col: str, domain_table: str, domain_col: str,
+                seed_off: int) -> None:
+        dom = pq.read_table(os.path.join(src, f"{domain_table}.parquet"),
+                            columns=[domain_col])
+        keys = np.sort(dom.column(domain_col).to_numpy())
+        t = pq.read_table(os.path.join(src, f"{table}.parquet"))
+        newkeys = zipf_custkeys(keys, t.num_rows, s, seed + seed_off)
+        kt = t.schema.field(col).type
+        t = t.set_column(t.schema.get_field_index(col), col,
+                         pa.array(newkeys, type=kt))
+        pq.write_table(t, os.path.join(dest, f"{table}.parquet"))
+        hot = pc.sum(pc.equal(t.column(col),
+                              pa.scalar(int(keys[0]), type=kt))).as_py()
+        print(f"{table}.parquet: {t.num_rows} rows rewritten, hot "
+              f"{col}={int(keys[0])} holds {hot / t.num_rows:.1%} "
+              f"(zipf s={s}, seed={seed + seed_off})")
+
+    # fact→dim skew: one hot customer owns ~38% of orders
+    rewrite("orders", "o_custkey", "customer", "c_custkey", 0)
+    # fact→fact skew: one hot order owns ~38% of lineitems — the shape
+    # where neither join side broadcasts and skew actually decides plans
+    rewrite("lineitem", "l_orderkey", "orders", "o_orderkey", 1)
     return 0
 
 
