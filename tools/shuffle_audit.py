@@ -73,6 +73,9 @@ def audit_query(df) -> dict[str, int]:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # Optional query names after sf_dir: audit just those and print the
+    # table to stdout (docs/SHUFFLES.md stays the full-sf0.1 record).
+    subset = sys.argv[2:]
 
     import bench
     import __spark_entry__ as entrymod
@@ -82,11 +85,21 @@ def main() -> None:
     qs = entrymod.queries()
 
     rows = []
-    for name in bench.HEADLINE:
+    for name in subset or bench.HEADLINE:
         try:
             rows.append((name, audit_query(qs[name](spark, sf_dir))))
         except Exception as e:  # never lose the whole audit to one query
             print(f"[skip] {name}: {e}", file=sys.stderr)
+
+    if subset:
+        print("| query | exchanges | shuffle MB | shuffle records "
+              "| broadcast MB | spill MB |")
+        for name, m in rows:
+            print(f"| {name} | {m['exchanges']} | {m['shuffle_mb']} "
+                  f"| {m['shuffle_records']} | {m['broadcast_mb']} "
+                  f"| {m['spill_mb']} |")
+        spark.stop()
+        return
 
     lines = [
         "# SHUFFLES — measured shuffle/broadcast volume per headline query",
