@@ -71,6 +71,20 @@ class CatalogEntry:
     recall_oracle: str | None = None
     recall_floor: float = 0.0
     recall_cols: tuple[str, ...] = ()
+    # Containment-band oracle for FLAG-SELECTING model queries (classifier
+    # positives, anomaly flags) whose full per-row output is not SQL-
+    # replayable (seeded MLlib / tree-ensemble fits) but whose SELECTED
+    # subset has a SQL-checkable quality contract: the rows matching
+    # containment_filter, projected to containment_cols, must sit inside
+    # the SQL-derived superset (actual labels, robust-outlier top
+    # fraction) at precision >= containment_floor — |flag ∩ truth| /
+    # |flag|. The floor is pinned from measured precision at both gate
+    # SFs, not aspiration. Never exported through oracle_sql() (the
+    # driver hash-compares); the local gate runs it.
+    containment_oracle: str | None = None
+    containment_floor: float = 0.0
+    containment_cols: tuple[str, ...] = ()
+    containment_filter: str | None = None  # pandas .query() over the result
 
 
 _REGISTRY: dict[str, CatalogEntry] = {}
@@ -79,7 +93,11 @@ _REGISTRY: dict[str, CatalogEntry] = {}
 def query(name: str, oracle: str | None = None,
           soft_oracle: str | None = None, rel_tolerance: float = 0.0,
           recall_oracle: str | None = None, recall_floor: float = 0.0,
-          recall_cols: tuple[str, ...] = ()):
+          recall_cols: tuple[str, ...] = (),
+          containment_oracle: str | None = None,
+          containment_floor: float = 0.0,
+          containment_cols: tuple[str, ...] = (),
+          containment_filter: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         import functools
 
@@ -101,7 +119,11 @@ def query(name: str, oracle: str | None = None,
                                        rel_tolerance=rel_tolerance,
                                        recall_oracle=recall_oracle,
                                        recall_floor=recall_floor,
-                                       recall_cols=tuple(recall_cols))
+                                       recall_cols=tuple(recall_cols),
+                                       containment_oracle=containment_oracle,
+                                       containment_floor=containment_floor,
+                                       containment_cols=tuple(containment_cols),
+                                       containment_filter=containment_filter)
         return fn
     return deco
 
@@ -2386,25 +2408,90 @@ def anomaly_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly_scores(spark, sf_dir)
 
 
-@query("ml_predict_readmission")  # MLlib model scoring — rows-only
+@query(
+    "ml_predict_readmission",
+    # containment-band oracle (local gate): the RF's full per-row scores
+    # can't be SQL-replayed, but its POSITIVE predictions have a hard
+    # SQL contract — every (customer_id, visit_id) the model flags must
+    # be an ACTUAL 30-day readmission per the same window-function label
+    # the ml_features oracle computes. Measured precision 1.000 at both
+    # gate SFs (seeded fit); floor pinned at 0.80.
+    containment_oracle=f"""
+    SELECT o_custkey AS customer_id, o_orderkey AS visit_id
+    FROM (SELECT o_custkey, o_orderkey,
+             CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                  CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS DATE)) <= 30
+                  THEN 1 ELSE 0 END AS readmitted
+          FROM orders)
+    WHERE readmitted = 1
+    """,
+    containment_floor=0.80,
+    containment_cols=("customer_id", "visit_id"),
+    containment_filter="predicted_readmit == 1",
+)
 def ml_predict_readmission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed RF readmission risk scoring (train + score in-engine,
-    seeded). Model quality is pytest-asserted; SQL can't replay MLlib."""
+    seeded). SQL can't replay the MLlib fit, but the flagged subset is
+    certified by a containment-band oracle (decorator): predicted
+    positives must be actual 30-day readmissions at >=0.80 precision
+    (measured 1.000 at sf0.01 and sf0.1); model quality is also
+    pytest-asserted."""
     from ..ml.pipeline import predict_readmission
 
     return predict_readmission(spark, sf_dir)
 
 
-@query("ml_anomaly_iforest")  # random-tree ensemble — rows-only + rank pytest
+@query(
+    "ml_anomaly_iforest",
+    # containment-band oracle (local gate): the tree ensemble is not
+    # SQL-replayable, but its FLAGGED rows have a checkable quality
+    # contract — every flagged visit_id must land in the top 15% of
+    # visits by summed per-feature robust z-score over the SAME four
+    # features the forest sees (z of `days` is shift-invariant, so the
+    # as-of date does not matter). Measured containment 0.969 (sf0.01) /
+    # 0.985 (sf0.1); floor pinned at 0.90.
+    containment_oracle=f"""
+    WITH f AS (
+      SELECT o_orderkey AS visit_id,
+             CAST(o_totalprice AS DOUBLE) AS cost,
+             count(*) OVER w AS visit_count,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                 / count(*) OVER w AS avg_cost,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       DATE '{AS_OF_DATE}') AS days
+      FROM orders WINDOW w AS (PARTITION BY o_custkey)
+    ), st AS (
+      SELECT avg(cost) mc, stddev_pop(cost) sc,
+             avg(visit_count) mv, stddev_pop(visit_count) sv,
+             avg(avg_cost) ma, stddev_pop(avg_cost) sa,
+             avg(days) md, stddev_pop(days) sd FROM f
+    ), z AS (
+      SELECT visit_id,
+             abs(cost - mc) / nullif(sc, 0)
+           + abs(visit_count - mv) / nullif(sv, 0)
+           + abs(avg_cost - ma) / nullif(sa, 0)
+           + abs(days - md) / nullif(sd, 0) AS ztot
+      FROM f, st
+    )
+    SELECT visit_id FROM z ORDER BY ztot DESC
+    LIMIT (SELECT CAST(count(*) * 0.15 AS BIGINT) FROM f)
+    """,
+    containment_floor=0.90,
+    containment_cols=("visit_id",),
+    containment_filter="is_anomaly == 1",
+)
 def ml_anomaly_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IsolationForest anomaly scoring at functional parity with the
     reference's sklearn model (ml_pipeline.py:250-253) — pure-numpy
     iTrees fit on a bounded deterministic hash-sample, broadcast as flat
     node arrays, scored distributed in one Arrow pass
-    (``ml.iforest.iforest_anomalies``). Rows-only by construction
-    (randomized tree ensemble — no SQL replay exists); score sanity and
-    ≥0.8 rank agreement with the oracled quantile/MAD outlier paths are
-    pytest-asserted on planted outliers."""
+    (``ml.iforest.iforest_anomalies``). The randomized ensemble has no
+    SQL replay, but the flagged subset is certified by a containment-band
+    oracle (decorator): >=0.90 of flagged visits must sit in the top-15%
+    robust-z outlier superset (measured 0.969/0.985 at the gate SFs);
+    score sanity and rank agreement with the oracled quantile/MAD paths
+    are also pytest-asserted on planted outliers."""
     from ..ml.iforest import iforest_anomalies
 
     return iforest_anomalies(spark, sf_dir)

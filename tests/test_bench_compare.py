@@ -177,3 +177,44 @@ def test_tolerant_null_alignment():
     assert compare_frames_tolerant(s, o, 0.1) == []
     o2 = pd.DataFrame({"k": ["a"], "v": [1.0]})
     assert compare_frames_tolerant(s, o2, 0.1)
+
+
+def test_containment_band_pass_and_floor():
+    from oracle_check import compare_containment
+    truth = pd.DataFrame({"visit_id": [1, 2, 3, 4, 5, 6, 7, 8]})
+    # 4/4 flagged rows inside the superset -> containment 1.0
+    got = pd.DataFrame({"visit_id": [1, 2, 3, 4, 90, 91],
+                        "is_anomaly": [1, 1, 1, 1, 0, 0]})
+    assert compare_containment(got, truth, ("visit_id",), 0.9,
+                               "is_anomaly == 1") == []
+    # 2/4 inside -> 0.5, below floor
+    got2 = pd.DataFrame({"visit_id": [1, 2, 90, 91],
+                         "is_anomaly": [1, 1, 1, 1]})
+    assert "below pinned floor" in compare_containment(
+        got2, truth, ("visit_id",), 0.9, "is_anomaly == 1")[0]
+
+
+def test_containment_band_refuses_vacuous_and_missing():
+    from oracle_check import compare_containment
+    truth = pd.DataFrame({"visit_id": [1, 2]})
+    # a model that flags NOTHING must not pass vacuously
+    got = pd.DataFrame({"visit_id": [1, 2], "is_anomaly": [0, 0]})
+    assert any("vacuous" in p for p in compare_containment(
+        got, truth, ("visit_id",), 0.9, "is_anomaly == 1"))
+    assert "missing" in compare_containment(
+        pd.DataFrame({"x": [1]}), truth, ("visit_id",), 0.9,
+        "is_anomaly == 1")[0]
+    # a broken filter expression is a gate failure, not a crash
+    assert "filter" in compare_containment(
+        got, truth, ("visit_id",), 0.9, "no_such_col == 1")[0]
+
+
+def test_containment_band_composite_key():
+    from oracle_check import compare_containment
+    truth = pd.DataFrame({"customer_id": [1, 1], "visit_id": [10, 11]})
+    got = pd.DataFrame({"customer_id": [1, 1, 2],
+                        "visit_id": [10, 11, 99],
+                        "predicted_readmit": [1, 1, 0]})
+    assert compare_containment(
+        got, truth, ("customer_id", "visit_id"), 0.8,
+        "predicted_readmit == 1") == []

@@ -172,6 +172,38 @@ def compare_recall(spark_pdf: pd.DataFrame, truth_pdf: pd.DataFrame,
     return problems
 
 
+def compare_containment(spark_pdf: pd.DataFrame, truth_pdf: pd.DataFrame,
+                        cols: tuple[str, ...], floor: float,
+                        filt: str) -> list[str]:
+    """Containment-band comparison for flag-selecting model queries
+    (classifier positives, anomaly flags): filter the spark result to the
+    flagged subset, project to the id columns, and require
+    |flag ∩ truth| / |flag| >= floor — i.e. the model's selections must
+    sit inside the SQL-derived superset (actual labels, robust-outlier
+    top fraction) at a precision pinned from measurement. An EMPTY flag
+    set fails: a model that stops selecting anything would otherwise
+    pass vacuously."""
+    missing = [c for c in cols if c not in spark_pdf.columns]
+    if missing:
+        return [f"containment cols missing from spark result: {missing}"]
+    try:
+        flagged = spark_pdf.query(filt)
+    except Exception as exc:  # noqa: BLE001
+        return [f"containment filter {filt!r} failed: {exc}"]
+    s = set(map(tuple, flagged[list(cols)].itertuples(index=False,
+                                                      name=None)))
+    if not s:
+        return [f"containment filter {filt!r} selected 0 rows "
+                f"(model flags nothing — vacuous pass refused)"]
+    t = set(map(tuple, truth_pdf[list(cols)].itertuples(index=False,
+                                                        name=None)))
+    containment = len(s & t) / len(s)
+    if containment < floor:
+        return [f"containment {containment:.3f} below pinned floor "
+                f"{floor:.2f} (|flag∩truth|={len(s & t)}, |flag|={len(s)})"]
+    return []
+
+
 def check_query(spark, name: str, sf_dir: str) -> list[str]:
     import __spark_entry__ as e
     from healthcare_data_warehouse_spark.plans.catalog import _REGISTRY
@@ -196,6 +228,15 @@ def check_query(spark, name: str, sf_dir: str) -> list[str]:
             con.close()
             return compare_recall(spark_pdf, truth_pdf, entry.recall_cols,
                                   entry.recall_floor)
+        if entry is not None and entry.containment_oracle:
+            con = duck_connection(sf_dir)
+            truth_pdf = arrow_to_frame(
+                con.execute(entry.containment_oracle).arrow())
+            con.close()
+            return compare_containment(spark_pdf, truth_pdf,
+                                       entry.containment_cols,
+                                       entry.containment_floor,
+                                       entry.containment_filter)
         return [] if len(spark_pdf) >= 0 else ["spark query failed"]
     con = duck_connection(sf_dir)
     o_arrow = con.execute(sql).arrow()
@@ -237,6 +278,8 @@ def main() -> int:
                 tag = f" (tolerance {entry.rel_tolerance:.0%})"
             elif entry is not None and entry.recall_oracle:
                 tag = f" (recall >= {entry.recall_floor:.2f})"
+            elif entry is not None and entry.containment_oracle:
+                tag = f" (containment >= {entry.containment_floor:.2f})"
             else:
                 tag = " (rows-only)"
         print(f"[{status}] {name}{tag}")
