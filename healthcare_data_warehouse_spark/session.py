@@ -40,6 +40,18 @@ def get_spark(app_name: str = "healthcare-dw-spark", cpus: int | None = None) ->
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        # Decouple the INITIAL shuffle width from the CPU count: with
+        # coalescing on, AQE launches only as many reduce tasks as the
+        # measured map output needs, so a high initial width costs
+        # nothing at small SF — but at the scale frontier it is the
+        # difference between a 600M-row sort-merge join spread over 256
+        # sort buffers and the same join wedged into 32 (measured: the
+        # sf100 orders⋈lineitem fact-fact join dies with
+        # UNABLE_TO_ACQUIRE_MEMORY at width 32 on a 64g heap and runs at
+        # width 256). On a 1000-executor cluster this knob, not
+        # shuffle.partitions, carries the fan-out.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(max(8 * n, 256)))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Runtime bloom-filter join pruning: when a shuffle join's build
         # side is selective, inject its key bloom filter into the probe
@@ -103,6 +115,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        # high initial shuffle width + coalescing: see get_spark — AQE
+        # shrinks it to the measured need, so it is free at small SF and
+        # load-bearing at the big-SF / many-executor frontier
+        ("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+         str(max(8 * default_parallelism(), 256))),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
         # trust per-bucket sort order from bucketed scans: off by default
