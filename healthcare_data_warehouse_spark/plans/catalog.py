@@ -142,25 +142,25 @@ def query(name: str, oracle: str | None = None,
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 scans/filters/joins/aggregates/windows (Q1-Q17 core)
-    "project_filter", "filter_date_range", "topk_highcost",
+    "project_filter", "filter_date_range",
     "join_fact_dims", "join_3way", "leftjoin_agg",
     "antijoin_incremental", "scalar_subquery", "agg_by_agegroup",
     "agg_composite_key", "agg_global_kpis",
     "agg_having", "agg_monthly_trend", "percentile_p90",
-    "window_pct_of_total", "window_rownumber_keys", "window_patient_features",
+    "window_rownumber_keys", "window_patient_features",
     "window_lead_nextvisit", "fn_readmission_label", "topk_diagnoses",
     "union_dq_report",
     # §2 functions / privacy
     "case_visit_cohorts",
-    "fn_laplace_noise", "privacy_k_anon", "privacy_l_div", "privacy_t_close",
+    "fn_laplace_noise", "privacy_k_anon", "privacy_t_close",
     "privacy_noise_impact",
     # §2 sources/sinks + repo-owned oracled sketches
     "scan_table", "upsert_dedup", "audited_read",
     "approx_count_distinct_segments",
     # LLM-pipeline flagships: text metrics
-    "text_tokens", "text_quality", "text_langid",
+    "text_tokens", "text_quality",
     # LLM-pipeline flagships: dedup / curation / streaming
-    "dedup_exact", "dedup_minhash_lsh", "dedup_substring_spans",
+    "dedup_minhash_lsh", "dedup_substring_spans",
     "dedup_embedding_cosine", "corpus_clean", "stream_hourly_agg",
     # round-5 flagships rotated in for external certification (r6):
     "join_3way_bucketed", "dedup_embedding_topk", "knn_join_exact",
@@ -180,6 +180,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # coverage). All five remain in the full local gate.
     "stream_user_profiles_v2", "graph_pagerank", "vocab_bpe_merges",
     "merge_orders_cdc", "scan_partitioned_dpp",
+    # round-8 rotation (r7 verdict item 3): external certification for
+    # the TPC-H analytics flagships that headline the bench but had only
+    # local-gate coverage — market_share_by_year (Q8 8-table shape),
+    # late_supplier_ranking (Q21 exists/not-exists), regional_nation_
+    # revenue (Q5), bilateral_trade_volume (Q7), returns_revenue_topk
+    # (Q10). All hard DuckDB-oracled. Rotated OUT (driver-green 6-7
+    # rounds, all overlap-covered and still in the full local gate):
+    # topk_highcost (P5/O2 — topk_diagnoses stays; returns_revenue_topk
+    # coming IN is itself a theta-filtered top-k), window_pct_of_total
+    # (W1 — three raw-data windows stay; market_share_by_year is a
+    # share-of-total shape), privacy_l_div (A9 — privacy_k_anon stays on
+    # the same §2 row), text_langid (text_tokens/text_quality keep the
+    # trio's row), dedup_exact (four near-dup family members stay).
+    "market_share_by_year", "late_supplier_ranking",
+    "regional_nation_revenue", "bilateral_trade_volume",
+    "returns_revenue_topk",
 )
 
 
@@ -2416,7 +2432,7 @@ def anomaly_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # be an ACTUAL 30-day readmission per the same window-function label
     # the ml_features oracle computes. Measured precision 1.000 at both
     # gate SFs (seeded fit); floor pinned at 0.80.
-    containment_oracle=f"""
+    containment_oracle="""
     SELECT o_custkey AS customer_id, o_orderkey AS visit_id
     FROM (SELECT o_custkey, o_orderkey,
              CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
@@ -2474,7 +2490,7 @@ def ml_predict_readmission(spark: SparkSession, sf_dir: str) -> DataFrame:
            + abs(days - md) / nullif(sd, 0) AS ztot
       FROM f, st
     )
-    SELECT visit_id FROM z ORDER BY ztot DESC
+    SELECT visit_id FROM z ORDER BY ztot DESC, visit_id
     LIMIT (SELECT CAST(count(*) * 0.15 AS BIGINT) FROM f)
     """,
     containment_floor=0.90,

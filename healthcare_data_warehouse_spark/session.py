@@ -26,6 +26,16 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def initial_partition_num(cpus: int) -> int:
+    """Initial (pre-AQE-coalesce) shuffle width for a given CPU budget.
+
+    Shared by get_spark and tune_session so both paths derive the width
+    from the SAME cpu figure — an explicit ``cpus=`` to get_spark must
+    not disagree with a later tune_session on the same session.
+    """
+    return max(8 * cpus, 256)
+
+
 def get_spark(app_name: str = "healthcare-dw-spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
@@ -51,7 +61,7 @@ def get_spark(app_name: str = "healthcare-dw-spark", cpus: int | None = None) ->
         # width 256). On a 1000-executor cluster this knob, not
         # shuffle.partitions, carries the fan-out.
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-                str(max(8 * n, 256)))
+                str(initial_partition_num(n)))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Runtime bloom-filter join pruning: when a shuffle join's build
         # side is selective, inject its key bloom filter into the probe
@@ -110,6 +120,14 @@ def tune_session(spark: SparkSession) -> SparkSession:
     but session timezone and AQE are runtime-settable and required for
     correctness parity with the oracle.
     """
+    # derive the width from the SESSION's actual core budget (its master
+    # is out of our hands), falling back to the env/cpu default — and go
+    # through the same initial_partition_num helper get_spark uses so the
+    # two paths can never disagree on the formula
+    try:
+        n = int(spark.sparkContext.defaultParallelism)
+    except Exception:
+        n = default_parallelism()
     for key, val in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
@@ -119,7 +137,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         # shrinks it to the measured need, so it is free at small SF and
         # load-bearing at the big-SF / many-executor frontier
         ("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-         str(max(8 * default_parallelism(), 256))),
+         str(initial_partition_num(n))),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
         # trust per-bucket sort order from bucketed scans: off by default

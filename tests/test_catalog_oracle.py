@@ -53,21 +53,28 @@ def test_driver_window_is_curated_and_fully_oracled():
     assert first50 == list(DRIVER_WINDOW)
     osql = oracle_sql()
     assert all(n in osql for n in first50)
-    flagships = {"dedup_exact", "dedup_minhash_lsh", "dedup_substring_spans",
+    flagships = {"dedup_minhash_lsh", "dedup_substring_spans",
                  "dedup_embedding_cosine", "corpus_clean", "stream_hourly_agg",
-                 "text_tokens", "text_quality", "text_langid",
+                 "text_tokens", "text_quality",
                  # round-6 rotation: the round-5 flagships certify
                  # externally this round
                  "join_3way_bucketed", "dedup_embedding_topk",
                  "knn_join_exact", "stream_simhash_band_registry",
-                 "decontamination_semantic"}
+                 "decontamination_semantic",
+                 # round-8 rotation: the TPC-H analytics flagships
+                 "market_share_by_year", "late_supplier_ranking",
+                 "regional_nation_revenue", "bilateral_trade_volume",
+                 "returns_revenue_topk"}
     assert flagships <= set(first50)
     # demoted extras still registered (full local gate covers them) —
-    # includes the five rows rotated OUT in round 6, whose §2 ops remain
+    # includes the rows rotated OUT in rounds 6-8, whose §2 ops remain
     # covered by in-window rows
     qs = queries()
     for n in ("scan_jsonl", "profile_lineitem", "audit_access_report",
               "privacy_suppression", "approx_count_distinct_segments_native",
               "percentile_approx_p90_native", "fn_age_calc", "fn_age_bucket",
-              "doc_fingerprint", "text_lang_profile", "percentile_approx_p90"):
+              "doc_fingerprint", "text_lang_profile", "percentile_approx_p90",
+              # rotated out r8 (6-7 rounds driver-green, overlap-covered)
+              "topk_highcost", "window_pct_of_total", "privacy_l_div",
+              "text_langid", "dedup_exact"):
         assert n in qs and n not in first50
