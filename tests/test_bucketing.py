@@ -272,9 +272,10 @@ def test_bucketed_auto_route_refuses_skewed_layout(tmp_path, spark):
 
     sf = str(tmp_path / "sf")
     os.makedirs(sf)
-    src_o = os.path.join(SF_SMOKE, "orders.parquet")
-    (shutil.copytree if os.path.isdir(src_o) else shutil.copy)(
-        src_o, os.path.join(sf, "orders.parquet"))
+    for t in ("orders", "customer"):  # customer: join_3way fallback parity
+        src = os.path.join(SF_SMOKE, f"{t}.parquet")
+        (shutil.copytree if os.path.isdir(src) else shutil.copy)(
+            src, os.path.join(sf, f"{t}.parquet"))
     li = pq.read_table(os.path.join(SF_SMOKE, "lineitem.parquet"))
     keys = li.column("l_orderkey").to_numpy().copy()
     keys[: int(len(keys) * 0.9)] = keys[0]  # 90% hot order
@@ -296,6 +297,31 @@ def test_bucketed_auto_route_refuses_skewed_layout(tmp_path, spark):
         assert attach_order_bucketed_layout_if_present(
             spark, sf, max_bucket_skew=1e9) == (t1, t2)
         assert np is not None
+        # FALLBACK PARITY (r7 verdict item 7): with the skewed layout
+        # present-but-refused, the auto-routing query must land on the
+        # shuffle plan (stamped) AND still match the DuckDB oracle on
+        # this fixture — refusal degrades the plan, never the answer.
+        import duckdb
+
+        from healthcare_data_warehouse_spark.plans import catalog
+
+        decisions.drain()
+        got = catalog.queries()["join_3way"](spark, sf).toPandas()
+        stamped = decisions.drain().get("join_3way", {})
+        assert "bucket size skew" in stamped.get("bucketed_route_refused", "")
+        assert stamped.get("plan") in ("direct", "staged")
+        con = duckdb.connect()
+        for t in ("orders", "customer", "lineitem"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{os.path.join(sf, t + '.parquet')}')")
+        want = con.execute(
+            catalog.oracle_sql()["join_3way"]).fetchdf()
+        con.close()
+        got = got.sort_values("c_mktsegment").reset_index(drop=True)
+        want = want.sort_values("c_mktsegment").reset_index(drop=True)
+        assert got["c_mktsegment"].tolist() == want["c_mktsegment"].tolist()
+        assert got["order_line_count"].tolist() == want["order_line_count"].tolist()
+        assert got["revenue"].tolist() == want["revenue"].tolist()
     finally:
         for t in (t1, t2):
             spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -237,6 +237,13 @@ def check_query(spark, name: str, sf_dir: str) -> list[str]:
                                        entry.containment_cols,
                                        entry.containment_floor,
                                        entry.containment_filter)
+        if entry is not None and entry.band_oracle:
+            con = duck_connection(sf_dir)
+            band_pdf = arrow_to_frame(con.execute(entry.band_oracle).arrow())
+            con.close()
+            if len(band_pdf) != 1:
+                return [f"band oracle returned {len(band_pdf)} rows, want 1"]
+            return list(entry.band_check(spark_pdf, band_pdf.iloc[0]))
         return [] if len(spark_pdf) >= 0 else ["spark query failed"]
     con = duck_connection(sf_dir)
     o_arrow = con.execute(sql).arrow()
@@ -280,6 +287,8 @@ def main() -> int:
                 tag = f" (recall >= {entry.recall_floor:.2f})"
             elif entry is not None and entry.containment_oracle:
                 tag = f" (containment >= {entry.containment_floor:.2f})"
+            elif entry is not None and entry.band_oracle:
+                tag = " (band)"
             else:
                 tag = " (rows-only)"
         print(f"[{status}] {name}{tag}")
