@@ -24,6 +24,11 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+
+def _read_json(path: str):
+    with open(path) as fh:
+        return json.load(fh)
+
 HEADLINE = [
     "agg_by_agegroup",
     "join_3way",
@@ -280,6 +285,14 @@ def main() -> None:
             "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", ""),
             "drift_canary": {"query": "agg_by_agegroup",
                              "sec": timings.get("agg_by_agegroup")},
+            # seeded skew fixtures carry a generator manifest with the
+            # content md5 of the rewritten tables — stamped here so the
+            # skew A/B evidence stays pinned to a reproducible fixture
+            # (regenerate via tools/make_skew_data.py and diff the hash)
+            **({"skew_fixture": _read_json(
+                os.path.join(sf_dir, "_skew_manifest.json"))}
+               if os.path.exists(os.path.join(sf_dir, "_skew_manifest.json"))
+               else {}),
         },
     }))
     spark.stop()

@@ -33,12 +33,26 @@ from pyspark.sql import functions as F
 
 
 def _narrow_profile(df: DataFrame, c: str) -> DataFrame:
-    """One column's full stats row — a single-column scan + hash agg."""
-    return df.select(c).agg(
+    """One column's full stats row — two HASH aggregates, zero sorts.
+
+    Shape matters at scale: the obvious one-shot
+    ``agg(count_distinct(c), min(c), max(c))`` plans count_distinct as
+    a GROUPED phase keyed on the column, and for a string column the
+    var-len min/max buffers demote that phase to SortAggregate — a full
+    per-partition sort of the fact for EVERY profiled string column
+    (the same silent demotion that cost vocab_bigrams 2.2x per scale
+    step; plan shape pinned by tests/test_plan_shapes.py). Splitting it
+    as value-histogram → keyless rollup keeps every buffer in the
+    grouped phase a long (HashAggregate, map-side combine), and the
+    final min/max(string) runs keyless over the distinct values, where
+    SortAggregate needs no Sort (no grouping key to order by)."""
+    g = df.select(c).groupBy(c).agg(F.count(F.lit(1)).alias("__n"))
+    return g.agg(
         F.lit(c).alias("col_name"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.isnull(F.col(c)).cast("long")).alias("n_nulls"),
-        F.count_distinct(F.col(c)).alias("n_distinct"),
+        F.sum("__n").alias("n_rows"),
+        F.coalesce(F.sum(F.when(F.col(c).isNull(), F.col("__n"))),
+                   F.lit(0).cast("long")).alias("n_nulls"),
+        F.count(F.col(c)).alias("n_distinct"),  # rows here ARE distinct values
         F.min(F.col(c)).cast("string").alias("min_str"),
         F.max(F.col(c)).cast("string").alias("max_str"),
     )

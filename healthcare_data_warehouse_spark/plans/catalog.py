@@ -4259,12 +4259,23 @@ def vocab_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation absorbs the fan-out, then
     TakeOrderedAndProject picks the top 50 (no global sort).
 
-    The aggregate GROUPS on the (h1, h2) token-hash pair and carries
-    the token strings as first()-payload, so per-occurrence work is two
-    long hashes instead of a gram-string concat + string group key; the
-    gram text is rebuilt by one concat per DISTINCT pair after the
-    count (measured 3.4x at sf1: 3.0s → 0.9s, byte-identical top-50).
-    Same 64-bit token-collision acceptance as ``text.ngram_hashes``."""
+    The aggregate GROUPS on the raw (w1, w2) token pair with a
+    count-only buffer. String GROUP KEYS keep whole-stage
+    HashAggregate (UnsafeRow var-len keys are fine — it is string
+    aggregation BUFFERS that force SortAggregate), so the per-occurrence
+    cost is one hash-map probe and no gram-string concat; the gram text
+    is rebuilt by one concat per DISTINCT pair after the count. An
+    earlier revision carried the words as first()-payload next to
+    xxhash64 group keys — first(string)'s var-len buffer silently
+    demoted BOTH aggregates to SortAggregate, i.e. a full
+    O(n log n) sort of every exploded occurrence before aggregation:
+    the r7 scale curve read 2.19x wall for 1.67x data at the sf100 step
+    with exactly-linear shuffle bytes (845 MB, SQLMetrics) — the sort,
+    not the shuffle, was the superlinear term. Hash-aggregated, sf100
+    reads 11.5 s where the sorted plan read 53.0 s (min-of-2 fresh-JVM
+    probes, adjacent sessions), and the sf60→sf100 step drops from
+    3.3x to 1.24x for 1.67x data. The plan shape is pinned by
+    tests/test_plan_shapes.py::test_vocab_bigrams_hash_aggregates."""
     from ..operators.skew import spread
     from ..operators.text import tokens
 
@@ -4273,14 +4284,11 @@ def vocab_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.greatest(F.lit(0), F.size(t) - 1)
     pairs = F.zip_with(
         F.slice(t, 1, m), F.slice(t, 2, m),
-        lambda a, b: F.struct(
-            F.xxhash64(a).alias("h1"), F.xxhash64(b).alias("h2"),
-            a.alias("w1"), b.alias("w2")))
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
     hp = (
         d.select(F.explode(pairs).alias("g"))
-        .groupBy("g.h1", "g.h2")
-        .agg(F.count(F.lit(1)).alias("cnt"),
-             F.first("g.w1").alias("w1"), F.first("g.w2").alias("w2"))
+        .groupBy("g.w1", "g.w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (
         hp.select(F.concat_ws(" ", "w1", "w2").alias("gram"), "cnt")

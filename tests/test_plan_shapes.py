@@ -536,3 +536,27 @@ def test_size_gated_operators_record_their_regime(spark, monkeypatch):
     d = got["join_3way"]
     assert d["plan"] == "bucketed"
     assert d["routed_from"] == "join_3way"
+
+
+def test_vocab_bigrams_hash_aggregates(spark):
+    """String group KEYS are HashAggregate-safe; string aggregation
+    BUFFERS are not — a first(string) payload once demoted both bigram
+    aggregates to SortAggregate, i.e. a full per-partition sort of every
+    exploded occurrence (2.2x wall per 1.67x data at the sf100 step with
+    exactly-linear shuffle bytes). Pin the hash shape."""
+    plan = _plan(spark, "vocab_bigrams")
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_profile_has_no_sorted_aggregate_phase(spark):
+    """Profiling min/max(string) + count_distinct in ONE grouped phase
+    sorts the whole fact per string column; the two-phase value-
+    histogram shape keeps every keyed aggregate a HashAggregate. The
+    keyless final rollup may plan as SortAggregate (var-len buffers) —
+    that is fine because with no grouping key it needs NO Sort; what is
+    pinned is the absence of any actual Sort under the profile."""
+    df = catalog.queries()["profile_lineitem"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert not re.search(r"\bSort \[", plan), plan[:2000]

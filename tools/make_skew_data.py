@@ -101,6 +101,36 @@ def main() -> int:
     # fact→fact skew: one hot order owns ~38% of lineitems — the shape
     # where neither join side broadcasts and skew actually decides plans
     rewrite("lineitem", "l_orderkey", "orders", "o_orderkey", 1)
+
+    # Provenance manifest (r7 verdict item 4): the generator is seeded,
+    # so the fixture is a pure function of (src, s, seed) — record the
+    # content md5 of the two rewritten tables so any BENCH record made
+    # on this fixture can assert it ran on THE fixture the committed
+    # evidence used, and a fresh regeneration can be checked against the
+    # committed hash with one diff.
+    import hashlib
+    import json
+
+    def md5_file(path: str) -> str:
+        h = hashlib.md5()
+        with open(path, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 22), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    manifest = {
+        "generator": "tools/make_skew_data.py",
+        "src": os.path.basename(os.path.abspath(src)),
+        "zipf_s": s,
+        "seed": seed,
+        "content_md5": {
+            "orders.parquet": md5_file(os.path.join(dest, "orders.parquet")),
+            "lineitem.parquet": md5_file(os.path.join(dest, "lineitem.parquet")),
+        },
+    }
+    with open(os.path.join(dest, "_skew_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    print(f"_skew_manifest.json: {manifest['content_md5']}")
     return 0
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -87,17 +88,20 @@ def main() -> None:
     rows = []
     for name in subset or bench.HEADLINE:
         try:
-            rows.append((name, audit_query(qs[name](spark, sf_dir))))
+            t0 = time.monotonic()
+            m = audit_query(qs[name](spark, sf_dir))
+            m["wall_s"] = round(time.monotonic() - t0, 2)
+            rows.append((name, m))
         except Exception as e:  # never lose the whole audit to one query
             print(f"[skip] {name}: {e}", file=sys.stderr)
 
     if subset:
         print("| query | exchanges | shuffle MB | shuffle records "
-              "| broadcast MB | spill MB |")
+              "| broadcast MB | spill MB | wall s |")
         for name, m in rows:
             print(f"| {name} | {m['exchanges']} | {m['shuffle_mb']} "
                   f"| {m['shuffle_records']} | {m['broadcast_mb']} "
-                  f"| {m['spill_mb']} |")
+                  f"| {m['spill_mb']} | {m['wall_s']} |")
         spark.stop()
         return
 
