@@ -38,10 +38,17 @@ def brute_force_topk(df: DataFrame, query_vec_id: int, k: int = 10,
     The 1-row query side broadcasts; scoring is a single scan with no
     shuffle; orderBy+limit compiles to TakeOrderedAndProject (per-partition
     top-k, then a k-row merge on the driver) — the exact-search plan you
-    want even at 100 TB."""
+    want even at 100 TB. The scan side is width-guarded
+    (ensure_min_partitions): the per-vector fold is pure CPU, so a
+    row-group-starved file (sf60 fixture: 2 groups → 2 tasks on 32
+    cores, 14-17 s) repartitions to the core budget first (4.9 s
+    measured at sf60 post-guard+relayout); already-wide scans skip the
+    exchange entirely."""
+    from .skew import ensure_min_partitions
+
     q = df.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("__qv"))
     scored = (
-        df.filter(F.col(id_col) != query_vec_id)
+        ensure_min_partitions(df.filter(F.col(id_col) != query_vec_id))
         .crossJoin(F.broadcast(q))
         .select(
             id_col,

@@ -74,6 +74,28 @@ def spread(df: DataFrame, key_col: str, n_partitions: int | None = None) -> Data
     return df.repartition(n, F.col(key_col))
 
 
+def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the plan's partition count is
+    below the core budget — the guard for CPU-amplifying stages above
+    scan-starved inputs.
+
+    Parquet scans split at ROW-GROUP boundaries, so a file with few huge
+    groups caps scan tasks at the group count regardless of cluster
+    width — and AQE never helps because there is no exchange to re-plan.
+    Measured: the sf60 embeddings fixture carried 2×600k-row groups, so
+    every per-vector fold above it ran on 2 of 32 cores (ann_cosine_topk
+    17.2 s; with the guard + relayout 3.1 s; the whole r7 embedding-
+    family scale-curve inversion traced to this). Unlike ``spread`` this
+    is unkeyed (no downstream co-partitioning claim) and a no-op when
+    the scan is already wide enough — the repartition costs one small
+    shuffle of the raw rows, worth it exactly when per-row compute
+    dominates bytes."""
+    n = n or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def blocked_pair_join(df: DataFrame, block_col: str, id_col: str,
                       payload: list[str], buckets: int = 16) -> DataFrame:
     """All unordered within-block pairs — ``a.block = b.block AND

@@ -79,13 +79,33 @@ def _domain_offsets(src: str) -> dict[str, int]:
     return out
 
 
+def rows_per_group(src_path: str) -> int:
+    """Bytes-aimed row-group size: ~32 MB of on-disk bytes per group,
+    clamped to [50k, 1M] rows.
+
+    Why it matters: parquet scans split at ROW-GROUP boundaries, so a
+    file with few huge groups caps scan parallelism at the group count
+    no matter how many cores the cluster has. The original writer
+    emitted one group per stacked copy — sf30×2 gave sf60's embeddings
+    TWO 600k-row groups, and every downstream per-vector fold ran on 2
+    of 32 cores (measured: ann_cosine_topk 17.2 s at sf60 vs 9.4 s at
+    sf100, whose ×10 stacking happened to leave 10 groups — the r7
+    scale-curve inversion for the whole embedding family)."""
+    st = os.stat(src_path)
+    nrows = pq.ParquetFile(src_path).metadata.num_rows
+    bytes_per_row = max(1.0, st.st_size / max(1, nrows))
+    return int(min(1 << 20, max(50_000, (16 << 20) / bytes_per_row)))
+
+
 def scale_table(src: str, dest: str, name: str, k: int,
                 offsets: dict[str, int]) -> int:
-    """Stream the k offset copies through one ParquetWriter (one row
-    group per copy) instead of concatenating them in RAM: peak memory is
-    ONE source-table copy regardless of k, which is what makes sf100
-    (lineitem 600M rows) generatable on this host."""
-    t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+    """Stream the k offset copies through one ParquetWriter (bounded
+    row groups — see rows_per_group) instead of concatenating them in
+    RAM: peak memory is ONE source-table copy regardless of k, which is
+    what makes sf100 (lineitem 600M rows) generatable on this host."""
+    src_path = os.path.join(src, f"{name}.parquet")
+    rg = rows_per_group(src_path)
+    t = pq.read_table(src_path)
     out = os.path.join(dest, f"{name}.parquet")
     n = 0
     with pq.ParquetWriter(out, t.schema) as w:
@@ -102,12 +122,31 @@ def scale_table(src: str, dest: str, name: str, k: int,
                     cols.append(col)
                 piece = pa.table(dict(zip(t.schema.names, cols)),
                                  schema=t.schema)
-            w.write_table(piece)
+            w.write_table(piece, row_group_size=rg)
             n += piece.num_rows
     return n
 
 
+def relayout_table(path: str) -> None:
+    """Content-preserving row-group rewrite of an existing fixture table
+    (same rows, same order; only the group boundaries change) — repairs
+    fixtures written by the pre-fix generator without changing any query
+    result. Usage: python tools/make_scale_data.py --relayout <file>…"""
+    rg = rows_per_group(path)
+    groups = pq.ParquetFile(path).metadata.num_row_groups
+    t = pq.read_table(path)
+    tmp = path + ".relayout"
+    pq.write_table(t, tmp, row_group_size=rg)
+    os.replace(tmp, path)
+    print(f"{path}: {groups} -> {pq.ParquetFile(path).metadata.num_row_groups}"
+          f" row groups ({t.num_rows} rows unchanged)")
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--relayout":
+        for p in sys.argv[2:]:
+            relayout_table(p)
+        return 0
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dest = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         REPO, ".testdata", "sf1")
