@@ -29,6 +29,26 @@ def _read_json(path: str):
     with open(path) as fh:
         return json.load(fh)
 
+
+def _git_sha() -> str:
+    """HEAD sha of the repo this bench ran from, '+dirty' when tracked
+    files differ from it (untracked artifacts don't count — a BENCH
+    output file sitting in the tree isn't an engine change)."""
+    import subprocess
+    try:
+        sha = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip()
+        if not sha:
+            return "unknown"
+        dirty = subprocess.run(
+            ["git", "-C", REPO, "status", "--porcelain",
+             "--untracked-files=no"],
+            capture_output=True, text=True, timeout=10).stdout.strip()
+        return sha + ("+dirty" if dirty else "")
+    except Exception:  # noqa: BLE001 — provenance must not kill a bench
+        return "unknown"
+
 HEADLINE = [
     "agg_by_agegroup",
     "join_3way",
@@ -285,6 +305,13 @@ def main() -> None:
             "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", ""),
             "drift_canary": {"query": "agg_by_agegroup",
                              "sec": timings.get("agg_by_agegroup")},
+            # Engine identity: BENCH artifacts are only evidence about
+            # the code that produced them — r8's committed scale curve
+            # silently predated two headline plan fixes because nothing
+            # tied artifact to commit. A SHA (+dirty flag when the tree
+            # has uncommitted engine changes) makes staleness a
+            # one-diff catch.
+            "engine_git_sha": _git_sha(),
             # seeded skew fixtures carry a generator manifest with the
             # content md5 of the rewritten tables — stamped here so the
             # skew A/B evidence stays pinned to a reproducible fixture
@@ -292,6 +319,13 @@ def main() -> None:
             **({"skew_fixture": _read_json(
                 os.path.join(sf_dir, "_skew_manifest.json"))}
                if os.path.exists(os.path.join(sf_dir, "_skew_manifest.json"))
+               else {}),
+            # scaled fixtures carry the same content-md5 discipline
+            # (tools/make_scale_data.py) — a curve point names the exact
+            # fixture bytes it was timed on
+            **({"scale_fixture": _read_json(
+                os.path.join(sf_dir, "_scale_manifest.json"))}
+               if os.path.exists(os.path.join(sf_dir, "_scale_manifest.json"))
                else {}),
         },
     }))

@@ -49,7 +49,7 @@ def _narrow_profile(df: DataFrame, c: str) -> DataFrame:
     g = df.select(c).groupBy(c).agg(F.count(F.lit(1)).alias("__n"))
     return g.agg(
         F.lit(c).alias("col_name"),
-        F.sum("__n").alias("n_rows"),
+        F.coalesce(F.sum("__n"), F.lit(0).cast("long")).alias("n_rows"),
         F.coalesce(F.sum(F.when(F.col(c).isNull(), F.col("__n"))),
                    F.lit(0).cast("long")).alias("n_nulls"),
         F.count(F.col(c)).alias("n_distinct"),  # rows here ARE distinct values

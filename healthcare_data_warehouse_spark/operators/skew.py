@@ -89,7 +89,15 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     is unkeyed (no downstream co-partitioning claim) and a no-op when
     the scan is already wide enough — the repartition costs one small
     shuffle of the raw rows, worth it exactly when per-row compute
-    dominates bytes."""
+    dominates bytes.
+
+    Placement constraint: the width probe (``df.rdd.getNumPartitions()``)
+    finalizes the physical plan, and under AQE that can eagerly EXECUTE
+    any upstream shuffle stages — work then discarded when the
+    ``repartition()`` re-plans. Call this ONLY directly above a scan
+    (+ narrow filters/projections, no exchange in between), where
+    finalizing is free; for post-shuffle stages use ``spread`` with an
+    explicit count instead."""
     n = n or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)

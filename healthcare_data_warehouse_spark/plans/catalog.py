@@ -112,6 +112,14 @@ def query(name: str, oracle: str | None = None,
           containment_filter: str | None = None,
           band_oracle: str | None = None,
           band_check=None):
+    # A band oracle is only checkable with its paired verifier — a lone
+    # band_oracle would TypeError deep inside the gate (None not
+    # callable) instead of failing loud at definition time.
+    if (band_oracle is None) != (band_check is None):
+        raise ValueError(
+            f"query({name!r}): band_oracle and band_check must be "
+            "provided together")
+
     def deco(fn: QueryFn) -> QueryFn:
         import functools
 
@@ -164,20 +172,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_composite_key", "agg_global_kpis",
     "agg_having", "agg_monthly_trend", "percentile_p90",
     "window_rownumber_keys", "window_patient_features",
-    "window_lead_nextvisit", "fn_readmission_label", "topk_diagnoses",
+    "fn_readmission_label", "topk_diagnoses",
     "union_dq_report",
     # §2 functions / privacy
     "case_visit_cohorts",
     "fn_laplace_noise", "privacy_k_anon", "privacy_t_close",
     "privacy_noise_impact",
     # §2 sources/sinks + repo-owned oracled sketches
-    "scan_table", "upsert_dedup", "audited_read",
+    "audited_read",
     "approx_count_distinct_segments",
     # LLM-pipeline flagships: text metrics
-    "text_tokens", "text_quality",
+    "text_tokens",
     # LLM-pipeline flagships: dedup / curation / streaming
     "dedup_minhash_lsh", "dedup_substring_spans",
-    "dedup_embedding_cosine", "corpus_clean", "stream_hourly_agg",
+    "dedup_embedding_cosine", "corpus_clean",
     # round-5 flagships rotated in for external certification (r6):
     "join_3way_bucketed", "dedup_embedding_topk", "knn_join_exact",
     "stream_simhash_band_registry", "decontamination_semantic",
@@ -212,6 +220,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "market_share_by_year", "late_supplier_ranking",
     "regional_nation_revenue", "bilateral_trade_volume",
     "returns_revenue_topk",
+    # round-9 rotation (r8 verdict item 4): external certification for
+    # the remaining TPC-H analytics flagships, all hard DuckDB-oracled
+    # and local-gate-green since round 2 — min_cost_supplier (Q2
+    # argmin-in-aggregate), excess_qty_suppliers (Q20 semi-join chain),
+    # promo_disjunctive_revenue (Q19 OR-of-ANDs pushdown),
+    # inactive_rich_customers (Q22 anti-join + scalar subquery),
+    # nation_profit_by_year (Q9 6-table profit rollup). Rotated OUT
+    # (driver-green 6-8 rounds, every one overlap-covered and still in
+    # the full local gate): window_lead_nextvisit (W4 —
+    # fn_readmission_label stays on the same LEAD+date-arith shape),
+    # text_quality (text_tokens keeps the text-metrics row),
+    # stream_hourly_agg (stream_user_profiles_v2 +
+    # stream_simhash_band_registry keep streaming certified),
+    # upsert_dedup (S4 — merge_orders_cdc stays for the upsert/MERGE
+    # sink family), scan_table (S3 — scan_partitioned_dpp stays for the
+    # catalog-scan family).
+    "min_cost_supplier", "excess_qty_suppliers",
+    "promo_disjunctive_revenue", "inactive_rich_customers",
+    "nation_profit_by_year",
 )
 
 

@@ -54,8 +54,8 @@ def test_driver_window_is_curated_and_fully_oracled():
     osql = oracle_sql()
     assert all(n in osql for n in first50)
     flagships = {"dedup_minhash_lsh", "dedup_substring_spans",
-                 "dedup_embedding_cosine", "corpus_clean", "stream_hourly_agg",
-                 "text_tokens", "text_quality",
+                 "dedup_embedding_cosine", "corpus_clean",
+                 "text_tokens",
                  # round-6 rotation: the round-5 flagships certify
                  # externally this round
                  "join_3way_bucketed", "dedup_embedding_topk",
@@ -64,7 +64,12 @@ def test_driver_window_is_curated_and_fully_oracled():
                  # round-8 rotation: the TPC-H analytics flagships
                  "market_share_by_year", "late_supplier_ranking",
                  "regional_nation_revenue", "bilateral_trade_volume",
-                 "returns_revenue_topk"}
+                 "returns_revenue_topk",
+                 # round-9 rotation: the remaining TPC-H analytics
+                 # flagships (Q2/Q20/Q19/Q22/Q9)
+                 "min_cost_supplier", "excess_qty_suppliers",
+                 "promo_disjunctive_revenue", "inactive_rich_customers",
+                 "nation_profit_by_year"}
     assert flagships <= set(first50)
     # demoted extras still registered (full local gate covers them) —
     # includes the rows rotated OUT in rounds 6-8, whose §2 ops remain
@@ -76,5 +81,8 @@ def test_driver_window_is_curated_and_fully_oracled():
               "doc_fingerprint", "text_lang_profile", "percentile_approx_p90",
               # rotated out r8 (6-7 rounds driver-green, overlap-covered)
               "topk_highcost", "window_pct_of_total", "privacy_l_div",
-              "text_langid", "dedup_exact"):
+              "text_langid", "dedup_exact",
+              # rotated out r9 (6-8 rounds driver-green, overlap-covered)
+              "window_lead_nextvisit", "text_quality", "stream_hourly_agg",
+              "upsert_dedup", "scan_table"):
         assert n in qs and n not in first50

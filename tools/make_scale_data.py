@@ -80,7 +80,7 @@ def _domain_offsets(src: str) -> dict[str, int]:
 
 
 def rows_per_group(src_path: str) -> int:
-    """Bytes-aimed row-group size: ~32 MB of on-disk bytes per group,
+    """Bytes-aimed row-group size: ~16 MB of on-disk bytes per group,
     clamped to [50k, 1M] rows.
 
     Why it matters: parquet scans split at ROW-GROUP boundaries, so a
@@ -160,6 +160,35 @@ def main() -> int:
     for name in KEYED:
         n = scale_table(src, dest, name, k, offsets)
         print(f"{name}: {n} rows (x{k})")
+
+    # Provenance manifest (r8 verdict item 1, generalizing the skew-
+    # fixture discipline that caught a stale committed bench row): the
+    # fixture is a pure function of (src bytes, k), so stamp the content
+    # md5 of every output table. bench.py copies this into the BENCH
+    # record's provenance, making "which bytes did this curve run on"
+    # a one-diff check against a fresh regeneration.
+    import hashlib
+    import json
+
+    def md5_file(path: str) -> str:
+        h = hashlib.md5()
+        with open(path, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 22), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    manifest = {
+        "generator": "tools/make_scale_data.py",
+        "src": os.path.basename(os.path.abspath(src)),
+        "k": k,
+        "content_md5": {
+            f"{name}.parquet": md5_file(os.path.join(dest, f"{name}.parquet"))
+            for name in COPY_AS_IS + list(KEYED)
+        },
+    }
+    with open(os.path.join(dest, "_scale_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    print(f"_scale_manifest.json written ({len(manifest['content_md5'])} tables)")
     return 0
 
 
