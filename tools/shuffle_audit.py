@@ -51,7 +51,7 @@ def audit_query(df) -> dict[str, int]:
     nodes: list = []
     _walk(plan, nodes)
     shuffle_bytes = shuffle_records = broadcast_bytes = n_exchanges = 0
-    spill_bytes = 0
+    spill_bytes = sort_aggs = sorts = 0
     for n in nodes:
         nm = n.getClass().getSimpleName()
         m = _metrics(n)
@@ -61,6 +61,13 @@ def audit_query(df) -> dict[str, int]:
             shuffle_records += m.get("shuffleRecordsWritten", 0)
         elif "BroadcastExchange" in nm:
             broadcast_bytes += m.get("dataSize", 0)
+        # the r8 lesson: a var-len aggregation buffer silently demotes
+        # HashAggregate to SortAggregate — an n·log n CPU tax that never
+        # shows in exchange metrics. Count them so the audit catches it.
+        elif nm.startswith("SortAggregate"):
+            sort_aggs += 1
+        elif nm == "SortExec":
+            sorts += 1
         # spill shows up on sorts/aggregates/joins under memory pressure
         spill_bytes += m.get("spillSize", 0)
     return {
@@ -69,6 +76,8 @@ def audit_query(df) -> dict[str, int]:
         "shuffle_records": shuffle_records,
         "broadcast_mb": round(broadcast_bytes / 1e6, 3),
         "spill_mb": round(spill_bytes / 1e6, 3),
+        "sort_aggs": sort_aggs,
+        "sorts": sorts,
     }
 
 
@@ -97,11 +106,12 @@ def main() -> None:
 
     if subset:
         print("| query | exchanges | shuffle MB | shuffle records "
-              "| broadcast MB | spill MB | wall s |")
+              "| broadcast MB | spill MB | sortAggs | sorts | wall s |")
         for name, m in rows:
             print(f"| {name} | {m['exchanges']} | {m['shuffle_mb']} "
                   f"| {m['shuffle_records']} | {m['broadcast_mb']} "
-                  f"| {m['spill_mb']} | {m['wall_s']} |")
+                  f"| {m['spill_mb']} | {m['sort_aggs']} | {m['sorts']} "
+                  f"| {m['wall_s']} |")
         spark.stop()
         return
 
@@ -117,14 +127,14 @@ def main() -> None:
         "that shuffles pre-filter rows, shows up here before it shows up in",
         "wall clock at 100 TB.",
         "",
-        "| query | exchanges | shuffle MB | shuffle records | broadcast MB | spill MB |",
-        "|---|---|---|---|---|---|",
+        "| query | exchanges | shuffle MB | shuffle records | broadcast MB | spill MB | sortAggs |",
+        "|---|---|---|---|---|---|---|",
     ]
     for name, m in rows:
         lines.append(
             f"| {name} | {m['exchanges']} | {m['shuffle_mb']} "
             f"| {m['shuffle_records']} | {m['broadcast_mb']} "
-            f"| {m['spill_mb']} |")
+            f"| {m['spill_mb']} | {m['sort_aggs']} |")
     out = os.path.join(REPO, "docs", "SHUFFLES.md")
     # Replace only the header+table; everything from the first "## "
     # section on is hand-written measurement narrative — preserve it.
