@@ -31,9 +31,12 @@ def _read_json(path: str):
 
 
 def _git_sha() -> str:
-    """HEAD sha of the repo this bench ran from, '+dirty' when tracked
-    files differ from it (untracked artifacts don't count — a BENCH
-    output file sitting in the tree isn't an engine change)."""
+    """HEAD sha of the repo this bench ran from, '+dirty' when ENGINE
+    files differ from it. Measurement artifacts (BENCH_*.json,
+    CORRECTNESS_*.json, PROGRESS.jsonl) are excluded even though
+    tracked: a multi-point re-record session rewrites those as it goes,
+    and the flag exists to catch engine-code drift, not the chain's own
+    output landing on disk."""
     import subprocess
     try:
         sha = subprocess.run(
@@ -43,7 +46,10 @@ def _git_sha() -> str:
             return "unknown"
         dirty = subprocess.run(
             ["git", "-C", REPO, "status", "--porcelain",
-             "--untracked-files=no"],
+             "--untracked-files=no", "--",
+             ":(top)", ":(top,exclude)BENCH_*.json",
+             ":(top,exclude)CORRECTNESS_*.json",
+             ":(top,exclude)PROGRESS.jsonl"],
             capture_output=True, text=True, timeout=10).stdout.strip()
         return sha + ("+dirty" if dirty else "")
     except Exception:  # noqa: BLE001 — provenance must not kill a bench
