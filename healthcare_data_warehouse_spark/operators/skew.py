@@ -69,9 +69,63 @@ def spread(df: DataFrame, key_col: str, n_partitions: int | None = None) -> Data
     groupBy/join on the same key reuse the partitioning shuffle-free.
 
     Use ONLY before work whose CPU is much larger than its bytes — for
-    ordinary scans/joins, AQE's sizing is correct."""
-    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordinary scans/joins, AQE's sizing is correct.
+
+    Width is SIZE-AWARE, not a flat core count: the stages this feeds
+    typically fan each input row out ~5-10× (tokenize-explode, shingle,
+    chunk-pair), so the downstream per-partition sort/aggregate holds
+    far more than the input bytes suggest. At defaultParallelism=32 the
+    sf60 documents fixture put ~9.4M exploded gram rows into each
+    doc-window sort of duplicated_spans — 4.9 GB of sort spill that was
+    ZERO at sf30 (audit r9: spill_mb 0 → 4857 for 2× data, shuffle
+    bytes exactly linear). One partition per ~8 MB of INPUT bytes keeps
+    the post-explode sort runs ~64 MB — in-memory at any SF — while the
+    defaultParallelism floor leaves every gate-scale plan unchanged.
+    The 4096 cap bounds task-launch overhead; this is the one exchange
+    AQE cannot size (it sees bytes, not the CPU/fan-out ahead)."""
+    n = n_partitions or max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        min(4096, relation_size_bytes(df) // (8 << 20)),
+    )
     return df.repartition(n, F.col(key_col))
+
+
+def semi_reduce(fact: DataFrame, keys: DataFrame, fact_col: str,
+                key_col: str, cap_bytes: int = 64 << 20) -> DataFrame:
+    """Reduce ``fact`` to rows whose ``fact_col`` appears in
+    ``keys[key_col]`` — a LEFT SEMI join that broadcasts the PROJECTED
+    key set while its width-scaled size estimate fits ``cap_bytes``,
+    and falls back to a shuffle semi (whose selective build side feeds
+    Spark's runtime bloom-filter scan pruning) above it.
+
+    Why this exists (measured, r9): a predicate-only dimension — one
+    whose columns never reach the output, like TPC-H Q8's PROMO part
+    filter — should never force the fact through an exchange. Left to
+    AQE, the Q8 part join broadcast at sf30 but crossed the 10 MB
+    actual-size threshold at sf60, flipping to sort-merge: the full
+    lineitem shuffled on l_partkey and the query's shuffle volume went
+    2,174 → 12,456 MB (5.7× for 2× data), records 5.3×, exchanges
+    5 → 7. Projecting the dim to its join key BEFORE the size gate
+    keeps the estimate (and the physical broadcast) key-width-sized:
+    the key set stays broadcastable for ~18× more data than the full
+    dim rows. A semi join is also exactly right semantically: no
+    duplicate fact rows if the key set ever holds duplicates, and
+    Catalyst knows no build columns survive.
+
+    At 100 TB the gate refuses honestly: ~3.3B PROMO keys estimate
+    ~26 GB ≫ cap, and the shuffle semi takes over with bloom-filter
+    pruning doing the scan-side reduction. The chosen regime is stamped
+    into decisions for bench provenance."""
+    from .. import decisions
+
+    keys_proj = keys.select(key_col)
+    est = relation_size_bytes(keys_proj)
+    cond = fact[fact_col] == keys_proj[key_col]
+    if est <= cap_bytes:
+        decisions.record(**{f"semi_reduce[{fact_col}]": f"broadcast:{est}"})
+        return fact.join(F.broadcast(keys_proj), cond, "leftsemi")
+    decisions.record(**{f"semi_reduce[{fact_col}]": f"shuffle:{est}"})
+    return fact.join(keys_proj, cond, "leftsemi")
 
 
 def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:

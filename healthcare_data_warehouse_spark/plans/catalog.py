@@ -6384,8 +6384,18 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST, ahead of the orders/customer joins; every downstream shuffle
     then carries the reduced fact. Measured at sf30 (fresh JVM, 48g):
     orders-first shuffled 409M records / 9.1 GB in 25.5 s; part-first
-    cuts that to a fraction because the PROMO part subset (~35 MB at
-    sf30) stays broadcastable long after customer stops being so."""
+    cuts that to a fraction.
+
+    The part reduction is a ``semi_reduce``, not an inner join (r9): no
+    part column survives to the output, and the inner-join form fell
+    off AQE's broadcast threshold at sf60 — the full fact shuffled on
+    l_partkey and the query's total shuffle went 2,174 → 12,456 MB
+    (5.7× for 2× data, exchanges 5 → 7; audit_sf60). Broadcasting the
+    PROJECTED key set keeps the fact exchange-free on that key for
+    ~18× more data, and above the 64 MB key-set gate the shuffle semi
+    + runtime bloom pruning takes over (regime stamped)."""
+    from ..operators.skew import semi_reduce
+
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -6395,7 +6405,7 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = _t(spark, sf_dir, "nation").alias("sn")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     vol = (
-        li.join(p, li.l_partkey == p.p_partkey)
+        semi_reduce(li, p, "l_partkey", "p_partkey")
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn.n_nationkey"))
         .join(o, li.l_orderkey == o.o_orderkey)

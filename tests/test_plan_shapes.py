@@ -311,12 +311,76 @@ def test_q22_anti_join_and_bounded_scalar_broadcast(spark):
 
 
 def test_q8_only_bounded_dims_stay_broadcast(spark):
-    """With size-based auto-broadcast disabled, only the three forced
-    hints on genuinely bounded relations (nation x2, region) survive;
-    customer/part/supplier joins fall back to shuffle joins."""
+    """With size-based auto-broadcast disabled, only the explicitly
+    size-gated broadcasts survive: the three forced hints on genuinely
+    bounded relations (nation x2, region) plus the semi_reduce key-set
+    (gated on its own measured 64 MB cap, not the session threshold);
+    customer/supplier joins fall back to shuffle joins."""
     with _no_auto_broadcast(spark):
         plan = _plan(spark, "market_share_by_year")
-        assert plan.count("BroadcastHashJoin") == 3, plan[:800]
+        assert plan.count("BroadcastHashJoin") == 4, plan[:800]
+        assert "LeftSemi" in plan, plan[:800]
+
+
+def test_q8_part_reduction_is_broadcast_semi(spark):
+    """The PROMO part filter is predicate-only (no part column in the
+    output), so the fact must never shuffle on l_partkey: the reduction
+    plans as a broadcast LEFT SEMI on the projected key set (r9 — the
+    inner-join form fell off AQE's broadcast threshold at sf60 and
+    shuffled 5.7x the bytes for 2x the data), with the regime stamped."""
+    from healthcare_data_warehouse_spark import decisions
+
+    decisions.drain()
+    plan = _plan(spark, "market_share_by_year")
+    assert "LeftSemi" in plan, plan[:800]
+    stamped = decisions.drain().get("market_share_by_year", {})
+    assert str(stamped.get("semi_reduce[l_partkey]", "")).startswith(
+        "broadcast:")
+
+
+def test_semi_reduce_gate_refuses_oversized_key_sets(spark):
+    """semi_reduce broadcasts the projected key set only while its
+    width-scaled estimate fits the cap; above it (the 100 TB regime —
+    billions of keys) it falls back to a shuffle semi, stamped."""
+    from healthcare_data_warehouse_spark import decisions
+    from healthcare_data_warehouse_spark.operators.skew import semi_reduce
+
+    fact = spark.range(100).withColumnRenamed("id", "fk")
+    keys = spark.range(50).withColumnRenamed("id", "k")
+    decisions.drain()
+    # with auto-broadcast off, the only possible broadcast is our hint —
+    # its absence proves the gate refused (Catalyst may still broadcast
+    # a genuinely tiny refused side on its own, which is fine)
+    with _no_auto_broadcast(spark):
+        out = semi_reduce(fact, keys, "fk", "k", cap_bytes=1)
+        assert "BroadcastHashJoin" not in out._jdf.queryExecution() \
+            .sparkPlan().toString()
+        assert str(decisions.drain()["<anonymous>"]["semi_reduce[fk]"]) \
+            .startswith("shuffle:")
+        assert out.count() == 50  # semantics identical across regimes
+
+
+def test_spread_width_scales_with_relation_size(spark):
+    """spread() sizes its pinned exchange by input bytes (~8 MB/task,
+    floor defaultParallelism, cap 4096) — the fix for the sf60
+    duplicated_spans sort spill (4.9 GB at width 32, zero when the
+    post-explode runs fit memory)."""
+    from healthcare_data_warehouse_spark.operators import skew
+
+    dp = spark.sparkContext.defaultParallelism
+    small = spark.range(1000).withColumnRenamed("id", "k")
+    assert skew.spread(small, "k").rdd.getNumPartitions() == dp
+    # a relation whose estimated size implies more tasks than cores
+    big = small  # reuse the tiny df; fake the size probe instead of 1 GB of data
+    orig = skew.relation_size_bytes
+    try:
+        skew.relation_size_bytes = lambda df: 1 << 30  # 1 GiB -> 128 tasks
+        assert skew.spread(big, "k").rdd.getNumPartitions() == \
+            max(dp, (1 << 30) // (8 << 20))
+        skew.relation_size_bytes = lambda df: 1 << 50  # absurd -> capped
+        assert skew.spread(big, "k").rdd.getNumPartitions() == 4096
+    finally:
+        skew.relation_size_bytes = orig
 
 
 def test_cross_source_overlap_dedups_before_join(spark):
