@@ -32,11 +32,12 @@ def _read_json(path: str):
 
 def _git_sha() -> str:
     """HEAD sha of the repo this bench ran from, '+dirty' when ENGINE
-    files differ from it. Measurement artifacts (BENCH_*.json,
-    CORRECTNESS_*.json, PROGRESS.jsonl) are excluded even though
-    tracked: a multi-point re-record session rewrites those as it goes,
-    and the flag exists to catch engine-code drift, not the chain's own
-    output landing on disk."""
+    files differ from it. The flag exists to catch engine-code drift,
+    not a measurement round's own outputs landing on disk — so instead
+    of excluding an ever-growing list of artifacts (BENCH_*, docs/*,
+    LEAKCHECK, VERDICT...), the status check is RESTRICTED to the paths
+    whose drift would invalidate a measurement: the engine package, the
+    entry module, bench itself, and tools/."""
     import subprocess
     try:
         sha = subprocess.run(
@@ -47,9 +48,11 @@ def _git_sha() -> str:
         dirty = subprocess.run(
             ["git", "-C", REPO, "status", "--porcelain",
              "--untracked-files=no", "--",
-             ":(top)", ":(top,exclude)BENCH_*.json",
-             ":(top,exclude)CORRECTNESS_*.json",
-             ":(top,exclude)PROGRESS.jsonl"],
+             ":(top)healthcare_data_warehouse_spark/",
+             ":(top)__spark_entry__.py",
+             ":(top)bench.py",
+             ":(top)tools/",
+             ":(top)tests/"],
             capture_output=True, text=True, timeout=10).stdout.strip()
         return sha + ("+dirty" if dirty else "")
     except Exception:  # noqa: BLE001 — provenance must not kill a bench

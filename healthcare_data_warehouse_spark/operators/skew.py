@@ -82,7 +82,17 @@ def spread(df: DataFrame, key_col: str, n_partitions: int | None = None) -> Data
     the post-explode sort runs ~64 MB — in-memory at any SF — while the
     defaultParallelism floor leaves every gate-scale plan unchanged.
     The 4096 cap bounds task-launch overhead; this is the one exchange
-    AQE cannot size (it sees bytes, not the CPU/fan-out ahead)."""
+    AQE cannot size (it sees bytes, not the CPU/fan-out ahead).
+
+    Placement constraint (default width only): the size probe is
+    Catalyst's size-ONLY estimator, which passes filters through
+    un-reduced and MULTIPLIES across joins — above a join or a selective
+    filter it can estimate orders of magnitude high and silently pin the
+    exchange at the 4096 cap for tiny data. Call with the default width
+    only directly above a scan (+ narrow projections); for post-join or
+    post-filter inputs pass ``n_partitions`` explicitly. (Same class of
+    constraint as ``ensure_min_partitions``, different mechanism: there
+    the probe finalizes the plan, here the estimate inflates.)"""
     n = n_partitions or max(
         df.sparkSession.sparkContext.defaultParallelism,
         min(4096, relation_size_bytes(df) // (8 << 20)),
@@ -115,7 +125,18 @@ def semi_reduce(fact: DataFrame, keys: DataFrame, fact_col: str,
     At 100 TB the gate refuses honestly: ~3.3B PROMO keys estimate
     ~26 GB ≫ cap, and the shuffle semi takes over with bloom-filter
     pruning doing the scan-side reduction. The chosen regime is stamped
-    into decisions for bench provenance."""
+    into decisions for bench provenance.
+
+    Estimate semantics under size-only stats (no CBO): a Filter above
+    ``keys`` does NOT reduce Catalyst's sizeInBytes, so ``est`` is the
+    PRE-filter key-column size — for a selective dim filter (Q8's PROMO
+    part is ~1/6) the gate refuses the broadcast proportionally earlier
+    than the actual key set requires. Safe direction (the fallback is
+    the shuffle semi + bloom pruning), but it means ``cap_bytes`` caps
+    the unfiltered key width: call sites with selective filters that
+    want the full headroom should scale ``cap_bytes`` by the expected
+    selectivity rather than trusting the 64 MB default to mean 64 MB of
+    surviving keys."""
     from .. import decisions
 
     keys_proj = keys.select(key_col)

@@ -79,6 +79,16 @@ def _domain_offsets(src: str) -> dict[str, int]:
     return out
 
 
+def md5_file(path: str) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 22), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def rows_per_group(src_path: str) -> int:
     """Bytes-aimed row-group size: ~16 MB of on-disk bytes per group,
     clamped to [50k, 1M] rows.
@@ -140,6 +150,24 @@ def relayout_table(path: str) -> None:
     os.replace(tmp, path)
     print(f"{path}: {groups} -> {pq.ParquetFile(path).metadata.num_row_groups}"
           f" row groups ({t.num_rows} rows unchanged)")
+    # The rewrite changes the file BYTES (group boundaries) even though
+    # no row changes, so the sibling _scale_manifest.json's content_md5
+    # must be refreshed or bench.py stamps a stale hash into BENCH
+    # provenance — the exact fixture/artifact mismatch the manifest
+    # exists to catch.
+    import json
+
+    mpath = os.path.join(os.path.dirname(os.path.abspath(path)),
+                         "_scale_manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+        key = os.path.basename(path)
+        if key in manifest.get("content_md5", {}):
+            manifest["content_md5"][key] = md5_file(path)
+            with open(mpath, "w") as fh:
+                json.dump(manifest, fh, indent=1, sort_keys=True)
+            print(f"_scale_manifest.json: {key} md5 refreshed")
 
 
 def main() -> int:
@@ -167,15 +195,7 @@ def main() -> int:
     # md5 of every output table. bench.py copies this into the BENCH
     # record's provenance, making "which bytes did this curve run on"
     # a one-diff check against a fresh regeneration.
-    import hashlib
     import json
-
-    def md5_file(path: str) -> str:
-        h = hashlib.md5()
-        with open(path, "rb") as fh:
-            for chunk in iter(lambda: fh.read(1 << 22), b""):
-                h.update(chunk)
-        return h.hexdigest()
 
     manifest = {
         "generator": "tools/make_scale_data.py",

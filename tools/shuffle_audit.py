@@ -127,14 +127,14 @@ def main() -> None:
         "that shuffles pre-filter rows, shows up here before it shows up in",
         "wall clock at 100 TB.",
         "",
-        "| query | exchanges | shuffle MB | shuffle records | broadcast MB | spill MB | sortAggs |",
-        "|---|---|---|---|---|---|---|",
+        "| query | exchanges | shuffle MB | shuffle records | broadcast MB | spill MB | sortAggs | sorts |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for name, m in rows:
         lines.append(
             f"| {name} | {m['exchanges']} | {m['shuffle_mb']} "
             f"| {m['shuffle_records']} | {m['broadcast_mb']} "
-            f"| {m['spill_mb']} | {m['sort_aggs']} |")
+            f"| {m['spill_mb']} | {m['sort_aggs']} | {m['sorts']} |")
     out = os.path.join(REPO, "docs", "SHUFFLES.md")
     # Replace only the header+table; everything from the first "## "
     # section on is hand-written measurement narrative — preserve it.
