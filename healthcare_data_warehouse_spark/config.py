@@ -36,14 +36,18 @@ STAGED_JOIN_CUTOVER_BYTES = int(
     os.environ.get("SPARK_GRAFT_STAGED_JOIN_BYTES", str(512 << 20))
 )
 
-# Corpus size above which the bulk approximate k-NN join switches from
-# the recall-calibrated probe-fraction regime (total work a fixed 0.75
-# of the quadratic — right while the corpus fits it) to the
-# fixed-list-size regime (n_lists ~ rows/1250, fixed probe count: cost
-# per row constant, total linear — the 100 TB shape). Same size-gate
-# discipline as STAGED_JOIN_CUTOVER_BYTES; stamped into decisions.
-ANN_JOIN_FIXED_LIST_CUTOVER_ROWS = int(
-    os.environ.get("SPARK_GRAFT_ANN_JOIN_CUTOVER_ROWS", "100000")
+# Bulk approximate k-NN regime OVERRIDE (r10): the recall_fraction →
+# fixed_list_size cutover is decided by the per-block cost model in
+# operators/similarity.ann_regime_costs (whichever regime estimates
+# fewer scored candidates per row — they cross at 20k rows, and the
+# old 100k row threshold left a measured superlinear pocket between:
+# sf3 ann_knn_join ran SLOWER than sf10 on the committed r9 curve).
+# Set SPARK_GRAFT_ANN_JOIN_CUTOVER_ROWS to force a row threshold for
+# A/B probes and regime tests (0 = always fixed-list); unset (default)
+# = cost model. Stamped into decisions either way.
+ANN_JOIN_FIXED_LIST_CUTOVER_ROWS = (
+    int(os.environ["SPARK_GRAFT_ANN_JOIN_CUTOVER_ROWS"])
+    if "SPARK_GRAFT_ANN_JOIN_CUTOVER_ROWS" in os.environ else None
 )
 
 # When the ingest-time order-bucketed layout is already materialized

@@ -729,24 +729,72 @@ def _gemm_pair_survivors(e: DataFrame, group_cols: list[str],
         _score, schema="id_a long, id_b long, cosine_sim double")
 
 
-def routed_ivf_params(max_big_rows: int) -> dict:
-    """IVF knobs for routed oversized blocks, following ``ann_knn_join``'s
-    size-gate: below the fixed-list cutover the knobless recall_fraction
-    defaults apply (total work a fixed fraction of the quadratic — fine
-    while blocks fit it); above it, n_lists scales with the LARGEST
-    routed block (~1,250 rows/list at a fixed probe count), so per-row
-    scoring cost is CONSTANT as blocks grow — the linear 100 TB regime
-    (measured: sf30→sf60 doubles exactly with data on ann_knn_join).
-    Sized on the max block because ``ivf_knn_join`` shares one quantizer
-    across blocks: smaller routed blocks just see fewer members per list,
-    never more."""
+#: rows per IVF list in the fixed-list regime (the r5 scaling-measurement
+#: shape: constant rows/list ⇒ constant per-row scoring cost).
+ROUTED_LIST_ROWS = 1250
+#: n_lists of the knobless recall_fraction regime (ivf_knn_join default).
+ROUTED_DEFAULT_LISTS = 16
+#: fixed probe count of the fixed-list regime.
+ROUTED_FIXED_PROBE = 12
+
+
+def ann_regime_costs(rows: int,
+                     target_recall: float = DEFAULT_TARGET_RECALL) -> dict:
+    """Estimated scored candidates PER ROW under each bulk-ANN regime —
+    the cost model the cutover decides on (r9 verdict item 1: the old
+    row-count threshold left a superlinear mid-scale pocket where the
+    fraction regime kept running after the fixed-list regime was
+    already cheaper).
+
+    - ``recall_fraction`` (knobless default): 16 lists, probe count from
+      the measured recall table (12 at the 0.9 target) — candidates/row
+      ≈ rows × n_probe/16, a fixed 0.75 FRACTION of the quadratic.
+    - ``fixed_list_size``: n_lists = ceil(rows / 1250) at probe 12 —
+      candidates/row ≈ 12 × 1250 = 15,000, CONSTANT.
+
+    The regimes cross where rows × probe/16 = probe × rows/n_lists,
+    i.e. where ceil(rows/1250) exceeds 16: rows = 20,000 — far below
+    the old 100k threshold, which is exactly the measured pocket
+    (sf3 ann_knn_join 28.2 s > sf10 25.1 s; dedup_embedding_topk sf30
+    103.5 s > sf60 66.1 s on the committed r9 curve)."""
     import math
 
+    n_probe_frac = resolve_n_probe(ROUTED_DEFAULT_LISTS, target_recall)
+    n_lists = max(1, math.ceil(rows / ROUTED_LIST_ROWS))
+    return {
+        "rows": int(rows),
+        "fraction_cand_per_row": rows * n_probe_frac / ROUTED_DEFAULT_LISTS,
+        "fixed_cand_per_row": ROUTED_FIXED_PROBE * rows / n_lists,
+        "fixed_n_lists": n_lists,
+    }
+
+
+def routed_ivf_params(max_big_rows: int,
+                      target_recall: float = DEFAULT_TARGET_RECALL) -> dict:
+    """IVF knobs for routed oversized blocks / bulk k-NN corpora: the
+    regime cutover is the PER-BLOCK COST MODEL in ``ann_regime_costs``
+    — whichever regime estimates fewer scored candidates per row wins,
+    so the wall curve is monotone in data size by construction (min of
+    a linear and a constant per-row cost). Empty dict = keep the
+    knobless recall_fraction defaults; otherwise the fixed-list knobs
+    (n_lists scaled to ~1,250 rows/list on the LARGEST routed block —
+    ``ivf_knn_join`` shares one quantizer across blocks, and smaller
+    routed blocks just see fewer members per list, never more).
+
+    ``config.ANN_JOIN_FIXED_LIST_CUTOVER_ROWS`` (env
+    SPARK_GRAFT_ANN_JOIN_CUTOVER_ROWS) remains as an explicit OVERRIDE
+    row threshold for A/B probes and regime tests; unset (the default)
+    means the cost model decides."""
     from ..config import ANN_JOIN_FIXED_LIST_CUTOVER_ROWS
 
-    if max_big_rows > ANN_JOIN_FIXED_LIST_CUTOVER_ROWS:
-        n_lists = int(math.ceil(max_big_rows / 1250))
-        return {"n_lists": n_lists, "n_probe": 12,
+    costs = ann_regime_costs(max_big_rows, target_recall)
+    if ANN_JOIN_FIXED_LIST_CUTOVER_ROWS is not None:
+        use_fixed = max_big_rows > ANN_JOIN_FIXED_LIST_CUTOVER_ROWS
+    else:
+        use_fixed = costs["fixed_cand_per_row"] < costs["fraction_cand_per_row"]
+    if use_fixed:
+        n_lists = costs["fixed_n_lists"]
+        return {"n_lists": n_lists, "n_probe": ROUTED_FIXED_PROBE,
                 "sample_cap": max(4096, 4 * n_lists)}
     return {}
 
@@ -1215,11 +1263,13 @@ def cosine_topk_per_row_blas(df: DataFrame, block_col: str, id_col: str,
         # Size the routed IVF from the actual oversized-block stats (one
         # tiny agg job — block_col cardinality rows; replaces the eager
         # quantizer-sample job ivf_knn_join used to run even when no
-        # block was oversized). n_lists scales with the largest routed
-        # block (routed_ivf_params): at a FIXED 16 lists, per-row cost
-        # grows with block size and the sf60 curve read 2.9× wall for 2×
-        # data; constant rows/list makes the routed path linear, same as
-        # ann_knn_join's fixed_list_size regime.
+        # block was oversized). The regime comes from routed_ivf_params'
+        # COST MODEL (r10): every routable block (> 32,768 rows) sits
+        # above the 20k fraction/fixed-list cost crossover, so routed
+        # blocks always get fixed-list knobs — the r9 row-count threshold
+        # (100k) left 32k–100k blocks in the fraction regime and the
+        # committed sf30 point (65k blocks) measured 103.5 s vs 66.1 s at
+        # sf60 under fixed-list: a non-monotone pocket, now closed.
         big_stats = counts.filter(F.col("__n") > max_block_rows).collect()
         if big_stats:
             big = e.filter(F.col("__n") > max_block_rows)

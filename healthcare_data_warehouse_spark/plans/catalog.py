@@ -3133,13 +3133,18 @@ def dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oversized blocks ROUTE through the ``ivf_knn_join`` decomposition
     (candidates bounded at n_probe·k per row — no corpus-wide candidate
     window, which is where the exact path's only measured spill lived at
-    sf30: 7.1 GB of window sort over 65k-row blocks). The 32k cutover
-    sits above every gate fixture's largest block (sf0.01 59, sf0.1 218,
-    sf10 21.8k — all EXACT, oracle hash-parity intact) and below sf30's
-    65.4k, so the bench scale point exercises the routed regime at the
-    pinned >=0.9 recall target. Regime config is stamped for bench
-    provenance; the runtime split is data-dependent (decided per block
-    from broadcast counts, no extra eager scan)."""
+    sf30: 7.1 GB of window sort over 65k-row blocks). The 32k routing
+    guard sits above every gate fixture's largest block (sf0.01 59,
+    sf0.1 218, sf10 21.8k — all EXACT, oracle hash-parity intact) and
+    below sf30's 65.4k, so the bench scale point exercises the routed
+    regime at the pinned >=0.9 recall target. Routed blocks take
+    fixed-list IVF knobs by ``routed_ivf_params``' cost model (r10:
+    every routable block is above the 20k fraction/fixed-list cost
+    crossover; the old 100k row threshold left sf30's 65k blocks in
+    the fraction regime — the measured non-monotone pocket, sf30
+    103.5 s > sf60 66.1 s on the r9 curve). Regime config is stamped
+    for bench provenance; the runtime split is data-dependent (decided
+    per block from broadcast counts, no extra eager scan)."""
     from .. import decisions
     from ..operators.similarity import cosine_topk_per_row_blas
 
@@ -3486,41 +3491,47 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-list grouped-map GEMM (striped, task-memory bounded) → bounded
     per-source window.
 
-    TWO stamped regimes, size-gated (same discipline as join_3way):
+    TWO stamped regimes, COST-MODEL gated (r10 — the r9 row-count
+    threshold left a measured superlinear pocket: sf3 28.2 s > sf10
+    25.1 s on the committed curve; `similarity.ann_regime_costs` picks
+    whichever regime estimates fewer scored candidates per row, so the
+    wall curve is monotone by construction):
 
-    - ≤100k rows — ``recall_fraction``: the knobless default (probe
-      12/16 via the 0.9 recall-target calibration; recall 0.947
-      measured, pinned by pytest against brute force). Total work is a
-      fixed FRACTION (0.75) of the quadratic — the right trade while
-      the corpus fits it, and the regime every gate fixture runs.
-    - >100k rows — ``fixed_list_size``: n_lists scales with the corpus
-      (~1,250 rows/list, the r5 scaling-measurement shape) at a fixed
-      probe COUNT, so cost per row is CONSTANT and total work linear —
-      the 100 TB regime (measured 10× rows = 8.6× wall). Recall in this
-      regime follows the corpus's cluster structure: near-uniform
-      synthetic vectors are the worst case (the quantizer has nothing
-      to exploit); real embedding corpora cluster, which is what makes
-      fixed-probe IVF the standard production ANN shape (Jégou 2011).
+    - ``recall_fraction``: the knobless default (probe 12/16 via the
+      0.9 recall-target calibration; recall 0.947 measured, pinned by
+      pytest against brute force). Candidates/row = 0.75 × corpus —
+      cheaper below 20k rows, the regime every gate fixture runs.
+    - ``fixed_list_size``: n_lists scales with the corpus (~1,250
+      rows/list, the r5 scaling-measurement shape) at a fixed probe
+      COUNT, so candidates/row is a CONSTANT 15,000 and total work
+      linear — the 100 TB regime (measured 10× rows = 8.6× wall).
+      Recall in this regime follows the corpus's cluster structure:
+      near-uniform synthetic vectors are the worst case (the quantizer
+      has nothing to exploit); real embedding corpora cluster, which is
+      what makes fixed-probe IVF the standard production ANN shape
+      (Jégou 2011).
 
     Approximate by construction — no SQL oracle; rows-only + recall
     test. The exact twin ``knn_join_exact`` is hash-certified."""
-    import math
-
     from .. import decisions
-    from ..config import ANN_JOIN_FIXED_LIST_CUTOVER_ROWS
-    from ..operators.similarity import ivf_knn_join
+    from ..operators.similarity import (ann_regime_costs, ivf_knn_join,
+                                        routed_ivf_params)
 
     e = _t(spark, sf_dir, "embeddings")
     n = e.count()
-    if n > ANN_JOIN_FIXED_LIST_CUTOVER_ROWS:
-        n_lists = int(math.ceil(n / 1250))
+    costs = ann_regime_costs(n)
+    knobs = routed_ivf_params(n)
+    if knobs:
         decisions.record(plan="fixed_list_size", n_rows=n,
-                         n_lists=n_lists, n_probe=12,
-                         cutover_rows=ANN_JOIN_FIXED_LIST_CUTOVER_ROWS)
-        return ivf_knn_join(e, k=5, n_lists=n_lists, n_probe=12,
-                            sample_cap=max(4096, 4 * n_lists))
+                         n_lists=knobs["n_lists"], n_probe=knobs["n_probe"],
+                         cand_per_row_fixed=round(costs["fixed_cand_per_row"]),
+                         cand_per_row_fraction=round(
+                             costs["fraction_cand_per_row"]))
+        return ivf_knn_join(e, k=5, **knobs)
     decisions.record(plan="recall_fraction", n_rows=n,
-                     cutover_rows=ANN_JOIN_FIXED_LIST_CUTOVER_ROWS)
+                     cand_per_row_fixed=round(costs["fixed_cand_per_row"]),
+                     cand_per_row_fraction=round(
+                         costs["fraction_cand_per_row"]))
     return ivf_knn_join(e, k=5)
 
 

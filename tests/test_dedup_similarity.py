@@ -487,29 +487,48 @@ def test_cosine_pairs_oversize_error_and_low_threshold(spark):
     assert got == base
 
 
-def test_routed_ivf_params_fixed_list_scaling():
-    """Routed oversized blocks follow ann_knn_join's size gate: below
-    the fixed-list cutover the knobless defaults apply; above it,
-    n_lists scales with the largest block at ~1,250 rows/list and a
-    fixed probe count — constant per-row cost, linear total (the sf60
-    super-linearity fix)."""
+def test_routed_ivf_params_cost_model_cutover():
+    """The recall_fraction → fixed_list_size cutover is the per-block
+    COST MODEL (r10, closing the r9 superlinear pocket): whichever
+    regime estimates fewer scored candidates per row wins. Fraction
+    cost is linear in rows (0.75·rows), fixed-list cost is a constant
+    (12 × 1,250 = 15,000), so they cross at exactly 20,000 rows — far
+    below the old 100k row threshold whose pocket the committed r9
+    curve measured (sf3 ann_knn_join 28.2 s > sf10 25.1 s)."""
     import math
 
-    from healthcare_data_warehouse_spark.config import (
-        ANN_JOIN_FIXED_LIST_CUTOVER_ROWS,
-    )
     from healthcare_data_warehouse_spark.operators.similarity import (
+        ann_regime_costs,
         routed_ivf_params,
     )
 
-    assert routed_ivf_params(50_000) == {}
-    assert routed_ivf_params(ANN_JOIN_FIXED_LIST_CUTOVER_ROWS) == {}
+    # below/at the crossover the knobless fraction defaults stay
+    assert routed_ivf_params(500) == {}
+    assert routed_ivf_params(20_000) == {}
+    c = ann_regime_costs(20_000)
+    assert c["fraction_cand_per_row"] == c["fixed_cand_per_row"] == 15_000
+    # just above, fixed-list is strictly cheaper and engages — the old
+    # threshold left 20k–100k in the fraction regime (the pocket)
+    k21 = routed_ivf_params(21_250)
+    assert k21["n_lists"] == math.ceil(21_250 / 1250)
+    assert ann_regime_costs(60_000)["fraction_cand_per_row"] == 45_000
     k130 = routed_ivf_params(130_000)
     assert k130["n_lists"] == math.ceil(130_000 / 1250)
     assert k130["n_probe"] == 12
     assert k130["sample_cap"] == max(4096, 4 * k130["n_lists"])
     # constant rows/list: doubling the block doubles the list count
     assert routed_ivf_params(260_000)["n_lists"] == 2 * k130["n_lists"]
+    # the env/config override still forces a row threshold for A/B
+    from healthcare_data_warehouse_spark import config
+
+    old = config.ANN_JOIN_FIXED_LIST_CUTOVER_ROWS
+    try:
+        config.ANN_JOIN_FIXED_LIST_CUTOVER_ROWS = 100_000
+        assert routed_ivf_params(60_000) == {}
+        config.ANN_JOIN_FIXED_LIST_CUTOVER_ROWS = 0
+        assert routed_ivf_params(500)["n_lists"] == 1
+    finally:
+        config.ANN_JOIN_FIXED_LIST_CUTOVER_ROWS = old
 
 
 def test_nn_top1_oversize_guard(spark):
