@@ -168,16 +168,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # §2 scans/filters/joins/aggregates/windows (Q1-Q17 core)
     "project_filter", "filter_date_range",
     "join_fact_dims", "join_3way", "leftjoin_agg",
-    "antijoin_incremental", "scalar_subquery", "agg_by_agegroup",
-    "agg_composite_key", "agg_global_kpis",
-    "agg_having", "agg_monthly_trend", "percentile_p90",
+    "agg_by_agegroup",
+    "agg_composite_key",
+    "agg_having", "agg_monthly_trend",
     "window_rownumber_keys", "window_patient_features",
     "fn_readmission_label", "topk_diagnoses",
     "union_dq_report",
     # §2 functions / privacy
-    "case_visit_cohorts",
     "fn_laplace_noise", "privacy_k_anon", "privacy_t_close",
-    "privacy_noise_impact",
     # §2 sources/sinks + repo-owned oracled sketches
     "audited_read",
     "approx_count_distinct_segments",
@@ -239,6 +237,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "min_cost_supplier", "excess_qty_suppliers",
     "promo_disjunctive_revenue", "inactive_rich_customers",
     "nation_profit_by_year",
+    # round-10 rotation (r9 verdict item 5): external certification for
+    # never-driver-seen strong locals — join_asof +
+    # attribution_last_touch (the as-of/temporal-join family,
+    # operators/temporal.py, never externally certified),
+    # scan_jsonl + scan_orc (beyond-reference source formats),
+    # skew_salted_join (the salted-replication join the skew decision
+    # tree falls back to when AQE is off), and highcost_above_p90 (the
+    # Q7 percentile-CTE flagship). All hard DuckDB-oracled. Rotated OUT
+    # (driver-green 6-9 rounds, each overlap-covered and still in the
+    # full local gate): percentile_p90 (A6 — highcost_above_p90 coming
+    # IN is the same exact-percentile shape inside a CTE),
+    # scalar_subquery + antijoin_incremental (J5/J6 —
+    # inactive_rich_customers stays: Q22 IS an anti-join against a
+    # scalar-subquery threshold), agg_global_kpis (A4/A7 —
+    # agg_by_agegroup's multi-agg and Q22's scalar AVG keep the rows),
+    # case_visit_cohorts (F10 — promo_disjunctive_revenue stays on the
+    # same CASE/OR-of-ANDs row), privacy_noise_impact (F8 —
+    # fn_laplace_noise keeps the F4/F8/F9 noise-expression family).
+    "join_asof", "attribution_last_touch", "scan_jsonl", "scan_orc",
+    "skew_salted_join", "highcost_above_p90",
 )
 
 
