@@ -314,6 +314,16 @@ def main() -> None:
             "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", ""),
             "drift_canary": {"query": "agg_by_agegroup",
                              "sec": timings.get("agg_by_agegroup")},
+            # Second canary, SHUFFLE-bound (r9 verdict item 3): the
+            # scan-bound agg canary alone cannot normalize per-query
+            # noise on shuffle-heavy rows — the r9 round-over-round
+            # call was ambiguous exactly because one sub-second canary
+            # dominated the normalization. skew_auto_join is the
+            # fact⋈fact sort-merge + aggregate: its wall tracks shuffle
+            # machinery (exchange write/read, sort buffers), the other
+            # half of this host's drift. bench_compare geomeans both.
+            "drift_canary_shuffle": {"query": "skew_auto_join",
+                                     "sec": timings.get("skew_auto_join")},
             # Engine identity: BENCH artifacts are only evidence about
             # the code that produced them — r8's committed scale curve
             # silently predated two headline plan fixes because nothing

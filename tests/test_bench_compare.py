@@ -218,3 +218,46 @@ def test_containment_band_composite_key():
     assert compare_containment(
         got, truth, ("customer_id", "visit_id"), 0.8,
         "predicted_readmit == 1") == []
+
+
+def _bench2(queries, scan=None, shuffle=None):
+    doc = {"metric": "headline_queries_total",
+           "value": round(sum(queries.values()), 3),
+           "queries": queries, "provenance": {}}
+    if scan is not None:
+        doc["provenance"]["drift_canary"] = {
+            "query": "agg_by_agegroup", "sec": scan}
+    if shuffle is not None:
+        doc["provenance"]["drift_canary_shuffle"] = {
+            "query": "skew_auto_join", "sec": shuffle}
+    return doc
+
+
+def test_two_canaries_geomean_scale():
+    """With both the scan-bound and the shuffle-bound canary present on
+    both runs (r9 item 3), the normalization factor is the geometric
+    mean of the two ratios — one noisy canary no longer dominates."""
+    from bench_compare import canary_scale
+
+    # scan canary says host 2x slower, shuffle canary says 8x slower:
+    # geomean = 4x. A query that ran 4x slower raw is exactly drift.
+    old = _bench2({"q1": 1.0}, scan=0.5, shuffle=1.0)
+    new = _bench2({"q1": 4.0}, scan=1.0, shuffle=8.0)
+    s = canary_scale(old, new)
+    assert abs(s - 0.25) < 1e-9  # old/new factor
+    rows, flagged, normalized = compare(old, new, ratio=1.5)
+    assert normalized and flagged == []
+    assert abs(rows[0][4] - 1.0) < 1e-9
+
+
+def test_second_canary_missing_on_one_run_degrades_to_one():
+    """A run pair where only one side carries the shuffle canary must
+    normalize by the scan canary alone (backward compatible with every
+    pre-r10 BENCH artifact)."""
+    from bench_compare import canary_scale
+
+    old = _bench2({"q1": 1.0}, scan=0.5)
+    new = _bench2({"q1": 2.0}, scan=1.0, shuffle=3.0)
+    assert abs(canary_scale(old, new) - 0.5) < 1e-9
+    _, flagged, normalized = compare(old, new, ratio=1.5)
+    assert normalized and flagged == []

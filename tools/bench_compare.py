@@ -40,14 +40,35 @@ def canary_sec(doc: dict) -> float | None:
     return float(sec) if sec else None
 
 
+def canary_scale(old: dict, new: dict) -> float | None:
+    """Host-speed factor old/new from the drift canaries, or None when
+    either run lacks one. When BOTH runs carry the second (shuffle-bound)
+    canary (r9 item 3: one sub-second scan canary cannot normalize
+    per-query noise on shuffle-heavy rows), the factor is the GEOMETRIC
+    MEAN of the two canaries' ratios — scan-bound and shuffle-bound
+    drift move independently on this host, and the geomean keeps one
+    noisy canary from dominating the round-over-round call."""
+    import math
+
+    ratios = []
+    for key in ("drift_canary", "drift_canary_shuffle"):
+        o = ((old.get("provenance") or {}).get(key) or {}).get("sec")
+        n = ((new.get("provenance") or {}).get(key) or {}).get("sec")
+        if o and n:
+            ratios.append(float(o) / float(n))
+    if not ratios:
+        return None
+    return math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+
+
 def compare(old: dict, new: dict, ratio: float = 1.5):
     """Pure comparison core (pytest-able): returns (rows, flagged,
     normalized?) where rows are (name, t_old, t_new, raw_ratio,
     norm_ratio) and flagging uses norm_ratio when both runs carry a
     drift canary, raw_ratio otherwise."""
-    c_old, c_new = canary_sec(old), canary_sec(new)
-    normalized = c_old is not None and c_new is not None
-    scale = (c_old / c_new) if normalized else 1.0
+    s = canary_scale(old, new)
+    normalized = s is not None
+    scale = s if normalized else 1.0
     flagged, rows = [], []
     for name, t_new in new["queries"].items():
         t_old = old["queries"].get(name)
@@ -85,8 +106,14 @@ def main() -> None:
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     rows, flagged, normalized = compare(old, new, ratio)
     if normalized:
-        print(f"canary old={canary_sec(old)}s new={canary_sec(new)}s "
-              f"(host speed factor {canary_sec(new) / canary_sec(old):.2f}x; "
+        s = canary_scale(old, new)
+        n_can = sum(
+            1 for key in ("drift_canary", "drift_canary_shuffle")
+            if ((old.get("provenance") or {}).get(key) or {}).get("sec")
+            and ((new.get("provenance") or {}).get(key) or {}).get("sec"))
+        print(f"canary scale old/new={s:.3f} ({n_can} canar"
+              f"{'ies, geomean' if n_can > 1 else 'y'}; scan "
+              f"old={canary_sec(old)}s new={canary_sec(new)}s; "
               "flagging on NORMALIZED ratio)")
     else:
         print("no drift canary on one/both runs — flagging on RAW ratio")
