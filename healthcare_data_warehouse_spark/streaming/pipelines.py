@@ -39,17 +39,24 @@ EVENT_SCHEMA = T.StructType([
 ])
 
 
-def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_event_stream(spark: SparkSession, sf_dir: str,
+                      path_glob: str = "events.parquet",
+                      max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over the events parquet (schema pinned — a
     streaming source can't infer). At scale this is the same code over a
-    cloud-storage path with maxFilesPerTrigger tuned."""
+    cloud-storage path with maxFilesPerTrigger tuned — which is exactly
+    what ``max_files_per_trigger`` exposes (AvailableNow honors it, so a
+    multi-file input drains as a genuine MULTI-BATCH incremental run:
+    the shape tools/stream_scale_probe.py measures state growth on).
+    ``path_glob`` widens the single-file driver layout to staged
+    multi-file tables (documents-000.parquet …)."""
     # File-source streams take a directory; the glob narrows it to the
     # events table (a single-file "table" in the driver layout).
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(EVENT_SCHEMA) \
+        .option("pathGlobFilter", path_glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(sf_dir)
     # NTZ → LTZ cast: watermarks require tz-aware event time
     # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). The session TZ is
     # pinned to UTC (session.tune_session), so the cast is an exact

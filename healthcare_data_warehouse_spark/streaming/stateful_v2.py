@@ -216,16 +216,24 @@ class UserProfileProcessor(StatefulProcessor):
         pass
 
 
-def streaming_user_profiles_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_user_profiles_v2(spark: SparkSession, sf_dir: str,
+                               path_glob: str = "events.parquet",
+                               max_files_per_trigger: int | None = None,
+                               ) -> DataFrame:
     """Watermarked stream → v2 stateful per-user profile updates.
 
     The returned plan is unstarted; start it under ``tws_session(spark)``
     so the RocksDB provider (and, when vendored, the worker-side protobuf
-    zip) is in place at query start."""
+    zip) is in place at query start. ``path_glob`` /
+    ``max_files_per_trigger`` pass through to the file source for the
+    multi-batch scale probes (tools/stream_scale_probe.py)."""
     from .pipelines import read_event_stream
 
     ensure_tws_runtime(spark)
-    ev = read_event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    ev = read_event_stream(
+        spark, sf_dir, path_glob=path_glob,
+        max_files_per_trigger=max_files_per_trigger,
+    ).withWatermark("ts", "2 hours")
     return ev.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserProfileProcessor(),
         outputStructType=OUTPUT_SCHEMA_V2,
@@ -288,9 +296,14 @@ class SimhashBandRegistryProcessor(StatefulProcessor):
 
 def streaming_simhash_band_registry(spark: SparkSession, sf_dir: str,
                                     bits: int = 48,
-                                    band_bits: int = 12) -> DataFrame:
+                                    band_bits: int = 12,
+                                    path_glob: str = "documents.parquet",
+                                    max_files_per_trigger: int | None = None,
+                                    ) -> DataFrame:
     """Document stream → banded SimHash → per-band running registry.
-    Returned plan is unstarted; start under ``tws_session(spark)``."""
+    Returned plan is unstarted; start under ``tws_session(spark)``.
+    ``path_glob`` / ``max_files_per_trigger`` pass through to the file
+    source for the multi-batch scale probes."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -304,11 +317,11 @@ def streaming_simhash_band_registry(spark: SparkSession, sf_dir: str,
         T.StructField("source", T.StringType()),
         T.StructField("n_chars", T.LongType()),
     ])
-    docs = (
-        spark.readStream.schema(doc_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(doc_schema) \
+        .option("pathGlobFilter", path_glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    docs = reader.parquet(sf_dir)
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     # Arrow signature pass, not the per-doc expression: bit-identical
