@@ -261,3 +261,21 @@ def test_second_canary_missing_on_one_run_degrades_to_one():
     assert abs(canary_scale(old, new) - 0.5) < 1e-9
     _, flagged, normalized = compare(old, new, ratio=1.5)
     assert normalized and flagged == []
+
+
+def test_subset_probe_not_flagged():
+    # A deliberate subset probe (SPARK_GRAFT_BENCH_ONLY drift A/B): the
+    # new run measures a small fraction of the old composition — the
+    # unmeasured rows are skipped, not treated as vanished.
+    old = _bench({f"q{i}": 1.0 for i in range(40)}, canary=1.0)
+    new = _bench({"q0": 1.0, "q1": 1.2}, canary=1.0)
+    _, flagged, _ = compare(old, new, ratio=1.5)
+    assert flagged == []
+
+
+def test_subset_probe_with_real_error_still_flags():
+    old = _bench({f"q{i}": 1.0 for i in range(40)}, canary=1.0)
+    new = _bench({"q0": 1.0}, canary=1.0)
+    new["errors"] = {"q1": "OOM"}
+    _, flagged, _ = compare(old, new, ratio=1.5)
+    assert [f[0] for f in flagged] == ["q1"]

@@ -84,9 +84,22 @@ def compare(old: dict, new: dict, ratio: float = 1.5):
     # "errors" and drops it from "queries") or silently vanished from the
     # new run must not slip past the gate just because there is no timing
     # to ratio: treat both as infinitely-regressed and flag them.
+    # EXCEPT when the new run is a deliberate subset probe
+    # (SPARK_GRAFT_BENCH_ONLY — the per-query drift-A/B workflow the
+    # RUNBOOK prescribes): comparing a 6-query probe against a full
+    # 42-query record used to flag the 36 unmeasured rows as ERROR and
+    # exit 1, making the gate useless for exactly the comparison the
+    # tool exists for. Missing >25% of the old composition AND at least
+    # 5 queries means "subset" (one or two vanished rows in a
+    # same-composition comparison still flag), and unmeasured rows are
+    # then skipped silently (real errors in the new run still flag).
     new_errors = new.get("errors") or {}
+    missing = [n for n in old["queries"]
+               if n not in new["queries"] and n not in new_errors]
+    subset_probe = (len(missing) >= 5
+                    and len(missing) > 0.25 * len(old["queries"]))
     for name, t_old in old["queries"].items():
-        if name in new["queries"]:
+        if name in new["queries"] or (subset_probe and name in missing):
             continue
         inf = float("inf")
         rows.append((name, t_old, None, inf, inf if normalized else None))
@@ -123,6 +136,13 @@ def main() -> None:
               f"{t_new if t_new is not None else 'ERROR':>8} "
               f"{f'{raw:.2f}' if raw else '-':>6} "
               f"{f'{norm:.2f}' if norm is not None else '-':>6}")
+    new_errors = new.get("errors") or {}
+    unmeasured = [n for n in old["queries"]
+                  if n not in new["queries"] and n not in new_errors]
+    if len(unmeasured) >= 5 and len(unmeasured) > 0.25 * len(old["queries"]):
+        print(f"\nsubset probe: {len(unmeasured)} of "
+              f"{len(old['queries'])} old queries not measured "
+              "(skipped, not flagged)")
     print(f"\ntotal: old={old['value']} new={new['value']} "
           f"({len(flagged)} queries over {ratio}x"
           f"{' canary-normalized' if normalized else ''})")
