@@ -80,7 +80,11 @@ def get_spark(app_name: str = "healthcare-dw-spark", cpus: int | None = None) ->
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # `or` (not a .get default): an EMPTY env value must also fall
+        # back — spark-submit rejects --driver-memory "" with "Driver
+        # memory must be a positive number" before the JVM even starts
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM") or "8g")
         .config("spark.ui.enabled", "false")
     )
     if "spark.master" not in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):

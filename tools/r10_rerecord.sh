@@ -36,6 +36,9 @@ TD=.testdata
 # runs at sf0.1, minutes apart, on the four >=1.4x-normalized r9 rows
 # plus both canaries ------------------------------------------------------
 AB_Q="agg_by_agegroup,skew_auto_join,returns_revenue_topk,dedup_substring_spans,dedup_embedding_topk,late_supplier_ranking"
+if [ -s .r10/drift_ab_run2.json ]; then
+  log "drift A/B already recorded — skipping (rm .r10/drift_ab_run*.json to redo)"
+else
 log "drift A/B run 1 (sf0.1 subset)"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_ONLY="$AB_Q" \
   python bench.py 2>> .r10/chain.log | tail -1 > .r10/drift_ab_run1.json
@@ -50,9 +53,10 @@ python tools/bench_compare.py BENCH_sf0.1.json .r10/drift_ab_run1.json 1.4 \
   > .r10/drift_ab_vs_r9_run1.txt || true
 python tools/bench_compare.py BENCH_sf0.1.json .r10/drift_ab_run2.json 1.4 \
   > .r10/drift_ab_vs_r9_run2.txt || true
+fi
 
 # --- plain curve ----------------------------------------------------------
-bench /root/testdata/sf0.1 BENCH_sf0.1.json ""
+bench /root/testdata/sf0.1 BENCH_sf0.1.json 8g
 bench "$TD/sf1"  BENCH_sf1.json  16g
 bench "$TD/sf3"  BENCH_sf3.json  16g
 bench "$TD/sf10" BENCH_sf10.json 24g
