@@ -17,7 +17,7 @@ log() { echo "[$(date +%H:%M:%S)] $*" | tee -a .r10/chain.log; }
 
 bench() { # sf_dir out mem
   log "bench $1 -> $2 (mem=$3)"
-  SPARK_GRAFT_SF_DIR="$PWD/$1" SPARK_GRAFT_DRIVER_MEM="$3" \
+  SPARK_GRAFT_SF_DIR="$(realpath "$1")" SPARK_GRAFT_DRIVER_MEM="$3" \
     python bench.py 2>> .r10/chain.log | tail -1 > "$2"
   python - "$2" <<'PY' | tee -a .r10/chain.log
 import json, sys
