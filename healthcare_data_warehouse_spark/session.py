@@ -88,7 +88,15 @@ def get_spark(app_name: str = "healthcare-dw-spark", cpus: int | None = None) ->
         .config("spark.ui.enabled", "false")
     )
     if "spark.master" not in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
-        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]"))
+        # local[N,3]: allow 3 task attempts, mirroring a real cluster's
+        # spark.task.maxFailures (which local mode IGNORES — the retry
+        # count only comes from the master string). Without it one
+        # transient Python-worker death aborts a whole 50-minute curve
+        # point: the r10 sf100 bench lost dedup_embedding_topk to a
+        # single worker crash that a lone retry would have absorbed
+        # (the query passes standalone at the same scale and knobs).
+        builder = builder.master(
+            os.environ.get("SPARK_GRAFT_MASTER", f"local[{n},3]"))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     _quiet_known_benign_warnings(spark)
