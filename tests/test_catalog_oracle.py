@@ -75,7 +75,7 @@ def test_driver_window_is_curated_and_fully_oracled():
     # includes the rows rotated OUT in rounds 6-8, whose §2 ops remain
     # covered by in-window rows
     qs = queries()
-    for n in ("scan_jsonl", "profile_lineitem", "audit_access_report",
+    for n in ("profile_lineitem", "audit_access_report",
               "privacy_suppression", "approx_count_distinct_segments_native",
               "percentile_approx_p90_native", "fn_age_calc", "fn_age_bucket",
               "doc_fingerprint", "text_lang_profile", "percentile_approx_p90",
@@ -84,5 +84,9 @@ def test_driver_window_is_curated_and_fully_oracled():
               "text_langid", "dedup_exact",
               # rotated out r9 (6-8 rounds driver-green, overlap-covered)
               "window_lead_nextvisit", "text_quality", "stream_hourly_agg",
-              "upsert_dedup", "scan_table"):
+              "upsert_dedup", "scan_table",
+              # rotated out r10 (6-9 rounds driver-green, overlap-covered)
+              "percentile_p90", "scalar_subquery", "antijoin_incremental",
+              "agg_global_kpis", "case_visit_cohorts",
+              "privacy_noise_impact"):
         assert n in qs and n not in first50
