@@ -235,3 +235,31 @@ def test_schema_evolution_scan_types_and_nulls(spark):
     nulls = df.filter(F.col("c_acctbal").isNull()).count()
     evens = df.filter(F.col("c_custkey") % 2 == 0).count()
     assert nulls == evens and evens > 0
+
+
+def test_load_table_relation_cache_hit_and_invalidation(spark, tmp_path):
+    """load_table caches the resolved relation per session+path (metadata
+    only — re-deriving schema/file lists per call is pure driver
+    overhead), and a rewrite of the table files must invalidate it."""
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    sf_dir = str(tmp_path)
+    path = os.path.join(sf_dir, "orders.parquet")
+    src = load_table(spark, SF_SMOKE, "orders").limit(10)
+    src.write.mode("overwrite").parquet(path)
+
+    a = load_table(spark, sf_dir, "orders")
+    b = load_table(spark, sf_dir, "orders")
+    assert a is b  # same files -> cached relation object
+    assert a.count() == 10
+
+    # second call from the same base dir also hits (the bench shape)
+    assert load_table(spark, SF_SMOKE, "orders") is load_table(
+        spark, SF_SMOKE, "orders")
+
+    # rewrite -> stamp changes -> fresh relation that sees the new rows
+    src2 = load_table(spark, SF_SMOKE, "orders").limit(3)
+    src2.write.mode("overwrite").parquet(path)
+    c = load_table(spark, sf_dir, "orders")
+    assert c is not a
+    assert c.count() == 3
