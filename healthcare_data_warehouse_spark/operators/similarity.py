@@ -391,11 +391,13 @@ def _pq_codebooks(df: DataFrame, m: int, codebook_k: int, vec_col: str,
     ~16 points per centroid per dimension. This is the round-4 fix for
     the 34 s MLlib-KMeans build (8 sequential distributed fits of
     per-job overhead for milliseconds of actual math)."""
-    rows = (
+    # Arrow transfer (toPandas), not a pickled-row collect — same rows,
+    # same order, measured ~0.4 s cheaper at sf0.1 (guide §6).
+    sample = (
         df.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(sample_cap).select(vec_col).collect()
+        .limit(sample_cap).select(vec_col).toPandas()[vec_col]
     )
-    X = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    X = np.array([np.asarray(v, dtype=np.float64) for v in sample])
     dim = X.shape[1]
     sub = dim // m
     assert sub * m == dim, f"dim {dim} not divisible by m={m}"
@@ -1512,14 +1514,19 @@ def ivf_knn_join(df: DataFrame, id_col: str = "vec_id",
         norm(F.col(vec_col)).alias("__norm"),
     ).filter(F.col("__norm") > 0.0)
 
-    rows = (
+    # toPandas, not collect: the sample is a few thousand array<double>
+    # rows, and the py4j row path pickles every element (measured 0.4 s
+    # slower than the Arrow transfer at sf0.1 for bit-identical values;
+    # guide §6 "Arrow for driver transfers"). Row order (the md5
+    # hash-sample order that seeds k-means++) is preserved either way.
+    sample = (
         e.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
-        .limit(sample_cap).select("__vec").collect()
+        .limit(sample_cap).select("__vec").toPandas()["__vec"]
     )
-    if not rows:
+    if len(sample) == 0:
         return df.sparkSession.createDataFrame(
             [], "src long, dst long, cosine_sim double")
-    X = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    X = np.array([np.asarray(v, dtype=np.float64) for v in sample])
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     C = _kmeans_np(X, n_lists, seed)
     if n_probe is None:
@@ -1575,7 +1582,26 @@ def ivf_knn_join(df: DataFrame, id_col: str = "vec_id",
         base_w = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         base_w = 200
-    n_wide = max(base_w, min(base_w * 8, max(int(n_lists), 1) * 4))
+    # Width is SIZE-AWARE (r10, guide §2.2): the old flat
+    # max(base_w, n_lists*4) pinned BOTH exchanges at 64 for the default
+    # 16 lists regardless of data — at gate scale (2k rows, ~13 MB of
+    # probe rows) that is 64 grouped-map tasks of which 48 are EMPTY,
+    # and an empty applyInPandas task still pays its Arrow/worker
+    # round-trip (measured: the two 64-task stages dominate the query's
+    # sf0.1 wall). Estimated post-explode probe bytes (input relation ×
+    # n_probe; the estimator sits scan-adjacent per spread()'s placement
+    # rule) at ~4 MB/task reproduce the r9-measured zero-spill point
+    # exactly — at sf30 (2.4 GB of probe rows) the formula caps at the
+    # SAME base_w*8 = 256 the r9 fix measured spill-free — while
+    # tiny inputs stop paying for empty width. Floors: base_w when the
+    # groups could use every core (n_lists*4 >= base_w — collisions
+    # leave ~1/e of hash buckets empty, so 4x headroom), else the list
+    # count itself (more width than groups is pure empty-task overhead).
+    from .skew import relation_size_bytes
+
+    probe_bytes = relation_size_bytes(e) * npb
+    floor_w = min(base_w, max(int(n_lists), 1) * 4)
+    n_wide = max(floor_w, min(base_w * 8, probe_bytes // (4 << 20)))
 
     def _score(key, pdf):
         mem = pdf[pdf["rank"] == 0]
