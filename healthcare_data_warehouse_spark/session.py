@@ -159,9 +159,27 @@ def tune_session(spark: SparkSession) -> SparkSession:
         # co-bucketed SortMergeJoin
         ("spark.sql.legacy.bucketedTableScan.outputOrdering", "true"),
     ):
+        # Check-before-set (r10, measured): RuntimeConfig.set is ~13 ms
+        # of py4j round-trip per key while conf.get is ~0.3 ms, and this
+        # function runs on EVERY query invocation through the entry
+        # wrapper — the blind 8-set loop cost ~104 ms/call, ~8 s across
+        # one 42-query bench (2 timed runs each). Reading first keeps
+        # the repair property (a drifted conf is still fixed) at ~3 ms
+        # steady state. conf.get returns the EFFECTIVE value (built-in
+        # defaults included), so an already-correct default is skipped.
+        try:
+            if spark.conf.get(key) == val:
+                continue
+        except Exception:
+            pass  # unset and defaultless: fall through to set
         try:
             spark.conf.set(key, val)
         except Exception:
             pass  # immutable in this session; loaders have fallbacks
-    _quiet_known_benign_warnings(spark)
+    if not getattr(spark, "_hdw_quieted", False):
+        _quiet_known_benign_warnings(spark)  # ~32 ms of py4j/log4j work
+        try:
+            spark._hdw_quieted = True
+        except Exception:
+            pass
     return spark
