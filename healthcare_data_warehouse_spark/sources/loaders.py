@@ -45,11 +45,14 @@ def _events_ts_fixup(df: DataFrame) -> DataFrame:
     return df
 
 
-def _table_stamp(path: str):
+def _table_stamp(path: str, _depth: int = 2):
     """Content fingerprint of a parquet table path (dir or single file):
-    (name, size, mtime_ns) of the path and its immediate entries. Any
-    rewrite — overwrite, append, compaction — changes it. Returns None
-    when the path is unreadable (caller must not cache)."""
+    (name, size, mtime_ns) of the path and its entries, recursing
+    ``_depth`` directory levels so a partitioned layout
+    (``dt=2031-01-01/part-*.parquet``) whose leaf files are rewritten
+    in place still changes the stamp. Any rewrite — overwrite, append,
+    compaction — changes it. Returns None when the path is unreadable
+    or nested deeper than ``_depth`` (caller must not cache)."""
     try:
         st = os.stat(path)
         if not os.path.isdir(path):
@@ -57,12 +60,36 @@ def _table_stamp(path: str):
         entries = []
         with os.scandir(path) as it:
             for e in it:
-                s = e.stat()
-                entries.append((e.name, s.st_size, s.st_mtime_ns))
+                if e.is_dir(follow_symlinks=False):
+                    if _depth <= 0:
+                        return None  # too deep to fingerprint: don't cache
+                    sub = _table_stamp(e.path, _depth - 1)
+                    if sub is None:
+                        return None
+                    entries.append((e.name, -1, sub))
+                else:
+                    s = e.stat()
+                    entries.append((e.name, s.st_size, s.st_mtime_ns))
         entries.sort()
         return (st.st_mtime_ns, tuple(entries))
     except OSError:
         return None
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """The events table ships nanosecond INT64 timestamps; the batch
+    reader needs ``nanosAsLong`` at SCAN time, so it must hold on every
+    load — including relation-cache hits, where a mid-session
+    ``RESET`` would otherwise fail the cached relation's next action.
+    Check-before-set: ``conf.get`` is ~0.3 ms vs ~13 ms for a py4j
+    ``conf.set`` (the r10 tune_session measurement)."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        current = spark.conf.get(key)
+    except Exception:
+        current = None
+    if current != "true":
+        spark.conf.set(key, "true")
 
 
 def load_table(spark: SparkSession, sf_dir: str | None, name: str) -> DataFrame:
@@ -79,14 +106,24 @@ def load_table(spark: SparkSession, sf_dir: str | None, name: str) -> DataFrame:
     from the parquet bytes; no results or intermediates are reused. A
     file-stamp check (size+mtime of the dir entries) invalidates the
     entry whenever the table's files change, so rewritten fixtures are
-    re-resolved."""
+    re-resolved.
+
+    Each call returns ``cached.alias(name)`` — a FRESH Dataset over the
+    shared resolved plan (r11, from the r10 advice). The alias is one
+    cheap py4j wrap (~1 ms, vs the 136 ms resolution it replaces) and
+    restores per-call object identity: two loads of the same table can
+    be attribute-joined (``a["k"] == b["k"]`` disambiguates instead of
+    hitting AMBIGUOUS_SELF_JOIN or a trivially-true condition), and one
+    caller's ``persist()``/``unpersist()`` operates on its own handle.
+    CacheManager still substitutes shared-scan persists because alias
+    nodes are stripped from canonicalized plans."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.environ.get("SPARK_GRAFT_NO_RELCACHE"):  # A/B escape hatch
         if name == "events":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            return _events_ts_fixup(spark.read.parquet(path))
-        return spark.read.parquet(path)
+            _ensure_nanos_conf(spark)
+            return _events_ts_fixup(spark.read.parquet(path)).alias(name)
+        return spark.read.parquet(path).alias(name)
     try:
         cache = spark._hdw_table_cache
     except AttributeError:
@@ -95,19 +132,22 @@ def load_table(spark: SparkSession, sf_dir: str | None, name: str) -> DataFrame:
             spark._hdw_table_cache = cache
         except Exception:  # exotic session proxy: fall back to uncached
             cache = None
+    if name == "events":
+        # On every load, hit or miss: the conf must hold at scan time,
+        # and a cached relation's scan happens at the NEXT action.
+        _ensure_nanos_conf(spark)
     stamp = _table_stamp(path)
     if cache is not None and stamp is not None:
         hit = cache.get(path)
         if hit is not None and hit[0] == stamp:
-            return hit[1]
+            return hit[1].alias(name)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = _events_ts_fixup(spark.read.parquet(path))
     else:
         df = spark.read.parquet(path)
     if cache is not None and stamp is not None:
         cache[path] = (stamp, df)
-    return df
+    return df.alias(name)
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

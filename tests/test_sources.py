@@ -250,16 +250,62 @@ def test_load_table_relation_cache_hit_and_invalidation(spark, tmp_path):
 
     a = load_table(spark, sf_dir, "orders")
     b = load_table(spark, sf_dir, "orders")
-    assert a is b  # same files -> cached relation object
-    assert a.count() == 10
-
-    # second call from the same base dir also hits (the bench shape)
-    assert load_table(spark, SF_SMOKE, "orders") is load_table(
-        spark, SF_SMOKE, "orders")
+    # same files -> one cached resolved relation (the shared underlying
+    # plan), wrapped in a FRESH alias per call (r11: per-call handles)
+    assert path in spark._hdw_table_cache
+    underlying = spark._hdw_table_cache[path][1]
+    assert a is not b  # fresh per-call handles over...
+    assert spark._hdw_table_cache[path][1] is underlying  # ...one relation
+    assert a.count() == 10 and b.count() == 10
 
     # rewrite -> stamp changes -> fresh relation that sees the new rows
     src2 = load_table(spark, SF_SMOKE, "orders").limit(3)
     src2.write.mode("overwrite").parquet(path)
+    stamped = spark._hdw_table_cache[path][0]
     c = load_table(spark, sf_dir, "orders")
-    assert c is not a
+    assert spark._hdw_table_cache[path][0] != stamped
     assert c.count() == 3
+
+
+def test_load_table_twice_is_attribute_joinable(spark):
+    """r10 advice (medium): two loads of the same table must be
+    attribute-joinable — a['k'] == b['k'] has to disambiguate as a
+    self-join instead of raising AMBIGUOUS_SELF_JOIN or silently
+    becoming a trivially-true condition on one shared object."""
+    from healthcare_data_warehouse_spark.sources.loaders import load_table
+
+    a = load_table(spark, SF_SMOKE, "nation")
+    b = load_table(spark, SF_SMOKE, "nation")
+    joined = a.join(b, a["n_regionkey"] == b["n_regionkey"])
+    n = a.count()
+    # 25 nations over 5 regions, 5 each -> 5 * 5^2 = 125 pairs; the
+    # trivially-true-condition failure mode would return n^2 = 625.
+    assert joined.count() == 125
+    assert n == 25
+
+
+def test_table_stamp_recurses_into_partition_dirs(tmp_path):
+    """r10 advice (low): a partitioned table whose leaf files are
+    rewritten in place (same names, same subdir entry set) must change
+    the stamp."""
+    import time as _time
+
+    from healthcare_data_warehouse_spark.sources.loaders import _table_stamp
+
+    tbl = tmp_path / "t.parquet"
+    part = tbl / "dt=2031-01-01"
+    part.mkdir(parents=True)
+    leaf = part / "part-0.parquet"
+    leaf.write_bytes(b"one")
+    s1 = _table_stamp(str(tbl))
+    assert s1 is not None
+    _time.sleep(0.002)
+    leaf.write_bytes(b"two+")  # same name, new size/mtime
+    s2 = _table_stamp(str(tbl))
+    assert s2 is not None and s2 != s1
+
+    # deeper than the fingerprint depth -> refuse to stamp (no caching)
+    deep = part / "x" / "y"
+    deep.mkdir(parents=True)
+    (deep / "f").write_bytes(b"z")
+    assert _table_stamp(str(tbl)) is None
