@@ -191,18 +191,29 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
                         max_bucket_size: int = 64) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
-    Docs sharing any band hash land in one bucket; a self-join *within
-    buckets* yields pairs. The only shuffles are the signature groupBy and
-    the bucket join — bucket sizes are small by construction EXCEPT when a
-    band hash is degenerate (e.g. every empty doc hashes identically), which
-    would make the within-bucket join quadratic. The skew guard drops
-    buckets larger than ``max_bucket_size`` BEFORE the join: a bucket of
-    size s contributes s·(s-1)/2 pairs, so the cap bounds the join output at
+    Docs sharing any band hash land in one bucket; all id-ordered pairs
+    *within buckets* are candidates. Bucket sizes are small by
+    construction EXCEPT when a band hash is degenerate (e.g. every empty
+    doc hashes identically), which would make the within-bucket pairing
+    quadratic. The skew guard drops buckets larger than
+    ``max_bucket_size`` BEFORE pairing: a bucket of size s contributes
+    s·(s-1)/2 pairs, so the cap bounds the output at
     ``buckets × max_bucket_size²/2`` regardless of input skew. Degenerate
     buckets are near-exact duplicates anyway — the exact-dedup pass
-    (``drop_exact_dups``) owns those. The bucket-size window reuses the
-    (band, band_hash) hash-partitioning the self-join needs, so the guard
-    costs no extra shuffle."""
+    (``drop_exact_dups``) owns those.
+
+    Pairing is ARRAY-native (r11, guide §2.4 — collapse same-key
+    stages): the bucket-size window, the per-bucket id list, and the
+    pair fan-out all run on ONE (band, band_hash) hash-partitioning —
+    the window installs it, the groupBy reuses it (no second exchange),
+    and the pairs explode from a ≤``max_bucket_size`` sorted array
+    task-locally. The pre-r11 within-bucket self-join computed the same
+    pairs by joining the capped bucket stream against itself — one more
+    exchange plus an 8.9 MB broadcast build at sf0.1, and at 100 TB a
+    broadcast (or sort-merge re-sort) of the ENTIRE capped banded
+    relation, all replaced by the per-bucket array whose size the guard
+    already bounds. Output identical: same buckets, same a<b pairs,
+    same distinct."""
     from pyspark.sql import Window
 
     rows_per_band = num_hashes // bands
@@ -227,13 +238,27 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .filter(F.col("__bucket_n") <= max_bucket_size)
         .drop("__bucket_n")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # One agg on the window's own partitioning (no exchange), then all
+    # ordered pairs from the sorted, guard-bounded id array: element i
+    # pairs with every later element (1-indexed slice from i+2), giving
+    # exactly the a<b pairs of the old self-join.
+    bucket_ids = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    pairs = F.flatten(F.transform(
+        F.col("__ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("__ids"), i + F.lit(2),
+                    F.size(F.col("__ids"))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    ))
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_hash") == F.col("b.band_hash"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        bucket_ids.select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.id_a").alias("id_a"),
+                F.col("__p.id_b").alias("id_b"))
         .distinct()
     )
 
