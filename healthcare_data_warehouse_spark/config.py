@@ -50,6 +50,29 @@ ANN_JOIN_FIXED_LIST_CUTOVER_ROWS = (
     if "SPARK_GRAFT_ANN_JOIN_CUTOVER_ROWS" in os.environ else None
 )
 
+# ivf_knn_join pinned-exchange width OVERRIDE (r11): width is normally
+# derived from the data (probe bytes / 4 MB, capped by base_w·8 and by
+# 4 partitions per scoring group — similarity.ivf_knn_join). Set
+# SPARK_GRAFT_ANN_WIDE to pin both exchanges to a fixed width for
+# interleaved A/B probes (e.g. the r10 formula's value). Unset = derive.
+ANN_WIDE_OVERRIDE = (
+    int(os.environ["SPARK_GRAFT_ANN_WIDE"])
+    if "SPARK_GRAFT_ANN_WIDE" in os.environ else None
+)
+
+# spread()'s data-derived width floor (r11): a CPU-spreading exchange
+# gets min(defaultParallelism, input_bytes // this) partitions, so a
+# byte-tiny input stops paying one task per core in fixed per-task
+# overhead (the 8c-faster-than-32c inversion the r10 driver scaling
+# block measured), while anything >= cores x quantum keeps the full
+# core fan-out. Default 64 KB/task: the CPU-amplifying stages this
+# feeds (tokenize/shingle/decode, ~50x fan-out) turn 64 KB of input
+# into a few ms of real work — comparable to the task's fixed cost, the
+# break-even. 0 restores the unconditional core floor (A/B arm).
+SPREAD_MIN_TASK_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MIN_TASK_BYTES", str(64 << 10))
+)
+
 # When the ingest-time order-bucketed layout is already materialized
 # (sources/bucketing.py), order-grained queries auto-route onto it —
 # the zero-fact-exchange plan becomes the DEFAULT path rather than a

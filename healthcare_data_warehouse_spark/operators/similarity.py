@@ -998,7 +998,11 @@ def cosine_pairs_blas(df: DataFrame, block_col: str, id_col: str,
                 knn = ivf_knn_join(
                     big.select("__blk", "__id", "__vec"),
                     id_col="__id", vec_col="__vec", block_col="__blk",
-                    k=cap_k, threshold=thr, **knobs)
+                    k=cap_k, threshold=thr,
+                    # exact stats (the derived frame's Catalyst estimate
+                    # inflates — r10 advice; counts already in hand)
+                    rows_hint=sum(r["__bn"] for r in big_stats),
+                    n_blocks_hint=len(big_stats), **knobs)
                 # A pair can be reported from both endpoints' top-k with
                 # (rarely) different GEMM bits — canonicalize on the id
                 # pair and keep the max, a deterministic reduction.
@@ -1288,7 +1292,13 @@ def cosine_topk_per_row_blas(df: DataFrame, block_col: str, id_col: str,
                 big.select("__blk", "__id", "__vec"),
                 id_col="__id", vec_col="__vec", block_col="__blk",
                 k=k, threshold=threshold,
-                target_recall=route_target_recall, **knobs)
+                target_recall=route_target_recall,
+                # exact stats from the block agg: the routed input is a
+                # derived frame (post-join/filter) whose Catalyst size
+                # estimate inflates — r10 advice — and the real counts
+                # are already in hand
+                rows_hint=sum(r["__n"] for r in big_stats),
+                n_blocks_hint=len(big_stats), **knobs)
     elif max_block_rows is not None and on_oversize == "error":
         msg = (
             f"cosine_topk_per_row_blas: a block exceeds "
@@ -1454,7 +1464,9 @@ def ivf_knn_join(df: DataFrame, id_col: str = "vec_id",
                  stripe_rows: int = 1024,
                  target_recall: float = DEFAULT_TARGET_RECALL,
                  block_col: str | None = None,
-                 threshold: float | None = None) -> DataFrame:
+                 threshold: float | None = None,
+                 rows_hint: int | None = None,
+                 n_blocks_hint: int | None = None) -> DataFrame:
     """Bulk APPROXIMATE k-NN self-join: every row's top-k cosine
     neighbors in ONE pass over an IVF decomposition — the 100 TB path
     for corpus-wide neighbor listings where the exact operators
@@ -1500,6 +1512,15 @@ def ivf_knn_join(df: DataFrame, id_col: str = "vec_id",
     operator keeps bounded blocks, hot blocks take this linear
     decomposition. ``threshold`` (optional) filters the final neighbor
     list to cosine >= threshold, matching the exact operator's contract.
+
+    ``rows_hint`` / ``n_blocks_hint`` (optional, r11): exact input row /
+    block counts the caller already holds (the catalog entry runs a
+    count() for the regime cost model; the routed path has per-block
+    stats). When present they size the two pinned exchanges from REAL
+    numbers instead of Catalyst's size-only estimate — which, on the
+    derived frames the route path passes (post-join, post-filter),
+    inflates orders of magnitude and pinned both exchanges at the
+    base_w·8 cap for tiny routed blocks (r10 advice).
     """
     import pandas as pd
 
@@ -1566,42 +1587,57 @@ def ivf_knn_join(df: DataFrame, id_col: str = "vec_id",
     kk = int(k)
     sr = int(stripe_rows)
 
-    # Pin the grouped-map exchange wide: probe rows are fat (vector
-    # payload × n_probe duplication) and the grouping sort below
+    # Pin the grouped-map exchange explicitly: probe rows are fat
+    # (vector payload × n_probe duplication) and the grouping sort below
     # applyInPandas spills when the default shuffle width packs ~100 MB+
     # per task (measured sf30/12g: 1.09 GB of sort spill at width 32,
-    # zero at 8x). Groups can't split, but extra partitions are free —
-    # worst case some sit empty. The conf may be non-numeric on
-    # AQE-managed platforms ("auto") — parse defensively. And the useful
-    # width is bounded by the number of scoring groups (#blocks ×
-    # n_lists): with the default 16 lists at test scale, 8× base width is
-    # all empty tasks, while the fixed-list-size regime (n_lists ∝ rows)
-    # keeps the full measured 8× at scale — so cap at 4 partitions per
-    # list and floor at the base width.
+    # zero at 8x). The conf may be non-numeric on AQE-managed platforms
+    # ("auto") — parse defensively.
     try:
         base_w = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         base_w = 200
-    # Width is SIZE-AWARE (r10, guide §2.2): the old flat
+    # Width is SIZE-AWARE (r10/r11, guide §2.2): the pre-r10 flat
     # max(base_w, n_lists*4) pinned BOTH exchanges at 64 for the default
     # 16 lists regardless of data — at gate scale (2k rows, ~13 MB of
     # probe rows) that is 64 grouped-map tasks of which 48 are EMPTY,
     # and an empty applyInPandas task still pays its Arrow/worker
     # round-trip (measured: the two 64-task stages dominate the query's
-    # sf0.1 wall). Estimated post-explode probe bytes (input relation ×
-    # n_probe; the estimator sits scan-adjacent per spread()'s placement
-    # rule) at ~4 MB/task reproduce the r9-measured zero-spill point
-    # exactly — at sf30 (2.4 GB of probe rows) the formula caps at the
-    # SAME base_w*8 = 256 the r9 fix measured spill-free — while
-    # tiny inputs stop paying for empty width. Floors: base_w when the
-    # groups could use every core (n_lists*4 >= base_w — collisions
-    # leave ~1/e of hash buckets empty, so 4x headroom), else the list
-    # count itself (more width than groups is pure empty-task overhead).
+    # sf0.1 wall). Post-explode probe bytes at ~4 MB/task reproduce the
+    # r9-measured zero-spill point exactly — at sf30 (2.4 GB of probe
+    # rows) the cap lands at the SAME base_w*8 = 256 the r9 fix measured
+    # spill-free.
+    #
+    # r11 (verdict item 5 — the 8c/32c inversion): the r10 floor
+    # min(base_w, n_lists*4) still pinned 32 tasks under tiny inputs, so
+    # running on FEWER cores was faster (8c/32c ratio 0.74 — pure
+    # per-task Arrow/worker round-trips on mostly-empty tasks). The
+    # core-count floor is gone: width comes from the DATA (bytes/4 MB,
+    # capped by base_w·8 for the spill bound and by 4 partitions per
+    # scoring group — a grouped-map exchange wider than its group count
+    # is guaranteed empty tasks). CPU per 4 MB task stays bounded
+    # because the regime cost model bounds members/list (~1,250 in the
+    # fixed regime), so flops scale with bytes. probe_bytes comes from
+    # rows_hint × the real row width when the caller knows its count
+    # (catalog/route paths — exact, immune to the derived-frame
+    # estimate inflation the r10 advice flagged), else from the
+    # scan-adjacent Catalyst estimate as before.
+    from ..config import ANN_WIDE_OVERRIDE
     from .skew import relation_size_bytes
 
-    probe_bytes = relation_size_bytes(e) * npb
-    floor_w = min(base_w, max(int(n_lists), 1) * 4)
-    n_wide = max(floor_w, min(base_w * 8, probe_bytes // (4 << 20)))
+    dim = X.shape[1]
+    vec_row_bytes = 8 * dim + 48  # id + norm + list/rank + row slack
+    if rows_hint is not None:
+        probe_bytes = int(rows_hint) * vec_row_bytes * npb
+    else:
+        probe_bytes = relation_size_bytes(e) * npb
+    n_groups = max(int(n_lists), 1) * max(
+        int(n_blocks_hint) if n_blocks_hint is not None else 1, 1)
+    n_wide = max(1, min(base_w * 8,
+                        probe_bytes // (4 << 20),
+                        4 * n_groups))
+    if ANN_WIDE_OVERRIDE is not None:  # A/B escape hatch (r11 item 4)
+        n_wide = ANN_WIDE_OVERRIDE
 
     def _score(key, pdf):
         mem = pdf[pdf["rank"] == 0]

@@ -92,11 +92,31 @@ def spread(df: DataFrame, key_col: str, n_partitions: int | None = None) -> Data
     only directly above a scan (+ narrow projections); for post-join or
     post-filter inputs pass ``n_partitions`` explicitly. (Same class of
     constraint as ``ensure_min_partitions``, different mechanism: there
-    the probe finalizes the plan, here the estimate inflates.)"""
-    n = n_partitions or max(
-        df.sparkSession.sparkContext.defaultParallelism,
-        min(4096, relation_size_bytes(df) // (8 << 20)),
-    )
+    the probe finalizes the plan, here the estimate inflates.)
+
+    Width floor is DATA-derived too (r11, verdict item 5): the r10
+    defaultParallelism floor gave a byte-tiny input one task per core
+    regardless of size — at gate scale that is 32 tasks of ~20 KB each,
+    and the per-task fixed cost (launch + codegen state + worker
+    round-trips on the Arrow consumers) exceeded the CPU those tasks
+    carry, which is exactly what the driver's 8-core run exposed
+    (chunk_documents / vocab_bpe_segment / ann-family ran FASTER on 8
+    cores than 32). The floor is now min(defaultParallelism, est //
+    SPREAD_MIN_TASK_BYTES): inputs below ~1 task-quantum per core stop
+    fanning to every core, while anything ≥ cores × quantum (every
+    mid/large SF) keeps the exact r10 width. SPREAD_MIN_TASK_BYTES is
+    env-tunable (SPARK_GRAFT_SPREAD_MIN_TASK_BYTES; 0 restores the
+    unconditional core floor) for interleaved A/B probes."""
+    if n_partitions:
+        n = n_partitions
+    else:
+        from ..config import SPREAD_MIN_TASK_BYTES
+
+        est = relation_size_bytes(df)
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        floor = (min(cores, max(1, est // SPREAD_MIN_TASK_BYTES))
+                 if SPREAD_MIN_TASK_BYTES > 0 else cores)
+        n = max(floor, min(4096, est // (8 << 20)))
     return df.repartition(n, F.col(key_col))
 
 

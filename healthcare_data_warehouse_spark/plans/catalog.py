@@ -3545,12 +3545,12 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                          cand_per_row_fixed=round(costs["fixed_cand_per_row"]),
                          cand_per_row_fraction=round(
                              costs["fraction_cand_per_row"]))
-        return ivf_knn_join(e, k=5, **knobs)
+        return ivf_knn_join(e, k=5, rows_hint=n, **knobs)
     decisions.record(plan="recall_fraction", n_rows=n,
                      cand_per_row_fixed=round(costs["fixed_cand_per_row"]),
                      cand_per_row_fraction=round(
                          costs["fraction_cand_per_row"]))
-    return ivf_knn_join(e, k=5)
+    return ivf_knn_join(e, k=5, rows_hint=n)
 
 
 @query(
