@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import shutil
@@ -44,6 +46,7 @@ def test_corpus_pipeline_end_to_end(spark):
     assert "PartitionFilters" in plan
 
 
+@pytest.mark.slow
 def test_corpus_pipeline_chunks_and_decontamination(spark):
     out = os.path.join(SCRATCH_DIR, "corpus_test2")
     shutil.rmtree(out, ignore_errors=True)

@@ -3,6 +3,8 @@ similarity search (brute-force + SRP-LSH) operators."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 import pyspark.sql.functions as F
 
@@ -87,6 +89,7 @@ def test_simhash_near_pairs_hamming(spark):
     assert (1, 4) not in got         # distinct doc beyond the threshold
 
 
+@pytest.mark.slow
 def test_simhash_near_pairs_pigeonhole_recall(spark):
     # Plant signature-level near-dups by perturbing tokens until we get a
     # pair within hamming<=3, then assert the chunk-banded path finds every
@@ -324,6 +327,7 @@ def test_duplicated_spans_boilerplate_hot_gram(spark):
     assert all(r["n_tokens"] == 16 for r in out)
 
 
+@pytest.mark.slow
 def test_duplicated_spans_partition_invariant(spark):
     from healthcare_data_warehouse_spark.operators.dedup import duplicated_spans
 
@@ -338,6 +342,7 @@ def test_duplicated_spans_partition_invariant(spark):
     assert a == b and len(a) == 60
 
 
+@pytest.mark.slow
 def test_cut_duplicated_spans_scrubs_boilerplate(spark):
     from healthcare_data_warehouse_spark.operators.dedup import cut_duplicated_spans
 
@@ -359,6 +364,7 @@ def test_cut_duplicated_spans_scrubs_boilerplate(spark):
     assert out[4]["clean_text"] == "" and out[4]["n_removed_tokens"] == 16
 
 
+@pytest.mark.slow
 def test_duplicated_spans_keeps_null_text_docs(spark):
     """A NULL-text doc posexplodes to zero token rows; the base relation
     must still carry it (oracle's LEFT JOIN keeps it with NULL n_tokens)."""

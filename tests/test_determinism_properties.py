@@ -13,6 +13,7 @@ example would be glacial, so each property samples batched inputs.
 from __future__ import annotations
 
 import duckdb
+import pytest
 import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -165,6 +166,7 @@ def test_dup_ngram_coverage_matches_bruteforce(spark, docs, n):
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(st.lists(st.lists(st.sampled_from(["a", "b", "c"]),
                          min_size=0, max_size=12), min_size=1, max_size=6))
+@pytest.mark.slow
 def test_duplicated_spans_matches_bruteforce(spark, docs):
     """duplicated_spans == an independent python reference (corpus-wide
     k-gram multiset -> duplicated windows -> gaps-and-islands merge) on
