@@ -80,10 +80,27 @@ def main() -> None:
         else:
             raise SystemExit(f"unknown mode {mode}")
 
+    def release_blocks() -> None:
+        # bench.py's eviction discipline: checkpoint/persist blocks from
+        # a prior run otherwise ACCUMULATE over the session, and since
+        # the arms alternate A-then-B the pressure lands harder on B —
+        # a systematic bias, not noise (caught at sf10 where
+        # quality_bigram_lm's localCheckpoint is live: 1.75x "regression"
+        # that vanished with eviction).
+        import gc as _gc
+
+        _gc.collect()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(True)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
     def run(name: str, d: str) -> float:
         t0 = time.perf_counter()
         registry[name](spark, d).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        release_blocks()  # outside the timed region
+        return elapsed
 
     for n in names:  # warm JIT/codegen
         run(n, "/root/testdata/sf0.001")
