@@ -362,23 +362,37 @@ def test_semi_reduce_gate_refuses_oversized_key_sets(spark):
 
 def test_spread_width_scales_with_relation_size(spark):
     """spread() sizes its pinned exchange by input bytes (~8 MB/task,
-    floor defaultParallelism, cap 4096) — the fix for the sf60
-    duplicated_spans sort spill (4.9 GB at width 32, zero when the
-    post-explode runs fit memory)."""
+    cap 4096) — the fix for the sf60 duplicated_spans sort spill
+    (4.9 GB at width 32, zero when the post-explode runs fit memory).
+    The floor is data-derived too (r11): min(defaultParallelism,
+    est // 64 KB), so a byte-tiny input no longer fans one task per
+    core, while anything >= cores x 64 KB keeps the full core fan-out."""
     from healthcare_data_warehouse_spark.operators import skew
 
     dp = spark.sparkContext.defaultParallelism
     small = spark.range(1000).withColumnRenamed("id", "k")
-    assert skew.spread(small, "k").rdd.getNumPartitions() == dp
-    # a relation whose estimated size implies more tasks than cores
-    big = small  # reuse the tiny df; fake the size probe instead of 1 GB of data
+    # tiny input (est ~8 KB < 64 KB): ONE task, not one per core
+    assert skew.spread(small, "k").rdd.getNumPartitions() == 1
+    big = small  # reuse the tiny df; fake the size probe instead of real GBs
     orig = skew.relation_size_bytes
     try:
+        # >= cores x 64 KB: the full defaultParallelism floor holds
+        skew.relation_size_bytes = lambda df: dp * (64 << 10)
+        assert skew.spread(big, "k").rdd.getNumPartitions() == dp
         skew.relation_size_bytes = lambda df: 1 << 30  # 1 GiB -> 128 tasks
         assert skew.spread(big, "k").rdd.getNumPartitions() == \
             max(dp, (1 << 30) // (8 << 20))
         skew.relation_size_bytes = lambda df: 1 << 50  # absurd -> capped
         assert skew.spread(big, "k").rdd.getNumPartitions() == 4096
+        # A/B escape hatch: 0 restores the unconditional core floor
+        from healthcare_data_warehouse_spark import config
+        old = config.SPREAD_MIN_TASK_BYTES
+        try:
+            config.SPREAD_MIN_TASK_BYTES = 0
+            skew.relation_size_bytes = lambda df: 8 << 10
+            assert skew.spread(big, "k").rdd.getNumPartitions() == dp
+        finally:
+            config.SPREAD_MIN_TASK_BYTES = old
     finally:
         skew.relation_size_bytes = orig
 
@@ -516,16 +530,29 @@ def test_substring_spans_two_data_shuffles_no_cartesian(spark):
     # a single-partition global window over the occurrence relation.
     plan = _plan(spark, "dedup_substring_spans")
     assert "CartesianProduct" not in plan
-    assert "SinglePartition" not in plan
+    # No PLANNER-forced single-partition shuffle (a global window over
+    # the occurrence relation would plan `Exchange SinglePartition,
+    # ENSURE_REQUIREMENTS`). A user spread() that sized itself to ONE
+    # partition because the input is byte-tiny (r11: width floor is
+    # data-derived, est//64KB at test SF) prints `SinglePartition,
+    # REPARTITION_BY_NUM` and is the intended layout, not the bug this
+    # test exists to catch.
+    assert "SinglePartition, ENSURE_REQUIREMENTS" not in plan
     # three keyed data shuffles (spread() CPU re-partition, gram
     # dup-count window, doc islands); the spread subtree feeds both join
     # sides, so the initial plan may print its exchange twice before
     # AQE's ReusedExchange dedupes it at runtime. The only other
-    # exchange is the broadcast for the per-doc join-back.
+    # exchange is the broadcast for the per-doc join-back. (The spread
+    # exchange may print as SinglePartition at tiny SF — count it as a
+    # keyed data shuffle: REPARTITION_BY_NUM is user-pinned.)
     import re
     exchanges = re.findall(r"Exchange (\w+)", plan)
-    assert exchanges.count("hashpartitioning") in (3, 4)
-    assert all(k in ("hashpartitioning", "HashedRelationBroadcastMode")
+    n_keyed = exchanges.count("hashpartitioning") + sum(
+        1 for m in re.finditer(r"Exchange SinglePartition, REPARTITION_BY_NUM",
+                               plan))
+    assert n_keyed in (3, 4)
+    assert all(k in ("hashpartitioning", "HashedRelationBroadcastMode",
+                     "SinglePartition")
                for k in exchanges)
     assert "rangepartitioning" not in plan
 
