@@ -350,10 +350,22 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     pigeonhole any pair within hamming ≤ max_hamming matches EXACTLY on at
     least one chunk — so grouping on (chunk_index, chunk_value) buckets has
     perfect recall. (For the default 48-bit/h≤3 case that is 4 chunks of
-    12 bits.) Within-bucket self-join → exact hamming via
+    12 bits.) Within-bucket pairing → exact hamming via
     bit_count(a XOR b) → filter. The same degenerate-bucket cap as LSH
-    bounds the join output under skew (identical docs belong to exact
-    dedup, not here)."""
+    bounds the pair fan-out under skew (identical docs belong to exact
+    dedup, not here).
+
+    Pairing is ARRAY-native (r11, guide §2.4 — the lsh_candidate_pairs
+    rewrite applied here, carrying the signature through the struct):
+    the bucket-size window installs hashpartitioning(chunk, chunk_val),
+    the groupBy reuses it (no second exchange), and the ordered pairs —
+    each with both signatures for the hamming computation — explode
+    from a ≤max_bucket_size id-sorted struct array task-locally. The
+    pre-r11 within-bucket SELF-JOIN computed the same pairs by joining
+    the capped banded stream against itself: aliased branches never
+    share subtrees, so the plan paid the ENTIRE
+    tokenize→simhash-signature→chunk→window subtree twice plus a
+    broadcast build of one whole side."""
     from pyspark.sql import Window
 
     chunks = max_hamming + 1
@@ -376,18 +388,39 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
         .filter(F.col("__bucket_n") <= max_bucket_size)
         .drop("__bucket_n")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # One agg on the window's own partitioning (no exchange); pairs
+    # carry both signatures out of the id-sorted struct array, so the
+    # hamming computes task-locally exactly as the old join condition
+    # did. array_sort orders by the struct's first field (id), and the
+    # strict id_a < id_b filter reproduces the old join's strict
+    # inequality even for duplicate ids in one bucket.
+    bucket_members = (
+        banded.groupBy("chunk", "chunk_val")
+        .agg(F.array_sort(F.collect_list(
+            F.struct(F.col(id_col).alias("id"),
+                     F.col("simhash").alias("sig")))).alias("__m"))
+        .filter(F.size("__m") >= 2)
+    )
+    pair_structs = F.flatten(F.transform(
+        F.col("__m"),
+        lambda x, i: F.transform(
+            F.slice(F.col("__m"), i + F.lit(2), F.size(F.col("__m"))),
+            lambda y: F.struct(
+                x["id"].alias("id_a"),
+                y["id"].alias("id_b"),
+                F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias("hamming"),
+            ),
+        ),
+    ))
     return (
-        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
-               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        bucket_members.select(F.explode(pair_structs).alias("__p"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            hamming.alias("hamming"),
+            F.col("__p.id_a").alias("id_a"),
+            F.col("__p.id_b").alias("id_b"),
+            F.col("__p.hamming").alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
+        .filter((F.col("id_a") < F.col("id_b"))
+                & (F.col("hamming") <= max_hamming))
         .distinct()
     )
 
@@ -453,8 +486,8 @@ def rare_feature_pairs(df: DataFrame, text_col: str = "text",
 
     Stages (all keyed shuffles): per-doc distinct shingles → global
     document frequency (one aggregate) → rare-shingle explode →
-    within-shingle pair join (bucket ≤ max_df) → pair distinct → exact
-    Jaccard verify over the full hashed shingle sets. Candidate
+    within-shingle array pairing (bucket ≤ max_df) → pair distinct →
+    exact Jaccard verify over the full hashed shingle sets. Candidate
     generation AND verify both run on xxhash64'd shingles: the output
     carries only pair ids and set-size ratios, so results differ from
     the string form only if two distinct SHINGLES collide in 64 bits
@@ -491,12 +524,34 @@ def rare_feature_pairs(df: DataFrame, text_col: str = "text",
         .select("f")
     )
     rd = ds.join(rare, "f")
-    a, b = rd.alias("a"), rd.alias("b")
+    # Pairing is ARRAY-native (r11, guide §2.4 — the lsh_candidate_pairs
+    # rewrite applied here): one groupBy on the shingle key collects the
+    # ≤max_df sorted doc-id list per rare shingle and fans out the a<b
+    # pairs task-locally. The pre-r11 within-shingle SELF-JOIN computed
+    # the same pairs by joining rd against itself — its aliased branches
+    # never share subtrees, so the plan paid the checkpoint explode AND
+    # the whole document-frequency aggregate TWICE (two broadcast
+    # builds), plus the join itself. The strict id_a < id_b filter
+    # reproduces the old join condition exactly even under a 64-bit
+    # shingle-hash collision inside one doc (duplicate f per id).
+    bucket_ids = (
+        rd.groupBy("f")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    pair_structs = F.flatten(F.transform(
+        F.col("__ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("__ids"), i + F.lit(2),
+                    F.size(F.col("__ids"))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    ))
     pairs = (
-        a.join(b, (F.col("a.f") == F.col("b.f"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
+        bucket_ids.select(F.explode(pair_structs).alias("__p"))
+        .select(F.col("__p.id_a").alias("id_a"),
+                F.col("__p.id_b").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
     sa = t.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))

@@ -842,3 +842,74 @@ def test_ann_knn_join_regime_gate_stamps_and_holds_output_contract(spark, monkey
             assert -1.0 - 1e-9 <= r["cosine_sim"] <= 1.0 + 1e-9
             per_src.setdefault(r["src"], []).append(r["dst"])
         assert per_src and all(len(v) <= 5 for v in per_src.values())
+
+
+def test_array_pairing_matches_self_join_formulation(spark):
+    """r11 regression lock: the array-native pair fan-out in
+    simhash_near_pairs and rare_feature_pairs is output-identical to
+    the within-bucket SELF-JOIN formulation it replaced (including the
+    strict id_a < id_b boundary). The corpus mixes exact dups, a
+    near-dup, and distinct docs so buckets of size 2..4 actually occur."""
+    from pyspark.sql import Window
+
+    from healthcare_data_warehouse_spark.operators.dedup import (
+        rare_feature_pairs, shingles, simhash_signatures_df)
+
+    near_dup = BASE.replace("tonight", "today")
+    rows = [(1, BASE), (2, BASE), (3, near_dup), (4, BASE + " extra"),
+            (5, "completely different words about spark engines"),
+            (6, "completely different words about spark engines")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # --- simhash: HEAD vs the old join built inline -------------------
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in simhash_near_pairs(df, max_hamming=8).collect()}
+    bits, max_hamming, cap = 48, 8, 64
+    chunks, width = max_hamming + 1, 48 // (max_hamming + 1)
+    mask = (1 << width) - 1
+    sig = simhash_signatures_df(df, "text", "doc_id", bits)
+    cs = [F.struct(F.lit(c).alias("chunk"),
+                   F.shiftright("simhash", c * width)
+                   .bitwiseAND(F.lit(mask)).alias("chunk_val"))
+          for c in range(chunks)]
+    banded = (sig.select("doc_id", "simhash",
+                         F.explode(F.array(*cs)).alias("cc"))
+              .select("doc_id", "simhash", "cc.chunk", "cc.chunk_val"))
+    w = Window.partitionBy("chunk", "chunk_val")
+    banded = (banded.withColumn("n", F.count("*").over(w))
+              .filter(F.col("n") <= cap).drop("n"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    want = {(r.id_a, r.id_b, r.hamming) for r in (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"), ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming).distinct().collect())}
+    assert got == want and (1, 2) in {(x, y) for x, y, _ in got}
+
+    # --- rare shingles: HEAD vs the old join built inline --------------
+    got = {(r.id_a, r.id_b, round(r.jaccard, 12))
+           for r in rare_feature_pairs(df, max_df=4).collect()}
+    t = df.select(
+        "doc_id",
+        F.transform(shingles("text", 3),
+                    lambda s: F.xxhash64(s)).alias("sh"))
+    ds = t.select("doc_id", F.explode("sh").alias("f"))
+    rare = (ds.groupBy("f").agg(F.count(F.lit(1)).alias("c"))
+            .filter((F.col("c") >= 2) & (F.col("c") <= 4)).select("f"))
+    rd = ds.join(rare, "f")
+    a, b = rd.alias("a"), rd.alias("b")
+    pairs = (a.join(b, (F.col("a.f") == F.col("b.f"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b")).distinct())
+    sa = t.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = t.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+           / F.size(F.array_union("sh_a", "sh_b")))
+    want = {(r.id_a, r.id_b, round(r.jaccard, 12)) for r in (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard")).collect())}
+    assert got == want and (1, 2) in {(x, y) for x, y, _ in got}
